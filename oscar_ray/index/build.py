@@ -1,0 +1,558 @@
+"""Resumable two-stage inverted-index build on Ray Data.
+
+Pipeline shape (SURVEY.md §3.4 / §7; the Ray-native replacement for the
+reference's trie build ``oscar-create/CellTextCompleter.h:771-1113`` and
+OOM external-sort build ``readwritefuncs.cpp:340-394``):
+
+    Stage A (map):  fragment shards -> tokenize (pinned spec) ->
+                    per-(doc,term) tf rows -> hash-spill by
+                    part = crc32(term) % P  +  docmeta per shard
+    Dedup   (opt):  groupby(url) over docmeta -> tombstone docids
+                    (exact URL dedup, the `removeDuplicates` analog,
+                    ``OsmKeyValueObjectStore.cpp:1110-1116``)
+    Stats:          N, avgdl over surviving docs (Ray aggregate)
+    Stage B (reduce): one task per term partition -> sort (term, docid)
+                    -> segment into docid-range blocks (block_id =
+                    docid >> log2(block_span), the head-term salt from
+                    SURVEY.md §4 skew row) -> delta+varint encode +
+                    block-max metadata -> postings/dict parquet
+
+Both stages are Dataset ``map_batches`` over descriptor datasets — the
+explicit hash-partition + per-partition-reduce pattern replaces a global
+``groupby(term)`` so (a) head-term groups never materialize as one giant
+Arrow group, (b) each stage checkpoints at its natural granularity
+(input shard / term partition) via atomic completion markers, and
+(c) partition tasks are embarrassingly parallel at both cluster sizes.
+
+Determinism: docids derive from the static input layout
+(``sources/pages.py``), stage-B sorts are stable, and every artifact file
+is written with fixed writer settings — so rebuilding at any
+parallelism level yields byte-identical postings/dict/docmeta artifacts
+(the `check`-flag rebuild-and-compare analog,
+``oscar-create/readwritefuncs.cpp:311-325``).
+
+At 100 TB: `shard_fragments` bounds stage-A task memory (a shard is the
+unit of re-read on resume), `num_partitions` is sized so one partition's
+spill fits a reduce task (P ~ corpus_tokens_bytes / few GB), and the
+spill dir must live on shared storage. No stage materializes the corpus;
+the only all-to-all movement is the spill write+read, which is the
+theoretical minimum for index inversion.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from oscar_ray.index import layout
+from oscar_ray.sources.pages import (
+    Fragment,
+    input_fingerprint,
+    list_fragments,
+    read_fragment,
+)
+from oscar_ray.spec.bm25 import BM25Params, bm25_tf_norm
+from oscar_ray.spec.tokenizer import flatten_tokens
+
+_PARQUET_WRITE_OPTS = dict(compression="zstd", data_page_version="2.0")
+INDEX_FORMAT_VERSION = 1
+
+
+@dataclass
+class IndexBuildConfig:
+    """Knobs for the index build (the Config.h analog, JSON-serializable)."""
+
+    num_partitions: int = 16
+    block_span_bits: int = 16  # posting block covers 2^bits docids
+    shard_fragments: int = 4  # input row-groups per stage-A shard
+    dedup_urls: bool = True
+    text_column: str = "text"
+    url_column: str = "url"
+    lang_column: str | None = "lang"
+    id_column: str | None = None  # use an existing unique int64 id as docid
+    k1: float = 0.9
+    b: float = 0.4
+    stage_a_concurrency: int | None = None  # default: let Ray schedule tasks
+    stage_b_concurrency: int | None = None
+    cleanup_spill: bool = False  # drop tmp/ after successful finalize
+
+    def bm25(self) -> BM25Params:
+        return BM25Params(k1=self.k1, b=self.b)
+
+
+# --------------------------------------------------------------------------
+# Stage A: tokenize shards, spill by term partition
+# --------------------------------------------------------------------------
+
+
+class TokenizeShardWorker:
+    """Actor-pool stage: tokenize one input shard per batch row and spill.
+
+    The stateful-tokenizer analog (DiacriticRemover/casefolder held per
+    worker, ``TextSearchTraits.h:30-37`` / SURVEY.md ST3): per-actor setup
+    happens once in ``__init__``; ``__call__`` handles shard descriptor
+    rows and performs only vectorized work (arrow kernels + numpy).
+    """
+
+    def __init__(self, cfg: dict, out_dir: str):
+        self.cfg = IndexBuildConfig(**cfg)
+        self.out_dir = out_dir
+
+    def __call__(self, batch: dict) -> pa.Table:
+        metrics = []
+        for shard_id, frags_json in zip(
+            batch["shard_id"].tolist(), batch["fragments"].tolist()
+        ):
+            metrics.append(self._process_shard(int(shard_id), json.loads(frags_json)))
+        return pa.Table.from_pylist(metrics)
+
+    def _process_shard(self, shard_id: int, frags: list[dict]) -> dict:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        cols = [cfg.text_column, cfg.url_column]
+        if cfg.lang_column:
+            cols.append(cfg.lang_column)
+        tbl = pa.concat_tables(
+            read_fragment(Fragment(**f), columns=cols, id_column=cfg.id_column)
+            for f in frags
+        )
+        docid = tbl["docid"].to_numpy()
+        parent_a, tokens_a = flatten_tokens(tbl[cfg.text_column])
+        parent = np.asarray(parent_a)
+        dict_enc = pc.dictionary_encode(
+            tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])
+        )
+        if isinstance(dict_enc, pa.ChunkedArray):
+            dict_enc = dict_enc.combine_chunks()
+        codes = np.asarray(dict_enc.indices, dtype=np.int64)
+        terms_dict = dict_enc.dictionary
+
+        # tf per (row, term): combine row index and dictionary code into one key
+        key = (parent.astype(np.int64) << np.int64(32)) | codes
+        uniq, tf = np.unique(key, return_counts=True)
+        urow = (uniq >> np.int64(32)).astype(np.int64)
+        ucode = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+
+        doclen_per_row = np.bincount(parent, minlength=len(tbl)).astype(np.int64)
+
+        # partition of each unique term in this shard's dictionary
+        part_by_code = layout.term_partitions_np(
+            terms_dict.to_pylist(), cfg.num_partitions
+        )
+        pair_part = part_by_code[ucode]
+
+        # order rows by partition for contiguous per-partition slices
+        order = np.argsort(pair_part, kind="stable")
+        pair_part = pair_part[order]
+        out_tbl = pa.table(
+            {
+                "term": pc.take(terms_dict, pa.array(ucode[order])),
+                "docid": pa.array(docid[urow[order]], type=pa.int64()),
+                "tf": pa.array(tf[order], type=pa.int64()),
+                "doclen": pa.array(doclen_per_row[urow[order]], type=pa.int64()),
+            }
+        )
+        bounds = np.flatnonzero(np.diff(pair_part)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pair_part)]))
+        spilled_bytes = 0
+        for s, e in zip(starts, ends):
+            p = int(pair_part[s])
+            path = layout.spill_path(self.out_dir, p, shard_id)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(out_tbl.slice(int(s), int(e - s)), path, **_PARQUET_WRITE_OPTS)
+            spilled_bytes += os.path.getsize(path)
+
+        # docmeta for this shard
+        meta_cols = {
+            "docid": tbl["docid"],
+            "url": tbl[cfg.url_column],
+            "doclen": pa.array(doclen_per_row, type=pa.int64()),
+        }
+        if cfg.lang_column:
+            meta_cols["lang"] = tbl[cfg.lang_column]
+        meta_path = layout.docmeta_path(self.out_dir, shard_id)
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        pq.write_table(pa.table(meta_cols), meta_path, **_PARQUET_WRITE_OPTS)
+
+        m = {
+            "shard_id": shard_id,
+            "docs": len(tbl),
+            "tokens": int(doclen_per_row.sum()),
+            "pairs": int(len(uniq)),
+            "spilled_bytes": int(spilled_bytes),
+            "secs": round(time.perf_counter() - t0, 3),
+        }
+        layout.write_marker(layout.marker_path(self.out_dir, "shardA", shard_id), m)
+        return m
+
+
+# --------------------------------------------------------------------------
+# Stage B: per-partition postings assembly
+# --------------------------------------------------------------------------
+
+
+class AssemblePartitionWorker:
+    """Reduce stage: build one term partition's postings per batch row.
+
+    Replaces the reference's global in-memory trie + posting arena
+    (``CellTextCompleter.h:305-430``, SURVEY.md ST4) with independent
+    per-partition tasks: read this partition's spill, stable-sort by
+    (term, docid), cut into docid-range blocks, encode. No shared state.
+    """
+
+    def __init__(self, cfg: dict, out_dir: str, stats: dict, tombstones_ref=None):
+        self.cfg = IndexBuildConfig(**cfg)
+        self.out_dir = out_dir
+        self.stats = stats
+        tomb = ray.get(tombstones_ref) if tombstones_ref is not None else None
+        self.tombstones = (
+            np.sort(np.asarray(tomb, dtype=np.int64)) if tomb is not None and len(tomb) else None
+        )
+
+    def __call__(self, batch: dict) -> pa.Table:
+        return pa.Table.from_pylist(
+            [self._assemble(int(p)) for p in batch["part"].tolist()]
+        )
+
+    def _assemble(self, part: int) -> dict:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        sdir = layout.spill_dir(self.out_dir, part)
+        files = sorted(
+            os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
+        ) if os.path.isdir(sdir) else []
+        if files:
+            tbl = pa.concat_tables(pq.read_table(f) for f in files)
+        else:
+            tbl = pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "docid": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "doclen": pa.array([], type=pa.int64()),
+                }
+            )
+
+        docid = tbl["docid"].to_numpy()
+        tf = tbl["tf"].to_numpy()
+        dl = tbl["doclen"].to_numpy()
+        term_col = tbl["term"].combine_chunks() if tbl.num_rows else tbl["term"]
+
+        if self.tombstones is not None and tbl.num_rows:
+            pos = np.searchsorted(self.tombstones, docid)
+            pos = np.minimum(pos, len(self.tombstones) - 1)
+            keep = self.tombstones[pos] != docid
+            docid, tf, dl = docid[keep], tf[keep], dl[keep]
+            term_col = pc.filter(term_col, pa.array(keep))
+
+        n_rows = len(docid)
+        if n_rows:
+            denc = pc.dictionary_encode(
+                term_col if isinstance(term_col, pa.Array) else term_col.combine_chunks()
+            )
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            terms_np = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            rank_of_code = np.empty(len(terms_np), dtype=np.int64)
+            term_order = np.argsort(terms_np, kind="stable")
+            rank_of_code[term_order] = np.arange(len(terms_np))
+            rank = rank_of_code[codes]
+            order = np.lexsort((docid, rank))
+            rank, docid, tf, dl = rank[order], docid[order], tf[order], dl[order]
+            block = docid >> np.int64(cfg.block_span_bits)
+            seg_change = (np.diff(rank) != 0) | (np.diff(block) != 0)
+            seg_starts = np.concatenate(([0], np.flatnonzero(seg_change) + 1))
+            seg_ends = np.concatenate((seg_starts[1:], [n_rows]))
+            sorted_terms = terms_np[term_order]
+        else:
+            seg_starts = seg_ends = np.empty(0, dtype=np.int64)
+            sorted_terms = np.empty(0, dtype=object)
+            rank = block = docid = tf = dl = np.empty(0, dtype=np.int64)
+
+        avgdl = max(self.stats["avgdl"], 1e-9)
+        params = cfg.bm25()
+        rows_term, rows_block = [], []
+        rows_count, rows_sumtf, rows_maxtfn = [], [], []
+        rows_docs, rows_tfs, rows_dls = [], [], []
+        from oscar_ray.stages.codecs import encode_postings
+
+        for s, e in zip(seg_starts, seg_ends):
+            s, e = int(s), int(e)
+            # encode_postings enforces strictly-ascending unique docids
+            db, tb, lb = encode_postings(docid[s:e], tf[s:e], dl[s:e])
+            rows_term.append(sorted_terms[rank[s]])
+            rows_block.append(int(block[s]))
+            rows_count.append(e - s)
+            rows_sumtf.append(int(tf[s:e].sum()))
+            rows_maxtfn.append(float(np.max(bm25_tf_norm(tf[s:e], dl[s:e], avgdl, params))))
+            rows_docs.append(db)
+            rows_tfs.append(tb)
+            rows_dls.append(lb)
+
+        postings = pa.table(
+            {
+                "term": pa.array(rows_term, type=pa.string()),
+                "block_id": pa.array(rows_block, type=pa.int64()),
+                "doc_count": pa.array(rows_count, type=pa.int64()),
+                "sum_tf": pa.array(rows_sumtf, type=pa.int64()),
+                "max_tfn": pa.array(rows_maxtfn, type=pa.float64()),
+                "docs": pa.array(rows_docs, type=pa.binary()),
+                "tfs": pa.array(rows_tfs, type=pa.binary()),
+                "dls": pa.array(rows_dls, type=pa.binary()),
+            }
+        )
+        ppath = layout.postings_path(self.out_dir, part)
+        os.makedirs(os.path.dirname(ppath), exist_ok=True)
+        pq.write_table(postings, ppath, row_group_size=4096, **_PARQUET_WRITE_OPTS)
+
+        # per-term dictionary: df/cf aggregated over this term's blocks
+        # (terms are wholly contained in one partition by the hash routing)
+        if postings.num_rows:
+            g = postings.group_by("term").aggregate(
+                [("doc_count", "sum"), ("sum_tf", "sum")]
+            )
+            d = pa.table(
+                {
+                    "term": g["term"],
+                    "df": g["doc_count_sum"].cast(pa.int64()),
+                    "cf": g["sum_tf_sum"].cast(pa.int64()),
+                }
+            ).sort_by("term")
+        else:
+            d = pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                    "cf": pa.array([], type=pa.int64()),
+                }
+            )
+        dpath = layout.dict_path(self.out_dir, part)
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        pq.write_table(d, dpath, **_PARQUET_WRITE_OPTS)
+
+        m = {
+            "part": part,
+            "rows": int(n_rows),
+            "terms": int(d.num_rows),
+            "blocks": int(postings.num_rows),
+            "postings_bytes": os.path.getsize(ppath),
+            "secs": round(time.perf_counter() - t0, 3),
+        }
+        layout.write_marker(layout.marker_path(self.out_dir, "partB", part), m)
+        return m
+
+
+# --------------------------------------------------------------------------
+# Driver orchestration
+# --------------------------------------------------------------------------
+
+
+def _chunk(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
+def _pool_size(n_tasks: int, requested: int | None) -> int:
+    """Actor-pool size: bounded by task count and the session's CPU count."""
+    if requested:
+        return max(1, min(requested, n_tasks))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(n_tasks, cpus))
+
+
+def build_index(
+    input_paths: str | list[str],
+    out_dir: str,
+    cfg: IndexBuildConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the inverted index; returns the manifest dict.
+
+    Ray must already be initialized by the caller (driver contract).
+    """
+    cfg = cfg or IndexBuildConfig()
+    frags = list_fragments(input_paths)
+    fingerprint = input_fingerprint(frags)
+    os.makedirs(out_dir, exist_ok=True)
+
+    manifest = _load_manifest(out_dir)
+    matches = bool(
+        manifest
+        and manifest.get("fingerprint") == fingerprint
+        and manifest.get("config") == asdict(cfg)
+    )
+    if manifest and manifest.get("complete") and matches and resume:
+        return manifest
+    if manifest and (not matches or not resume):
+        # input/config changed, or caller forced a rebuild
+        _wipe(out_dir)
+        manifest = None
+
+    _write_manifest(
+        out_dir,
+        {
+            "version": INDEX_FORMAT_VERSION,
+            "fingerprint": fingerprint,
+            "config": asdict(cfg),
+            "complete": False,
+        },
+    )
+
+    shards = [
+        {"shard_id": i, "fragments": json.dumps([f.to_dict() for f in chunk])}
+        for i, chunk in enumerate(_chunk(frags, cfg.shard_fragments))
+    ]
+    t_build0 = time.perf_counter()
+
+    # ---- Stage A (skip shards whose marker exists) ----
+    todo = [
+        s
+        for s in shards
+        if layout.read_marker(layout.marker_path(out_dir, "shardA", s["shard_id"])) is None
+    ]
+    if todo:
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
+        ds.map_batches(
+            TokenizeShardWorker,
+            fn_constructor_kwargs={"cfg": asdict(cfg), "out_dir": out_dir},
+            batch_format="numpy",
+            batch_size=None,
+            concurrency=_pool_size(len(todo), cfg.stage_a_concurrency),
+            num_cpus=1,
+        ).materialize()
+    stage_a_metrics = [
+        layout.read_marker(layout.marker_path(out_dir, "shardA", s["shard_id"]))
+        for s in shards
+    ]
+
+    # ---- Dedup + corpus stats over docmeta ----
+    meta_ds = ray.data.read_parquet(
+        os.path.join(out_dir, "docmeta"), columns=["docid", "url", "doclen"]
+    )
+    tombstones = np.empty(0, dtype=np.int64)
+    if cfg.dedup_urls:
+        tombstones = _find_url_tombstones(meta_ds)
+    from ray.data.aggregate import Count, Sum
+
+    agg = meta_ds.aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+    total_docs, total_dl = int(agg["count()"]), int(agg["sum_dl"] or 0)
+    if len(tombstones):
+        sorted_tomb = np.sort(tombstones)
+
+        def _drop_tombstoned(batch: pa.Table) -> pa.Table:
+            docid = batch["docid"].to_numpy()
+            pos = np.minimum(np.searchsorted(sorted_tomb, docid), len(sorted_tomb) - 1)
+            return batch.filter(pa.array(sorted_tomb[pos] != docid))
+
+        tomb_tbl = meta_ds.map_batches(
+            _drop_tombstoned, batch_format="pyarrow"
+        ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+        n_docs = int(tomb_tbl["count()"])
+        sum_dl = int(tomb_tbl["sum_dl"] or 0)
+    else:
+        n_docs, sum_dl = total_docs, total_dl
+    stats = {
+        "n_docs": n_docs,
+        "total_docs": total_docs,
+        "n_duplicates": int(len(tombstones)),
+        "sum_doclen": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+    }
+
+    # ---- Stage B (skip partitions whose marker exists) ----
+    parts = [
+        p
+        for p in range(cfg.num_partitions)
+        if layout.read_marker(layout.marker_path(out_dir, "partB", p)) is None
+    ]
+    if parts:
+        tomb_ref = ray.put(tombstones) if len(tombstones) else None
+        ds = ray.data.from_items(
+            [{"part": p} for p in parts], override_num_blocks=len(parts)
+        )
+        ds.map_batches(
+            AssemblePartitionWorker,
+            fn_constructor_kwargs={
+                "cfg": asdict(cfg),
+                "out_dir": out_dir,
+                "stats": stats,
+                "tombstones_ref": tomb_ref,
+            },
+            batch_format="numpy",
+            batch_size=None,
+            concurrency=_pool_size(len(parts), cfg.stage_b_concurrency),
+            num_cpus=1,
+        ).materialize()
+    part_metrics = [
+        layout.read_marker(layout.marker_path(out_dir, "partB", p))
+        for p in range(cfg.num_partitions)
+    ]
+
+    manifest = {
+        "version": INDEX_FORMAT_VERSION,
+        "fingerprint": fingerprint,
+        "config": asdict(cfg),
+        "stats": stats,
+        "shards": stage_a_metrics,
+        "partitions": part_metrics,
+        "build_secs": round(time.perf_counter() - t_build0, 3),
+        "complete": True,
+    }
+    _write_manifest(out_dir, manifest)
+    if cfg.cleanup_spill:
+        shutil.rmtree(os.path.join(out_dir, "tmp"), ignore_errors=True)
+    return manifest
+
+
+def _find_url_tombstones(meta_ds) -> np.ndarray:
+    """Exact URL dedup: keep min docid per url, tombstone the rest.
+
+    A groupby(url) shuffle over two narrow columns; output is only the
+    duplicate rows (small). At web scale this is the standard exact-dedup
+    exchange; hot urls are bounded by the 2-col payload.
+    """
+    import pandas as pd
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return g.iloc[:0][["docid"]]
+        m = g["docid"].min()
+        return g.loc[g["docid"] != m, ["docid"]]
+
+    dup_ds = meta_ds.groupby("url").map_groups(dups, batch_format="pandas")
+    rows = dup_ds.take_all()
+    return np.array([r["docid"] for r in rows], dtype=np.int64)
+
+
+def _load_manifest(out_dir: str) -> dict | None:
+    p = layout.manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    p = layout.manifest_path(out_dir)
+    tmp = p + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(tmp, p)
+
+
+def _wipe(out_dir: str) -> None:
+    for sub in ("docmeta", "postings", "dict", "tmp"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)

@@ -1,0 +1,143 @@
+"""Lazy postings reader over the partitioned index artifacts.
+
+The query-time analog of the reference's mmap'd artifact set opened once
+per process (`energize`, ``oscar-cmd/oscarmain.cpp:33-48`` /
+``Benchmark.cpp:125-140``, SURVEY.md ST6): an IndexReader is constructed
+once per query actor, holds corpus stats + lazily-loaded per-partition
+term dictionaries, and fetches a term's posting blocks with parquet
+predicate pushdown (the `term` column is sorted within each partition
+file, so row-group statistics prune most of the file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from oscar_ray.index import layout
+from oscar_ray.spec.bm25 import BM25Params
+from oscar_ray.stages.codecs import decode_postings
+
+
+@dataclass
+class TermPostings:
+    """All posting blocks of one term (decoded lazily per block)."""
+
+    term: str
+    df: int
+    cf: int
+    block_ids: np.ndarray  # int64, ascending
+    doc_counts: np.ndarray  # int64
+    max_tfns: np.ndarray  # float64 — block-max metadata for WAND pruning
+    _docs: list[bytes]
+    _tfs: list[bytes]
+    _dls: list[bytes]
+
+    def decode_block(self, i: int):
+        """-> (docids, tfs, doclens) uint64 arrays for block index i."""
+        return decode_postings(
+            self._docs[i], self._tfs[i], self._dls[i], count=int(self.doc_counts[i])
+        )
+
+    def decode_all(self):
+        """-> (docids, tfs, doclens) for the whole term, concatenated."""
+        if not self._docs:
+            z = np.empty(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        parts = [self.decode_block(i) for i in range(len(self._docs))]
+        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+
+
+_EMPTY = TermPostings(
+    term="",
+    df=0,
+    cf=0,
+    block_ids=np.empty(0, dtype=np.int64),
+    doc_counts=np.empty(0, dtype=np.int64),
+    max_tfns=np.empty(0, dtype=np.float64),
+    _docs=[],
+    _tfs=[],
+    _dls=[],
+)
+
+
+class IndexReader:
+    """Open-once, read-many access to one index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(layout.manifest_path(index_dir)) as f:
+            self.manifest = json.load(f)
+        if not self.manifest.get("complete"):
+            raise ValueError(f"index at {index_dir} is incomplete")
+        cfg = self.manifest["config"]
+        self.num_partitions = cfg["num_partitions"]
+        self.block_span_bits = cfg["block_span_bits"]
+        self.params = BM25Params(k1=cfg["k1"], b=cfg["b"])
+        stats = self.manifest["stats"]
+        self.n_docs = stats["n_docs"]
+        self.avgdl = max(stats["avgdl"], 1e-9)
+        self._dicts: dict[int, dict[str, tuple[int, int]]] = {}
+        self._postings_cache: dict[str, TermPostings] = {}
+
+    # -- dictionary ---------------------------------------------------------
+
+    def _part_dict(self, part: int) -> dict[str, tuple[int, int]]:
+        if part not in self._dicts:
+            path = layout.dict_path(self.index_dir, part)
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                self._dicts[part] = dict(
+                    zip(
+                        t["term"].to_pylist(),
+                        zip(t["df"].to_pylist(), t["cf"].to_pylist()),
+                    )
+                )
+            else:
+                self._dicts[part] = {}
+        return self._dicts[part]
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, cf) of a term; (0, 0) if absent."""
+        part = layout.term_partition(term, self.num_partitions)
+        return self._part_dict(part).get(term, (0, 0))
+
+    def vocabulary_size(self) -> int:
+        return sum(
+            m["terms"] for m in self.manifest["partitions"] if m is not None
+        )
+
+    # -- postings -----------------------------------------------------------
+
+    def postings(self, term: str) -> TermPostings:
+        """Fetch all blocks of a term (predicate-pushdown parquet read)."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
+        part = layout.term_partition(term, self.num_partitions)
+        df, cf = self._part_dict(part).get(term, (0, 0))
+        if df == 0:
+            tp = _EMPTY
+        else:
+            path = layout.postings_path(self.index_dir, part)
+            t = pq.read_table(path, filters=pc.field("term") == term)
+            tp = TermPostings(
+                term=term,
+                df=int(df),
+                cf=int(cf),
+                block_ids=t["block_id"].to_numpy(),
+                doc_counts=t["doc_count"].to_numpy(),
+                max_tfns=t["max_tfn"].to_numpy(),
+                _docs=t["docs"].to_pylist(),
+                _tfs=t["tfs"].to_pylist(),
+                _dls=t["dls"].to_pylist(),
+            )
+        if len(self._postings_cache) > 4096:
+            self._postings_cache.clear()
+        self._postings_cache[term] = tp
+        return tp

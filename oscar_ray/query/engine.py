@@ -1,0 +1,231 @@
+"""Query evaluation: exhaustive and block-max-pruned, plus batch serving.
+
+Two evaluation strategies over the same artifacts, mirroring the
+reference's engine pair (plain CellQueryResult vs treed/decelled
+evaluation, ``oscar-cmd/LiveCompleter.cpp:170-236`` /
+``DecelledACOT.cpp:13-99``) whose equality the reference asserts with
+``-ifq`` (``Workfunctions.cpp:1169-1191``) — our differential tests do
+the same:
+
+- **exhaustive**: decode every term's full posting list, evaluate the
+  set-op tree bottom-up with vectorized merges, then tie-safe top-k.
+- **pruned** (block-max): posting blocks are docid-range aligned
+  (block_id = docid >> B for every term), so each block id defines an
+  independent slice of the docid space and ANY set-op tree evaluates
+  exactly per block. Blocks are visited in descending score upper
+  bound (sum of per-term idf * block max_tfn, feasibility per op), and
+  the scan stops when the bound falls strictly below the current k-th
+  score (ties stay correct: a doc can only tie theta inside a block
+  whose bound >= theta). This is Block-Max WAND adapted to aligned
+  blocks; head-term salting at build time is what makes the block set
+  fine-grained enough to prune.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+from oscar_ray.index.reader import IndexReader, TermPostings
+from oscar_ray.query import setops
+from oscar_ray.query.parser import Node, Op, QueryParseError, Term, parse_query, query_terms
+from oscar_ray.spec.bm25 import bm25_idf, bm25_tf_norm
+
+
+class QueryEngine:
+    """Evaluate set-algebra BM25 queries against one index directory."""
+
+    def __init__(self, index_dir: str, reader: IndexReader | None = None):
+        self.reader = reader or IndexReader(index_dir)
+
+    # ------------------------------------------------------------------
+    def search(self, query: str, k: int = 10, mode: str = "auto"):
+        """-> (docids int64, scores float64), rank order (score desc, docid asc).
+
+        Malformed queries yield empty results (don't-crash contract).
+        """
+        try:
+            node = parse_query(query)
+        except QueryParseError:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if node is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if mode == "exhaustive":
+            ids, scores = self._eval_exhaustive(node)
+            ids, scores = setops.top_k(ids, scores, k)
+        else:
+            ids, scores = self._eval_pruned(node, k)
+        return ids.astype(np.int64), scores
+
+    # -- exhaustive ----------------------------------------------------
+    def _leaf_full(self, term: str) -> setops.ScoredSet:
+        tp = self.reader.postings(term)
+        if tp.df == 0:
+            return setops.empty_set()
+        docids, tfs, dls = tp.decode_all()
+        idf = bm25_idf(tp.df, self.reader.n_docs)
+        scores = idf * bm25_tf_norm(tfs, dls, self.reader.avgdl, self.reader.params)
+        return docids, scores
+
+    def _eval_exhaustive(self, node: Node) -> setops.ScoredSet:
+        if isinstance(node, Term):
+            return self._leaf_full(node.token)
+        left = self._eval_exhaustive(node.left)
+        right = self._eval_exhaustive(node.right)
+        return _APPLY[node.kind](left, right)
+
+    # -- pruned (block-max) --------------------------------------------
+    def _eval_pruned(self, node: Node, k: int):
+        leaves = _collect_leaves(node, self.reader)
+        # per-node, per-block upper bounds + feasibility
+        blocks = _block_bounds(node, leaves)
+        if not blocks:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        order = sorted(blocks.items(), key=lambda kv: -kv[1])
+        buf_ids = []
+        buf_scores = []
+        top_ids = np.empty(0, dtype=np.uint64)
+        top_scores = np.empty(0, dtype=np.float64)
+        n_buf = 0
+        theta = -np.inf
+        for block_id, ub in order:
+            if n_buf + len(top_ids) >= k and ub < theta:
+                break
+            ids, scores = _eval_block(node, leaves, block_id)
+            if len(ids):
+                buf_ids.append(ids)
+                buf_scores.append(scores)
+                n_buf += len(ids)
+            if n_buf > max(4 * k, 4096) or (theta == -np.inf and n_buf + len(top_ids) >= k):
+                top_ids, top_scores = setops.top_k(
+                    np.concatenate([top_ids] + buf_ids),
+                    np.concatenate([top_scores] + buf_scores),
+                    k,
+                )
+                buf_ids, buf_scores, n_buf = [], [], 0
+                if len(top_ids) >= k:
+                    theta = top_scores[-1]
+        if buf_ids:
+            top_ids, top_scores = setops.top_k(
+                np.concatenate([top_ids] + buf_ids),
+                np.concatenate([top_scores] + buf_scores),
+                k,
+            )
+        return top_ids, top_scores
+
+
+def _collect_leaves(node: Node, reader: IndexReader) -> dict[str, dict]:
+    """term -> {postings, idf, block_index: {block_id: i}} for all leaves."""
+    out: dict[str, dict] = {}
+    for term in query_terms(node):
+        if term in out:
+            continue
+        tp = reader.postings(term)
+        idf = bm25_idf(tp.df, reader.n_docs) if tp.df else 0.0
+        out[term] = {
+            "tp": tp,
+            "idf": idf,
+            "blocks": {int(b): i for i, b in enumerate(tp.block_ids)},
+            "reader": reader,
+            "cache": {},
+        }
+    return out
+
+
+def _block_bounds(node: Node, leaves: dict) -> dict[int, float]:
+    """block_id -> score upper bound for the whole tree; infeasible blocks absent."""
+    all_blocks = set()
+    for leaf in leaves.values():
+        all_blocks.update(leaf["blocks"].keys())
+
+    def bound(n: Node, b: int) -> tuple[bool, float]:
+        if isinstance(n, Term):
+            leaf = leaves[n.token]
+            i = leaf["blocks"].get(b)
+            if i is None:
+                return False, 0.0
+            return True, leaf["idf"] * float(leaf["tp"].max_tfns[i])
+        fl, ul = bound(n.left, b)
+        fr, ur = bound(n.right, b)
+        if n.kind == "and":
+            return (fl and fr), (ul + ur)
+        if n.kind == "andnot":
+            return fl, ul
+        # or / xor
+        return (fl or fr), (ul + ur)
+
+    out = {}
+    for b in all_blocks:
+        feasible, ub = bound(node, b)
+        if feasible:
+            out[b] = ub
+    return out
+
+
+def _leaf_block(leaf: dict, block_id: int) -> setops.ScoredSet:
+    i = leaf["blocks"].get(block_id)
+    if i is None:
+        return setops.empty_set()
+    hit = leaf["cache"].get(block_id)
+    if hit is not None:
+        return hit
+    docids, tfs, dls = leaf["tp"].decode_block(i)
+    reader: IndexReader = leaf["reader"]
+    scores = leaf["idf"] * bm25_tf_norm(tfs, dls, reader.avgdl, reader.params)
+    res = (docids, scores)
+    leaf["cache"][block_id] = res
+    return res
+
+
+def _eval_block(node: Node, leaves: dict, block_id: int) -> setops.ScoredSet:
+    if isinstance(node, Term):
+        return _leaf_block(leaves[node.token], block_id)
+    left = _eval_block(node.left, leaves, block_id)
+    right = _eval_block(node.right, leaves, block_id)
+    return _APPLY[node.kind](left, right)
+
+
+_APPLY = {
+    "and": setops.intersect,
+    "or": setops.union,
+    "andnot": setops.andnot,
+    "xor": setops.xor,
+}
+
+
+class QueryServer:
+    """Actor-pool batch query evaluator (SURVEY.md ST6 analog).
+
+    Use as ``queries_ds.map_batches(QueryServer,
+    fn_constructor_kwargs={"index_dir": ...}, concurrency=N,
+    batch_format="pyarrow")``; each actor opens the index once and
+    serves query batches, emitting (query_id, rank, docid, score) rows.
+    """
+
+    def __init__(self, index_dir: str, default_k: int = 10, mode: str = "auto"):
+        self.engine = QueryEngine(index_dir)
+        self.default_k = default_k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else None
+        for i, (qid, q) in enumerate(
+            zip(batch["query_id"].to_pylist(), batch["query"].to_pylist())
+        ):
+            k = int(ks[i]) if ks else self.default_k
+            ids, sc = self.engine.search(q, k=k, mode=self.mode)
+            qids.extend([qid] * len(ids))
+            ranks.extend(range(1, len(ids) + 1))
+            docids.extend(ids.tolist())
+            scores.extend(sc.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "docid": pa.array(docids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

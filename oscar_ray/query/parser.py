@@ -1,0 +1,158 @@
+"""Set-algebra query parser.
+
+Re-expresses the reference's AdvancedCellOpTree operator set
+(``oscar-cmd/DecelledACOT.cpp:73-95``: ``+`` union, ``/`` or
+whitespace-adjacency intersection, ``-`` difference, ``^`` symmetric
+difference, parenthesized subtrees) for web documents. Geometry leaves
+(RECT/POLYGON/..., ``DecelledACOT.cpp:109-186``) are out of scope per
+BASELINE.json north_rule.
+
+Grammar (ops left-associative, single precedence level, like the
+reference's sequential op-tree evaluation):
+
+    expr  := item ((OP)? item)*        # missing OP == intersection
+    item  := TERM | '(' expr ')'
+    OP    := '+' | '-' | '^' | '/'
+
+TERM text is normalized with the pinned tokenizer spec; a term that
+normalizes to several tokens (e.g. "foo-bar") becomes their
+intersection, a term that normalizes to nothing is dropped from its
+parent (and an expression with no surviving leaves is empty).
+
+Malformed input (unbalanced parens, empty groups, dangling operators)
+raises QueryParseError — the engine maps that to an empty result, per
+the reference's don't-crash corpus contract
+(``data/tests/oscar-cmd/dont_crash_test.txt``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from oscar_ray.spec.tokenizer import tokenize_text
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Term:
+    token: str
+
+    def __repr__(self):
+        return f"T({self.token})"
+
+
+@dataclass(frozen=True)
+class Op:
+    kind: str  # 'and' | 'or' | 'andnot' | 'xor'
+    left: "Node"
+    right: "Node"
+
+    def __repr__(self):
+        return f"({self.left} {self.kind} {self.right})"
+
+
+Node = Term | Op
+
+_OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
+
+
+def _lex(q: str) -> list[str]:
+    """Split into '(', ')', operator and raw-term tokens."""
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in q:
+        if ch in "()+-^/" or ch.isspace():
+            if buf:
+                out.append("".join(buf))
+                buf.clear()
+            if ch in "()+-^/":
+                out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def parse_query(q: str, max_len: int = 100_000) -> Node | None:
+    """Parse a query string -> AST (None == empty query, no results)."""
+    if q is None:
+        return None
+    if len(q) > max_len:
+        raise QueryParseError("query too long")
+    toks = _lex(q)
+    pos = 0
+
+    def parse_expr(depth: int) -> Node | None:
+        nonlocal pos
+        if depth > 64:
+            raise QueryParseError("query tree too deep")
+        node: Node | None = None
+        pending_op: str | None = None
+        saw_item = False
+        while pos < len(toks):
+            t = toks[pos]
+            if t == ")":
+                break
+            if t in _OPS:
+                if node is None and pending_op is None and not saw_item:
+                    raise QueryParseError(f"dangling operator {t!r}")
+                if pending_op is not None:
+                    raise QueryParseError(f"consecutive operators near {t!r}")
+                pending_op = _OPS[t]
+                pos += 1
+                continue
+            if t == "(":
+                pos += 1
+                sub = parse_expr(depth + 1)
+                if pos >= len(toks) or toks[pos] != ")":
+                    raise QueryParseError("unbalanced parentheses")
+                pos += 1
+                item = sub
+            else:
+                pos += 1
+                item = _term_node(t)
+            saw_item = True
+            if item is None:
+                # normalized to nothing: drop it (and its pending op)
+                pending_op = None
+                continue
+            if node is None:
+                if pending_op in ("andnot", "xor", "or"):
+                    raise QueryParseError("operator without left operand")
+                node = item
+            else:
+                node = Op(pending_op or "and", node, item)
+            pending_op = None
+        if pending_op is not None:
+            raise QueryParseError("trailing operator")
+        if not saw_item and depth > 0:
+            raise QueryParseError("empty group")
+        return node
+
+    node = parse_expr(0)
+    if pos != len(toks):
+        raise QueryParseError("unbalanced parentheses")
+    return node
+
+
+def _term_node(raw: str) -> Node | None:
+    tokens = tokenize_text(raw)
+    if not tokens:
+        return None
+    node: Node = Term(tokens[0])
+    for t in tokens[1:]:
+        node = Op("and", node, Term(t))
+    return node
+
+
+def query_terms(node: Node | None) -> list[str]:
+    """All leaf tokens, left-to-right (duplicates preserved)."""
+    if node is None:
+        return []
+    if isinstance(node, Term):
+        return [node.token]
+    return query_terms(node.left) + query_terms(node.right)

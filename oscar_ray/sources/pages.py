@@ -1,0 +1,116 @@
+"""Parquet fragment readers with deterministic docid assignment.
+
+The reference assigns dense item ids at ingest and then fixes ordering
+with a global re-sort (``OsmKeyValueObjectStore.cpp:1124,1339-1399`` —
+`fetch_add` then `applySort`). We instead make docid a **pure function of
+the static input layout**: files sorted by path, row groups in file
+order, ``docid = base_offset(file, row_group) + local_row_index``. This
+is what makes the build resumable and rank-identity reproducible under
+any task schedule (SURVEY.md §4 determinism row, §7.4).
+
+The reader is a metadata-scan + fragment-task pattern (the same shape
+``ray.data.read_parquet`` uses internally): a driver-side footer-only
+scan yields fragment descriptors; a Dataset of descriptors is mapped to
+row-group tables. One fragment == one Ray block, so read parallelism ==
+row-group count, and column pruning happens at the pyarrow read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class Fragment:
+    """One parquet row group with its precomputed global docid base."""
+
+    path: str
+    row_group: int
+    base_docid: int
+    num_rows: int
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "row_group": self.row_group,
+            "base_docid": self.base_docid,
+            "num_rows": self.num_rows,
+        }
+
+
+def resolve_paths(paths: str | list[str]) -> list[str]:
+    """Expand a dir / glob / list into a sorted list of parquet files."""
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            out = sorted(glob.glob(os.path.join(paths, "*.parquet")))
+        else:
+            out = sorted(glob.glob(paths)) or [paths]
+    else:
+        out = sorted(paths)
+    if not out:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+    return out
+
+
+def list_fragments(paths: str | list[str]) -> list[Fragment]:
+    """Footer-only scan: (path, row_group) -> cumulative docid base.
+
+    Deterministic: files sorted by path, row groups in order. At 100 TB
+    this scan reads only footers (KBs/file); it can itself be distributed
+    with a map over files if footer count gets large.
+    """
+    frags: list[Fragment] = []
+    base = 0
+    for path in resolve_paths(paths):
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            frags.append(Fragment(path, rg, base, n))
+            base += n
+    return frags
+
+
+def input_fingerprint(frags: list[Fragment]) -> str:
+    """Stable fingerprint of the input layout (for checkpoint manifests)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in frags:
+        h.update(f"{f.path}:{f.row_group}:{f.num_rows}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def read_fragment(
+    frag: Fragment | dict,
+    columns: list[str] | None = None,
+    id_column: str | None = None,
+) -> pa.Table:
+    """Read one row group and attach the deterministic ``docid`` column.
+
+    If ``id_column`` is given, that column (cast to int64) is used as the
+    docid instead of the layout-derived ordinal — used when the input
+    table carries its own unique id (e.g. testdata ``documents.doc_id``).
+    """
+    if isinstance(frag, dict):
+        frag = Fragment(
+            frag["path"], int(frag["row_group"]), int(frag["base_docid"]), int(frag["num_rows"])
+        )
+    read_cols = list(columns) if columns else None
+    if read_cols is not None and id_column and id_column not in read_cols:
+        read_cols.append(id_column)
+    tbl = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=read_cols)
+    if id_column:
+        docid = tbl[id_column].cast(pa.int64())
+        if id_column not in (columns or []):
+            tbl = tbl.drop_columns([id_column])
+    else:
+        docid = pa.array(
+            np.arange(frag.base_docid, frag.base_docid + len(tbl), dtype=np.int64)
+        )
+    return tbl.append_column("docid", docid)

@@ -1,0 +1,134 @@
+"""Deterministic synthetic `pages` table generator (FIXTURES.md §1).
+
+Produces the exact input_hint shape from BASELINE.json:
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``. Seeded, order-independent (row i's content depends only
+on (seed, i)), so any scale/sharding regenerates identical rows —
+the analog of the reference's seeded query sampling
+(``oscar-cmd/oscarmain.cpp:23`` `srand(0)`).
+
+Content knobs mirror FIXTURES.md: Zipf(1.1) term draw over a 10k-term
+vocab (head-term skew), LogNormal doc lengths clamped to [8, 2048],
+~1% empty docs, ~2% exact-duplicate urls, 5% tokens get mixed-case or
+accented variants (exercises NFC+lowercase normalization), lang mix
+en/de/und.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from oscar_ray.spec.extract import make_html
+
+VOCAB_SIZE = 10_000
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+_ACCENT_MAP = str.maketrans("aeiou", "áéíóú")
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _vocab() -> np.ndarray:
+    """Deterministic 10k alphabetic vocab: 'w' + base-26 triple (waaa..won?).
+
+    Alphabetic (with vowels) so the 5% case/diacritic variants actually
+    exercise the normalization spec (upper + accent fold back to base).
+    """
+    words = []
+    for i in range(VOCAB_SIZE):
+        words.append(
+            "w" + _LETTERS[i // 676] + _LETTERS[(i // 26) % 26] + _LETTERS[i % 26]
+        )
+    return np.array(words, dtype=object)
+
+
+def generate_pages_batch(
+    start_row: int, n_rows: int, seed: int = 42, dup_rate: float = 0.02
+) -> pa.Table:
+    """Generate rows [start_row, start_row+n_rows) of the pages table.
+
+    Row content is a pure function of (seed, absolute row index) — the
+    per-row RNG is seeded with (seed, row) — so sharding and scale do
+    not change row contents.
+    """
+    vocab = _vocab()
+    urls: list[str] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    htmls: list[bytes] = []
+    ts = np.arange(start_row, start_row + n_rows, dtype="int64") * 1_000_000
+
+    for row in range(start_row, start_row + n_rows):
+        rng = np.random.default_rng((seed, row))
+        # ~2% exact duplicates: point at an earlier row's url AND text
+        if row > 10 and rng.random() < dup_rate:
+            src = int(rng.integers(0, row))
+            src_rng = np.random.default_rng((seed, src))
+            url, text, lang = _gen_row(src_rng, src, vocab)
+        else:
+            url, text, lang = _gen_row(rng, row, vocab)
+        urls.append(url)
+        texts.append(text)
+        langs.append(lang)
+        htmls.append(make_html(text, title=url))
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def _gen_row(rng: np.random.Generator, row: int, vocab: np.ndarray):
+    site = min(int(rng.zipf(1.2)), 1000)
+    url = f"https://site{site}.example/p/{row}"
+    lang = rng.choice(["en", "de", "und"], p=[0.90, 0.06, 0.04])
+    if rng.random() < 0.01:
+        return url, "", lang
+    doclen = int(np.clip(rng.lognormal(4.0, 0.6), 8, 2048))
+    term_ids = np.minimum(rng.zipf(1.1, size=doclen), VOCAB_SIZE) - 1
+    toks = vocab[term_ids].tolist()
+    # 5% of tokens get case/diacritic variants; normalization folds them back
+    n_var = int(0.05 * doclen)
+    if n_var:
+        idx = rng.integers(0, doclen, size=n_var)
+        for j, i in enumerate(idx):
+            toks[i] = toks[i].upper() if j % 2 == 0 else toks[i].translate(_ACCENT_MAP)
+    return url, " ".join(toks), lang
+
+
+def write_pages(
+    out_dir: str,
+    n_rows: int,
+    n_files: int = 4,
+    rows_per_group: int | None = None,
+    seed: int = 42,
+    dup_rate: float = 0.02,
+) -> list[str]:
+    """Write the pages table as n_files parquet files; returns file paths.
+
+    Layout (file count, row-group size) is part of the fixture: docid
+    assignment derives from (file ordinal, row-group offsets).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    per_file = (n_rows + n_files - 1) // n_files
+    paths = []
+    start = 0
+    for f in range(n_files):
+        n = min(per_file, n_rows - start)
+        if n <= 0:
+            break
+        tbl = generate_pages_batch(start, n, seed=seed, dup_rate=dup_rate)
+        path = os.path.join(out_dir, f"pages-{f:04d}.parquet")
+        pq.write_table(tbl, path, row_group_size=rows_per_group or max(1, n // 2))
+        paths.append(path)
+        start += n
+    return paths

@@ -1,0 +1,113 @@
+"""Vectorized delta-gap + varint posting codecs (numpy, no Python loops).
+
+The reference compresses posting lists with selectable codecs — RLE+delta
+(`rlede`), Elias-Fano, WAH — in its ItemIndexStore
+(``oscar-create/oscarcreate.cpp:70-75``, codec configs
+``data/configs/oscar-create/index_rlede.json``) and writes delta-coded
+varint streams for trie payloads (``CellTextCompleter.cpp:227-243``).
+We implement the north_star codec: **delta-gap docids + LEB128 varints**,
+fully vectorized with numpy (byte-length computation via log masks,
+scatter fill per byte position; decode via continuation-bit segmentation
++ per-position shifts).
+
+Encoded layout per array: plain LEB128 varint stream, one varint per
+value, MSB = continuation. Docid streams are delta-gapped first
+(first value absolute, then gaps) — gaps are >= 1 because docids are
+strictly ascending and unique per block (the `MatchDesc::isConsistent`
+invariant, ``CellTextCompleter.cpp:119-137``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # enough for uint64
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint array -> bytes. Vectorized (no per-value loop)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + (number of 7-bit thresholds <= value)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        thresh = np.uint64(1) << np.uint64(7 * k)
+        mask = v >= thresh
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    # fill byte position p for every value with nbytes > p
+    for p in range(int(nbytes.max())):
+        mask = nbytes > p
+        idx = offsets[:-1][mask] + p
+        chunk = (v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 stream -> uint64 array. Vectorized."""
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    # group id per byte: number of completed varints before this byte
+    group = np.zeros(raw.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=group[1:])
+    n_values = int(is_last.sum())
+    # position of each byte within its varint
+    starts = np.zeros(n_values, dtype=np.int64)
+    if n_values > 1:
+        starts[1:] = np.flatnonzero(is_last)[:-1] + 1
+    pos = np.arange(raw.size, dtype=np.int64) - starts[group]
+    vals = np.zeros(n_values, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.add.at(vals, group, payload)
+    if count is not None and count != n_values:
+        raise ValueError(f"varint stream has {n_values} values, expected {count}")
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending ids -> gaps (first absolute). uint64 out."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode."""
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def encode_postings(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray):
+    """Encode one posting block -> (docs_bytes, tfs_bytes, dls_bytes).
+
+    docids must be strictly ascending unique (checked); tfs/doclens are
+    aligned per-doc payloads.
+    """
+    ids = np.asarray(docids, dtype=np.uint64)
+    if ids.size > 1 and not (ids[1:] > ids[:-1]).all():
+        raise ValueError("posting docids must be strictly ascending unique")
+    return (
+        varint_encode(delta_encode(ids)),
+        varint_encode(np.asarray(tfs, dtype=np.uint64)),
+        varint_encode(np.asarray(doclens, dtype=np.uint64)),
+    )
+
+
+def decode_postings(docs_bytes, tfs_bytes, dls_bytes, count: int | None = None):
+    """Decode one posting block -> (docids, tfs, doclens) uint64 arrays."""
+    docids = delta_decode(varint_decode(docs_bytes, count))
+    tfs = varint_decode(tfs_bytes, count)
+    dls = varint_decode(dls_bytes, count)
+    return docids, tfs, dls
