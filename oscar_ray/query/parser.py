@@ -77,13 +77,19 @@ def _lex(q: str) -> list[str]:
     return out
 
 
-def parse_query(q: str, max_len: int = 100_000) -> Node | None:
-    """Parse a query string -> AST (None == empty query, no results)."""
+def parse_query(q: str, max_len: int = 100_000, max_terms: int = 512) -> Node | None:
+    """Parse a query string -> AST (None == empty query, no results).
+
+    ``max_terms`` bounds tree size (evaluation is recursive per node);
+    oversized queries are a parse error, never a crash.
+    """
     if q is None:
         return None
     if len(q) > max_len:
         raise QueryParseError("query too long")
     toks = _lex(q)
+    if sum(1 for t in toks if t not in "()+-^/") > max_terms:
+        raise QueryParseError("too many terms")
     pos = 0
 
     def parse_expr(depth: int) -> Node | None:
@@ -150,9 +156,17 @@ def _term_node(raw: str) -> Node | None:
 
 
 def query_terms(node: Node | None) -> list[str]:
-    """All leaf tokens, left-to-right (duplicates preserved)."""
+    """All leaf tokens, left-to-right (duplicates preserved). Iterative —
+    left-deep trees from long queries must not hit the recursion limit."""
     if node is None:
         return []
-    if isinstance(node, Term):
-        return [node.token]
-    return query_terms(node.left) + query_terms(node.right)
+    out: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Term):
+            out.append(n.token)
+        else:
+            stack.append(n.right)
+            stack.append(n.left)
+    return out

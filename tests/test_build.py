@@ -1,0 +1,210 @@
+"""Index-build tests: invariants, dedup, determinism, resume (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from oscar_ray.index import layout
+from oscar_ray.index.build import IndexBuildConfig, build_index
+from oscar_ray.index.reader import IndexReader
+from oscar_ray.stages.codecs import decode_postings
+
+
+def _artifact_hashes(index_dir: str) -> dict[str, str]:
+    """sha256 of every index artifact file (postings/dict/docmeta)."""
+    out = {}
+    for sub in ("postings", "dict", "docmeta"):
+        for p in sorted(glob.glob(os.path.join(index_dir, sub, "*.parquet"))):
+            out[os.path.relpath(p, index_dir)] = hashlib.sha256(
+                open(p, "rb").read()
+            ).hexdigest()
+    return out
+
+
+class TestInvariants:
+    def test_postings_sorted_unique_and_df(self, built_index_t1, oracle_t1):
+        index_dir, manifest = built_index_t1
+        reader = IndexReader(index_dir)
+        # every term: sum of block doc_counts == df == oracle df
+        seen_terms = 0
+        for part in range(manifest["config"]["num_partitions"]):
+            t = pq.read_table(layout.postings_path(index_dir, part))
+            per_term: dict[str, int] = {}
+            for term, cnt, docs, tfs, dls, blk in zip(
+                t["term"].to_pylist(),
+                t["doc_count"].to_pylist(),
+                t["docs"].to_pylist(),
+                t["tfs"].to_pylist(),
+                t["dls"].to_pylist(),
+                t["block_id"].to_pylist(),
+            ):
+                ids, tf, dl = decode_postings(docs, tfs, dls, count=cnt)
+                assert (np.diff(ids.astype(np.int64)) > 0).all(), "docids not strictly ascending"
+                assert (tf >= 1).all() and (dl >= 1).all()
+                span = 1 << manifest["config"]["block_span_bits"]
+                assert (ids >= blk * span).all() and (ids < (blk + 1) * span).all()
+                per_term[term] = per_term.get(term, 0) + cnt
+            for term, df in per_term.items():
+                assert df == oracle_t1.df(term), term
+                assert reader.term_stats(term)[0] == df
+                seen_terms += 1
+        assert seen_terms == len(oracle_t1.postings)
+
+    def test_block_max_bounds_member_scores(self, built_index_t1):
+        from oscar_ray.spec.bm25 import bm25_tf_norm
+
+        index_dir, manifest = built_index_t1
+        reader = IndexReader(index_dir)
+        t = pq.read_table(layout.postings_path(index_dir, 0))
+        for i in range(min(200, t.num_rows)):
+            row = t.slice(i, 1).to_pylist()[0]
+            ids, tf, dl = decode_postings(
+                row["docs"], row["tfs"], row["dls"], count=row["doc_count"]
+            )
+            tfns = bm25_tf_norm(tf, dl, reader.avgdl, reader.params)
+            assert row["max_tfn"] >= tfns.max() - 1e-15
+
+    def test_corpus_stats_match_oracle(self, built_index_t1, oracle_t1):
+        _, manifest = built_index_t1
+        s = manifest["stats"]
+        assert s["n_docs"] == oracle_t1.n_docs
+        assert abs(s["avgdl"] - oracle_t1.avgdl) < 1e-9
+        assert s["n_duplicates"] == len(oracle_t1.tombstones)
+
+    def test_docmeta_doclens_match_oracle(self, built_index_t1, oracle_t1):
+        index_dir, _ = built_index_t1
+        meta = pq.read_table(os.path.join(index_dir, "docmeta"))
+        by_docid = dict(zip(meta["docid"].to_pylist(), meta["doclen"].to_pylist()))
+        for docid, dl in oracle_t1.doclen.items():
+            assert by_docid[docid] == dl
+
+    def test_dedup_tombstones(self, built_index_t1, oracle_t1):
+        """Duplicate urls collapse: no tombstoned docid appears in postings."""
+        index_dir, manifest = built_index_t1
+        if not oracle_t1.tombstones:
+            pytest.skip("fixture produced no duplicates")
+        tomb = oracle_t1.tombstones
+        for part in range(manifest["config"]["num_partitions"]):
+            t = pq.read_table(layout.postings_path(index_dir, part))
+            for cnt, docs, tfs, dls in zip(
+                t["doc_count"].to_pylist(),
+                t["docs"].to_pylist(),
+                t["tfs"].to_pylist(),
+                t["dls"].to_pylist(),
+            ):
+                ids, _, _ = decode_postings(docs, tfs, dls, count=cnt)
+                assert not (set(ids.astype(np.int64).tolist()) & tomb)
+
+
+class TestDeterminismAndResume:
+    def test_rebuild_identical(self, ray_session, pages_t1, tmp_path):
+        """Different parallelism / shard config -> byte-identical artifacts.
+
+        The rebuild-and-compare analog (``readwritefuncs.cpp:311-325``).
+        docmeta shards differ when shard_fragments differs, so compare
+        postings+dict (the queryable artifacts) across configs.
+        """
+        cfg_a = IndexBuildConfig(
+            num_partitions=8, block_span_bits=8, shard_fragments=3, stage_a_concurrency=1
+        )
+        cfg_b = IndexBuildConfig(
+            num_partitions=8, block_span_bits=8, shard_fragments=1, stage_a_concurrency=4
+        )
+        out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+        build_index(pages_t1, out_a, cfg_a)
+        build_index(pages_t1, out_b, cfg_b)
+        ha = {k: v for k, v in _artifact_hashes(out_a).items() if not k.startswith("docmeta")}
+        hb = {k: v for k, v in _artifact_hashes(out_b).items() if not k.startswith("docmeta")}
+        assert ha == hb and len(ha) > 0
+
+    def test_resume_after_partial_stage_b(self, ray_session, pages_t1, tmp_path):
+        """Kill after partition p of P, resume -> identical artifacts (FIXTURES §4.4)."""
+        cfg = IndexBuildConfig(num_partitions=8, block_span_bits=8, shard_fragments=3)
+        full_dir = str(tmp_path / "full")
+        build_index(pages_t1, full_dir, cfg)
+        want = _artifact_hashes(full_dir)
+
+        part_dir = str(tmp_path / "partial")
+        build_index(pages_t1, part_dir, cfg)
+        # simulate a crash that lost partitions 3..7 mid-stage-B + the manifest
+        for p in range(3, 8):
+            os.remove(layout.postings_path(part_dir, p))
+            os.remove(layout.dict_path(part_dir, p))
+            os.remove(layout.marker_path(part_dir, "partB", p))
+        manifest = json.load(open(layout.manifest_path(part_dir)))
+        manifest["complete"] = False
+        json.dump(manifest, open(layout.manifest_path(part_dir), "w"))
+
+        m2 = build_index(pages_t1, part_dir, cfg, resume=True)
+        assert m2["complete"]
+        assert _artifact_hashes(part_dir) == want
+
+    def test_resume_after_partial_stage_a(self, ray_session, pages_t1, tmp_path):
+        cfg = IndexBuildConfig(num_partitions=8, block_span_bits=8, shard_fragments=3)
+        full_dir = str(tmp_path / "full")
+        build_index(pages_t1, full_dir, cfg)
+        want = _artifact_hashes(full_dir)
+
+        part_dir = str(tmp_path / "partial")
+        build_index(pages_t1, part_dir, cfg)
+        # crash story: shard 0's spill is done but stage B never ran; also
+        # drop every stage-B artifact and marker
+        shutil.rmtree(os.path.join(part_dir, "postings"))
+        shutil.rmtree(os.path.join(part_dir, "dict"))
+        for mp in glob.glob(os.path.join(part_dir, "tmp", "markers", "partB-*.json")):
+            os.remove(mp)
+        # and shard 1 lost its marker (will be re-tokenized idempotently)
+        os.remove(layout.marker_path(part_dir, "shardA", 1))
+        manifest = json.load(open(layout.manifest_path(part_dir)))
+        manifest["complete"] = False
+        json.dump(manifest, open(layout.manifest_path(part_dir), "w"))
+
+        m2 = build_index(pages_t1, part_dir, cfg, resume=True)
+        assert m2["complete"]
+        assert _artifact_hashes(part_dir) == want
+
+    def test_input_change_triggers_rebuild(self, ray_session, tmp_path):
+        from oscar_ray.sources.synth import write_pages
+
+        pages = str(tmp_path / "pages")
+        write_pages(pages, n_rows=100, n_files=1)
+        out = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(num_partitions=4, shard_fragments=2)
+        m1 = build_index(pages, out, cfg)
+        write_pages(pages, n_rows=150, n_files=1)  # input changed
+        m2 = build_index(pages, out, cfg)
+        assert m2["fingerprint"] != m1["fingerprint"]
+        assert m2["stats"]["total_docs"] == 150
+
+    def test_id_column_mode(self, ray_session, tmp_path):
+        """Existing unique int64 id column becomes the docid."""
+        import pyarrow as pa
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+                "url": ["u1", "u2", "u3"],
+                "text": ["alpha beta", "beta gamma", "alpha alpha"],
+            }
+        )
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        pq.write_table(tbl, os.path.join(src, "part.parquet"))
+        out = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(
+            num_partitions=2, id_column="doc_id", lang_column=None, dedup_urls=False
+        )
+        build_index(src, out, cfg)
+        reader = IndexReader(out)
+        from oscar_ray.query.engine import QueryEngine
+
+        ids, _ = QueryEngine(out, reader).search("alpha", k=10)
+        assert sorted(ids.tolist()) == [10, 30]

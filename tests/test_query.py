@@ -1,0 +1,179 @@
+"""Query-engine tests: oracle parity, differential engines, set-op algebra,
+parser robustness (the reference's differential/don't-crash strategy,
+``Workfunctions.cpp:1169-1191``, ``dont_crash_test.txt``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oscar_ray.query import parser as qp
+from oscar_ray.query import setops
+from oscar_ray.query.engine import QueryEngine
+from oscar_ray.sources.queryset import DONT_CRASH_QUERIES, generate_queries
+
+
+@pytest.fixture(scope="module")
+def engine(built_index_t1):
+    index_dir, _ = built_index_t1
+    return QueryEngine(index_dir)
+
+
+@pytest.fixture(scope="module")
+def query_set(oracle_t1):
+    dfs = {t: len(p) for t, p in oracle_t1.postings.items()}
+    return generate_queries(dfs, n_queries=120, seed=42)
+
+
+class TestParser:
+    def test_single(self):
+        node = qp.parse_query("Hello")
+        assert node == qp.Term("hello")
+
+    def test_ops(self):
+        node = qp.parse_query("a + b - c")
+        assert isinstance(node, qp.Op) and node.kind == "andnot"
+        assert node.left == qp.Op("or", qp.Term("a"), qp.Term("b"))
+
+    def test_implicit_and_and_slash(self):
+        assert qp.parse_query("a b") == qp.parse_query("a / b")
+
+    def test_parens(self):
+        node = qp.parse_query("a (b + c)")
+        assert node.kind == "and" and node.right.kind == "or"
+
+    def test_multi_token_term_becomes_and(self):
+        # '.' and '_' are token delimiters but not query operators
+        assert qp.parse_query("foo.bar") == qp.parse_query("foo bar")
+        assert qp.parse_query("foo_bar") == qp.parse_query("foo bar")
+
+    def test_dash_is_andnot_operator(self):
+        node = qp.parse_query("foo-bar")
+        assert isinstance(node, qp.Op) and node.kind == "andnot"
+
+    def test_empty(self):
+        assert qp.parse_query("") is None
+        assert qp.parse_query("   %% !! ") is None
+
+    @pytest.mark.parametrize("bad", ["((a (( b))", "()", "a + ()", ")(", "a +", "+ a", "a ^ ^ b"])
+    def test_malformed_raises(self, bad):
+        with pytest.raises(qp.QueryParseError):
+            qp.parse_query(bad)
+
+    def test_dont_crash_corpus(self, engine):
+        """Adversarial corpus: engine returns empty-or-valid, never raises."""
+        for q in DONT_CRASH_QUERIES:
+            ids, scores = engine.search(q, k=10)
+            assert len(ids) == len(scores)
+
+
+class TestSetOps:
+    @pytest.fixture()
+    def rng(self):
+        return np.random.default_rng(7)
+
+    def _mk(self, rng, n, universe=200):
+        ids = np.sort(
+            rng.choice(universe, size=min(n, universe), replace=False).astype(np.uint64)
+        )
+        return ids, rng.random(len(ids))
+
+    def test_random_differential_vs_python_sets(self, rng):
+        """X1-X4 analog: engine kernels vs naive set algebra on random trees."""
+        for _ in range(200):
+            a, b = self._mk(rng, rng.integers(0, 60)), self._mk(rng, rng.integers(0, 60))
+            sa, sb = set(a[0].tolist()), set(b[0].tolist())
+            cases = {
+                "and": (setops.intersect, sa & sb),
+                "or": (setops.union, sa | sb),
+                "andnot": (setops.andnot, sa - sb),
+                "xor": (setops.xor, sa ^ sb),
+            }
+            for kind, (fn, expect) in cases.items():
+                ids, scores = fn(a, b)
+                assert set(ids.tolist()) == expect, kind
+                assert (np.diff(ids.astype(np.int64)) > 0).all() if len(ids) > 1 else True
+                assert len(scores) == len(ids)
+
+    def test_scores(self):
+        a = (np.array([1, 2, 3], dtype=np.uint64), np.array([1.0, 2.0, 3.0]))
+        b = (np.array([2, 3, 4], dtype=np.uint64), np.array([10.0, 20.0, 30.0]))
+        ids, sc = setops.intersect(a, b)
+        assert ids.tolist() == [2, 3] and sc.tolist() == [12.0, 23.0]
+        ids, sc = setops.union(a, b)
+        assert ids.tolist() == [1, 2, 3, 4] and sc.tolist() == [1.0, 12.0, 23.0, 30.0]
+        ids, sc = setops.andnot(a, b)
+        assert ids.tolist() == [1] and sc.tolist() == [1.0]
+        ids, sc = setops.xor(a, b)
+        assert ids.tolist() == [1, 4] and sc.tolist() == [1.0, 30.0]
+
+    def test_top_k_tiebreak_docid(self):
+        ids = np.array([5, 1, 9, 3], dtype=np.uint64)
+        sc = np.array([1.0, 1.0, 2.0, 1.0])
+        got_ids, got_sc = setops.top_k(ids, sc, 3)
+        assert got_ids.tolist() == [9, 1, 3]
+
+    def test_top_k_tie_safe_selection(self):
+        # many ties around the k-th position: fast path must keep docid order
+        n = 10_000
+        ids = np.arange(n, dtype=np.uint64)
+        sc = np.full(n, 0.5)
+        sc[:5] = 1.0
+        got_ids, _ = setops.top_k(ids, sc, 10)
+        assert got_ids.tolist() == list(range(5)) + list(range(5, 10))
+
+
+class TestOracleParity:
+    def test_rank_and_score_identity(self, engine, oracle_t1, query_set):
+        """FIXTURES §3: rank-identical top-k docids and scores per query."""
+        n_nonempty = 0
+        for q in query_set:
+            got_ids, got_sc = engine.search(q["query"], k=q["k"])
+            want = oracle_t1.search(q["query"], k=q["k"])
+            assert got_ids.tolist() == [d for d, _ in want], q
+            np.testing.assert_allclose(
+                got_sc, [s for _, s in want], rtol=1e-12, atol=0, err_msg=q["query"]
+            )
+            n_nonempty += bool(len(got_ids))
+        assert n_nonempty > len(query_set) // 2  # the set is mostly non-trivial
+
+    def test_pruned_equals_exhaustive(self, engine, query_set):
+        """Differential engines (-ifq analog): block-max == exhaustive, bit-equal."""
+        for q in query_set:
+            a_ids, a_sc = engine.search(q["query"], k=q["k"], mode="auto")
+            b_ids, b_sc = engine.search(q["query"], k=q["k"], mode="exhaustive")
+            assert a_ids.tolist() == b_ids.tolist(), q
+            assert a_sc.tolist() == b_sc.tolist(), q
+
+    def test_unknown_term_empty(self, engine):
+        ids, _ = engine.search("zzzznotaterm", k=10)
+        assert len(ids) == 0
+
+    def test_duplicate_term_query(self, engine, oracle_t1):
+        got_ids, got_sc = engine.search("waaa waaa", k=10)
+        want = oracle_t1.search("waaa waaa", k=10)
+        assert got_ids.tolist() == [d for d, _ in want]
+
+
+class TestBatchServing:
+    def test_query_server_map_batches(self, ray_session, built_index_t1, query_set):
+        import ray.data
+
+        from oscar_ray.query.engine import QueryServer
+
+        index_dir, _ = built_index_t1
+        qds = ray.data.from_items(query_set[:40], override_num_blocks=4)
+        out = qds.map_batches(
+            QueryServer,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        rows = out.take_all()
+        assert len(rows) > 0
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, lst in by_q.items():
+            ranks = sorted(r["rank"] for r in lst)
+            assert ranks == list(range(1, len(lst) + 1))
