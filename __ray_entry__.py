@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents index build + batch
+BM25 serving) on sf0.001. ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL where the op is SQL-expressible (non-SQL ops —
+LSH/simhash/langid/fingerprint/quality — are rows-only checked).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Float-determinism notes (so value-hashes match):
+- money sums ride as exact integers: floor(x * 100) per row (identical
+  IEEE ops in both engines), summed exactly;
+- BM25 / cosine scores are rounded (4-6 decimals) AFTER ranking.
 """
 
 from __future__ import annotations
@@ -18,27 +20,544 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# pinned query constants shared by the Ray and SQL sides
+BM25_TERM = "merge"
+BM25_AND = "hash join"
+BM25_OR_TERMS = ("scan", "filter")
+BM25_NOT = ("scan", "hash")
+K1, B = 0.9, 0.4
+NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
+COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
+ANN_K, ANN_NQ = 10, 3
+TOKEN_SPLIT_SQL = "[^a-z0-9]+"  # spec tokenizer == this for ascii-lower corpora
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the documents index at sf0.001, serve a query batch."""
+    import ray.data
+
+    from oscar_ray.pipelines.search import documents_index_dir
+    from oscar_ray.query.engine import QueryServer
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = documents_index_dir(sf_dir)
+    queries = [
+        {"query_id": 0, "query": "merge", "k": 10},
+        {"query_id": 1, "query": "hash join", "k": 10},
+        {"query_id": 2, "query": "scan + filter", "k": 10},
+        {"query_id": 3, "query": "table - index", "k": 10},
+        {"query_id": 4, "query": "(sort + group) window", "k": 10},
+    ]
+    qds = ray.data.from_items(queries, override_num_blocks=2)
+    return qds.map_batches(
+        QueryServer,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _search_term_stats(sf_dir: str):
+    from oscar_ray.pipelines.search import term_stats_table
+
+    return term_stats_table(sf_dir)
+
+
+def _search_doc_lengths(sf_dir: str):
+    from oscar_ray.pipelines.search import doc_lengths_table
+
+    return doc_lengths_table(sf_dir)
+
+
+def _search_bm25_term(sf_dir: str):
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, BM25_TERM, k=None)
+
+
+def _search_bm25_and(sf_dir: str):
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, BM25_AND, k=None)
+
+
+def _search_bm25_or(sf_dir: str):
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"{BM25_OR_TERMS[0]} + {BM25_OR_TERMS[1]}", k=None)
+
+
+def _search_bm25_andnot(sf_dir: str):
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"{BM25_NOT[0]} - {BM25_NOT[1]}", k=None)
+
+
+def _rel_lineitem_agg(sf_dir: str):
+    from oscar_ray.pipelines.relational import lineitem_agg
+
+    return lineitem_agg(sf_dir)
+
+
+def _rel_customer_order_join(sf_dir: str):
+    from oscar_ray.pipelines.relational import customer_order_join
+
+    return customer_order_join(sf_dir)
+
+
+def _rel_top_parts(sf_dir: str):
+    from oscar_ray.pipelines.relational import top_parts_by_size
+
+    return top_parts_by_size(sf_dir)
+
+
+def _rel_order_facets(sf_dir: str):
+    from oscar_ray.pipelines.relational import order_status_facets
+
+    return order_status_facets(sf_dir)
+
+
+def _rel_customer_setops(sf_dir: str):
+    from oscar_ray.pipelines.relational import customer_set_ops
+
+    return customer_set_ops(sf_dir)
+
+
+def _rel_events_window(sf_dir: str):
+    from oscar_ray.pipelines.relational import events_window_counts
+
+    return events_window_counts(sf_dir)
+
+
+def _dedup_exact(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import exact_dedup_groups
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return exact_dedup_groups(ds).sort("h")
+
+
+def _dedup_ngram_jaccard(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs(
+        ds, n=NGRAM_N, tau=JACCARD_TAU, max_shingle_df=MAX_SHINGLE_DF
+    ).sort(["a_id", "b_id"])
+
+
+def _dedup_minhash(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return minhash_lsh_pairs(ds, n=NGRAM_N, tau=JACCARD_TAU)
+
+
+def _dedup_simhash(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import simhash_dup_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_dup_pairs(ds, max_hamming=3).sort(["a_id", "b_id"])
+
+
+def _text_token_stats(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import doc_token_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(doc_token_stats, batch_format="pyarrow").sort("doc_id")
+
+
+def _text_quality(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import QualityScorer
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2
+    ).sort("doc_id")
+
+
+def _text_langid(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import LangId
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).sort("doc_id")
+
+
+def _text_fingerprint(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import doc_fingerprint
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(doc_fingerprint, batch_format="pyarrow").sort("doc_id")
+
+
+def _queries_embeddings(sf_dir: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    q = t.slice(0, ANN_NQ)
+    return np.array(q["embedding"].to_pylist(), dtype=np.float64)
+
+
+def _ann_cosine_topk(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import knn_brute_force
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_brute_force(ds, _queries_embeddings(sf_dir), k=ANN_K)
+
+
+def _ann_lsh_topk(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import knn_lsh
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_lsh(ds, _queries_embeddings(sf_dir), k=ANN_K)
+
+
+def _emb_dup_pairs(sf_dir: str):
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.similarity import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = embedding_dup_pairs(ds, tau=COSINE_TAU).sort(["a_id", "b_id"]).take_all()
+    schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _mm_image_features(sf_dir: str):
+    """Multimodal plumbing demo: treat the html-free documents text bytes as
+    an opaque media column, run the (stubbed) image feature stage."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payload = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "media": pa.array(payload, type=pa.binary())}
+        )
+
+    return (
+        ds.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "fake", "dim": 16},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "search_term_stats": _search_term_stats,
+        "search_doc_lengths": _search_doc_lengths,
+        "search_bm25_term": _search_bm25_term,
+        "search_bm25_and": _search_bm25_and,
+        "search_bm25_or": _search_bm25_or,
+        "search_bm25_andnot": _search_bm25_andnot,
+        "rel_lineitem_agg": _rel_lineitem_agg,
+        "rel_customer_order_join": _rel_customer_order_join,
+        "rel_top_parts": _rel_top_parts,
+        "rel_order_facets": _rel_order_facets,
+        "rel_customer_setops": _rel_customer_setops,
+        "rel_events_window": _rel_events_window,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "text_token_stats": _text_token_stats,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_fingerprint": _text_fingerprint,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "emb_dup_pairs": _emb_dup_pairs,
+        "mm_image_features": _mm_image_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = f"""
+tok AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}')) AS t(term)
+    WHERE t.term <> ''
+)"""
+
+_BM25_BASE = f"""
+WITH {_TOK_CTE},
+tf AS (
+    SELECT doc_id, term, count(*)::DOUBLE AS tf
+    FROM tok GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, count(*)::DOUBLE AS doclen FROM tok GROUP BY doc_id
+),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(doclen) FROM dl)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scores AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1)) /
+             (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / corpus.avgdl)) AS score
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN df USING (term)
+    CROSS JOIN corpus
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "search_term_stats": f"""
+            WITH {_TOK_CTE}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+            FROM tok GROUP BY term ORDER BY term
+        """,
+        "search_doc_lengths": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id, count(*)::BIGINT AS doclen
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "search_bm25_term": _BM25_BASE
+        + f"""
+            SELECT doc_id, round(score, 4) AS score
+            FROM scores WHERE term = '{BM25_TERM}' ORDER BY doc_id
+        """,
+        "search_bm25_and": _BM25_BASE
+        + f"""
+            SELECT a.doc_id, round(a.score + b.score, 4) AS score
+            FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[0]}') a
+            JOIN (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[1]}') b
+              USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "search_bm25_or": _BM25_BASE
+        + f"""
+            SELECT doc_id,
+                   round(coalesce(a.score, 0) + coalesce(b.score, 0), 4) AS score
+            FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_OR_TERMS[0]}') a
+            FULL OUTER JOIN
+                 (SELECT doc_id, score FROM scores WHERE term = '{BM25_OR_TERMS[1]}') b
+              USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "search_bm25_andnot": _BM25_BASE
+        + f"""
+            SELECT doc_id, round(score, 4) AS score
+            FROM scores a WHERE term = '{BM25_NOT[0]}'
+              AND NOT EXISTS (
+                SELECT 1 FROM scores b
+                WHERE b.term = '{BM25_NOT[1]}' AND b.doc_id = a.doc_id)
+            ORDER BY doc_id
+        """,
+        "rel_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::BIGINT
+                       AS sum_revenue_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_customer_order_join": """
+            SELECT c.c_mktsegment,
+                   sum(floor(o.o_totalprice * 100)::BIGINT)::BIGINT AS sum_totalprice_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "rel_top_parts": """
+            SELECT p_partkey, p_size FROM part
+            ORDER BY p_size DESC, p_partkey LIMIT 100
+        """,
+        "rel_order_facets": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+            FROM orders GROUP BY 1, 2
+            ORDER BY n DESC, o_orderstatus, o_orderpriority LIMIT 10
+        """,
+        "rel_customer_setops": """
+            WITH a AS (SELECT DISTINCT c_custkey AS id FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 b AS (SELECT DISTINCT o_custkey AS id FROM orders
+                       WHERE o_orderstatus = 'O')
+            SELECT (SELECT count(*) FROM a)::BIGINT AS n_building,
+                   (SELECT count(*) FROM b)::BIGINT AS n_open,
+                   (SELECT count(*) FROM (SELECT id FROM a INTERSECT SELECT id FROM b))::BIGINT AS n_and,
+                   (SELECT count(*) FROM (SELECT id FROM a UNION SELECT id FROM b))::BIGINT AS n_or,
+                   (SELECT count(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b))::BIGINT AS n_andnot,
+                   ((SELECT count(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b))
+                    + (SELECT count(*) FROM (SELECT id FROM b EXCEPT SELECT id FROM a)))::BIGINT AS n_xor
+        """,
+        "rel_events_window": """
+            SELECT event_type AS k,
+                   (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2 ORDER BY k, hour_bucket
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1 ORDER BY h
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+                FROM tokarr, unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+                WHERE len(arr) >= {NGRAM_N}
+            ),
+            sz AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            keep_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+            ),
+            pairs AS (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::DOUBLE AS inter
+                FROM sh x
+                JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                WHERE x.shingle IN (SELECT shingle FROM keep_sh)
+                GROUP BY 1, 2
+            )
+            SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+                   round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = a_id
+            JOIN sz sb ON sb.doc_id = b_id
+            WHERE inter / (sa.set_size + sb.set_size - inter) >= {JACCARD_TAU}
+            ORDER BY a_id, b_id
+        """,
+        "text_token_stats": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT term)::BIGINT AS n_unique_tokens,
+                   floor((sum(length(term))::DOUBLE / count(*)) * 1e6)::BIGINT
+                       AS mean_token_len_micro
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_NQ}
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS raw
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, raw,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY raw DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id,
+                   round(raw, 4) AS score
+            FROM ranked WHERE rank <= {ANN_K}
+            ORDER BY query_id, rank
+        """,
+        "emb_dup_pairs": f"""
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= {COSINE_TAU}
+            ORDER BY a_id, b_id
+        """,
+    }

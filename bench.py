@@ -1,0 +1,168 @@
+"""Benchmark harness: index build docs/sec + BM25 query QPS over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline secs>, "unit": "sec",
+   "queries": {...per-phase secs...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
+and reports both throughputs + scaling efficiency (the sandbox stand-in
+for the N vs 4N cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+    from oscar_ray.index.reader import IndexReader
+    from oscar_ray.query.engine import QueryServer
+    from oscar_ray.sources.queryset import generate_queries
+
+    out_dir = f"/tmp/oscar_ray_bench/idx-cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # warm the page cache so both parallelism levels measure compute+shuffle
+    with open(src, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    cfg = IndexBuildConfig(
+        num_partitions=max(16, num_cpus),
+        block_span_bits=12,
+        shard_fragments=1,
+        id_column="doc_id",
+        url_column=None,
+        lang_column="lang",
+        dedup_urls=False,
+    )
+    t0 = time.perf_counter()
+    manifest = build_index(src, out_dir, cfg, resume=False)
+    build_secs = time.perf_counter() - t0
+    n_docs = manifest["stats"]["total_docs"]
+
+    # query set from the built dictionary (stratified by df)
+    import pyarrow.parquet as pq
+
+    from oscar_ray.index.layout import dict_path
+
+    reader = IndexReader(out_dir)
+    dfs: dict[str, int] = {}
+    for p in range(reader.num_partitions):
+        path = dict_path(out_dir, p)
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            dfs.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    queries = generate_queries(dfs, n_queries=400, seed=42)
+
+    qds = ray.data.from_items(queries, override_num_blocks=num_cpus * 2)
+    # cold run counts (first-touch of postings per actor), mirroring cc=true;
+    # then a warm run, mirroring the reference's 2-run warm protocol
+    t0 = time.perf_counter()
+    n_rows_cold = qds.map_batches(
+        QueryServer,
+        fn_constructor_kwargs={"index_dir": out_dir},
+        batch_format="pyarrow",
+        concurrency=num_cpus,
+        num_cpus=1,
+    ).count()
+    cold_secs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    qds.map_batches(
+        QueryServer,
+        fn_constructor_kwargs={"index_dir": out_dir},
+        batch_format="pyarrow",
+        concurrency=num_cpus,
+        num_cpus=1,
+    ).count()
+    warm_secs = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "build_secs": round(build_secs, 3),
+        "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "n_docs": n_docs,
+        "query_cold_secs": round(cold_secs, 3),
+        "query_warm_secs": round(warm_secs, 3),
+        "qps_cold": round(len(queries) / cold_secs, 1),
+        "qps_warm": round(len(queries) / warm_secs, 1),
+        "n_queries": len(queries),
+        "result_rows": int(n_rows_cold),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        r8, r32 = results[8]["queries"], results[32]["queries"]
+        eff_build = (r8["build_secs"] / r32["build_secs"]) / (32 / 8)
+        eff_query = (r8["query_warm_secs"] / r32["query_warm_secs"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_8_to_32",
+                    "build_secs_8": r8["build_secs"],
+                    "build_secs_32": r32["build_secs"],
+                    "build_scaling_efficiency": round(eff_build, 3),
+                    "query_warm_secs_8": r8["query_warm_secs"],
+                    "query_warm_secs_32": r32["query_warm_secs"],
+                    "query_scaling_efficiency": round(eff_query, 3),
+                    "qps_warm_8": r8["qps_warm"],
+                    "qps_warm_32": r32["qps_warm"],
+                    "docs_per_sec_8": r8["build_docs_per_sec"],
+                    "docs_per_sec_32": r32["build_docs_per_sec"],
+                }
+            )
+        )
+        return
+
+    r = run_bench(sf_dir, num_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_bm25_query",
+                "value": round(r["build_secs"] + r["query_warm_secs"], 3),
+                "unit": "sec",
+                "queries": r,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

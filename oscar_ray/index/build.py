@@ -78,7 +78,7 @@ class IndexBuildConfig:
     shard_fragments: int = 4  # input row-groups per stage-A shard
     dedup_urls: bool = True
     text_column: str = "text"
-    url_column: str = "url"
+    url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
     id_column: str | None = None  # use an existing unique int64 id as docid
     k1: float = 0.9
@@ -120,7 +120,9 @@ class TokenizeShardWorker:
     def _process_shard(self, shard_id: int, frags: list[dict]) -> dict:
         cfg = self.cfg
         t0 = time.perf_counter()
-        cols = [cfg.text_column, cfg.url_column]
+        cols = [cfg.text_column]
+        if cfg.url_column:
+            cols.append(cfg.url_column)
         if cfg.lang_column:
             cols.append(cfg.lang_column)
         tbl = pa.concat_tables(
@@ -175,9 +177,13 @@ class TokenizeShardWorker:
             spilled_bytes += os.path.getsize(path)
 
         # docmeta for this shard
+        if cfg.url_column:
+            url_arr = tbl[cfg.url_column]
+        else:
+            url_arr = pa.array([f"doc://{d}" for d in docid.tolist()], type=pa.string())
         meta_cols = {
             "docid": tbl["docid"],
-            "url": tbl[cfg.url_column],
+            "url": url_arr,
             "doclen": pa.array(doclen_per_row, type=pa.int64()),
         }
         if cfg.lang_column:
@@ -384,6 +390,10 @@ def build_index(
     Ray must already be initialized by the caller (driver contract).
     """
     cfg = cfg or IndexBuildConfig()
+    if cfg.url_column is None and cfg.dedup_urls:
+        from dataclasses import replace
+
+        cfg = replace(cfg, dedup_urls=False)
     frags = list_fragments(input_paths)
     fingerprint = input_fingerprint(frags)
     os.makedirs(out_dir, exist_ok=True)
@@ -520,20 +530,48 @@ def build_index(
 def _find_url_tombstones(meta_ds) -> np.ndarray:
     """Exact URL dedup: keep min docid per url, tombstone the rest.
 
-    A groupby(url) shuffle over two narrow columns; output is only the
-    duplicate rows (small). At web scale this is the standard exact-dedup
-    exchange; hot urls are bounded by the 2-col payload.
+    Shape: one native hash aggregate over (url, docid) — Min + Count per
+    url, vectorized inside Ray's groupby (never a per-group Python call)
+    — then a broadcast-filtered scan marks the non-min rows of the
+    (small) duplicated-url set. At web scale the aggregate is the
+    standard exact-dedup exchange; the dup set rides the object store.
     """
-    import pandas as pd
+    from ray.data.aggregate import Count, Min
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return g.iloc[:0][["docid"]]
-        m = g["docid"].min()
-        return g.loc[g["docid"] != m, ["docid"]]
+    agg = meta_ds.groupby("url").aggregate(
+        Min("docid", alias_name="min_docid"), Count(alias_name="n")
+    )
 
-    dup_ds = meta_ds.groupby("url").map_groups(dups, batch_format="pandas")
-    rows = dup_ds.take_all()
+    def dup_urls_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], 1)).select(["url", "min_docid"])
+
+    dups = agg.map_batches(dup_urls_only, batch_format="pyarrow").take_all()
+    if not dups:
+        return np.empty(0, dtype=np.int64)
+    keep_by_url = {r["url"]: r["min_docid"] for r in dups}
+    keep_ref = ray.put(keep_by_url)
+
+    class MarkTombstones:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            docid = batch["docid"].to_numpy()
+            keep = self.keep
+            mask = np.fromiter(
+                (
+                    (u in keep and keep[u] != d)
+                    for u, d in zip(urls, docid.tolist())
+                ),
+                dtype=bool,
+                count=len(urls),
+            )
+            return batch.select(["docid"]).filter(pa.array(mask))
+
+    rows = meta_ds.map_batches(
+        MarkTombstones, batch_format="pyarrow", concurrency=2
+    ).take_all()
     return np.array([r["docid"] for r in rows], dtype=np.int64)
 
 

@@ -1,0 +1,223 @@
+"""Relational demo pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's general data-processing operators (the
+SURVEY.md §2 aggregation/join/sort/set-op/facet rows) as idiomatic Ray
+Data pipelines with DuckDB-checkable semantics. Column naming matches
+the oracle SQL exactly (driver hashes sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style grouped aggregate (A1/A5 analog: grouped counts/sums).
+
+    Pre-aggregation happens inside Ray's hash-groupby; the revenue column
+    is computed vectorized per batch before the shuffle.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    # money rides as exact integer cents (floor((price*(1-disc))*100) per
+    # row — identical IEEE ops in any engine) so the sum is order-free
+    def add_cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"].cast(pa.int64()),
+                "revenue_cents": pc.floor(rev).cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="sum_revenue_cents"),
+            Count(alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def customer_order_join(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join (J1/J5 analog): orders x customer -> revenue per
+    customer market segment. The small side (customer) is ray.put once and
+    probed per batch; no shuffle join."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()
+    keys = np.array([r["c_custkey"] for r in cust], dtype=np.int64)
+    segs = np.array([r["c_mktsegment"] for r in cust], dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], segs[order]))
+
+    class JoinSegment:
+        def __init__(self):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(self.keys, ck), len(self.keys) - 1)
+            hit = self.keys[pos] == ck
+            seg = np.where(hit, self.segs[pos], None)
+            cents = pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0)))
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
+                    "price_cents": cents.cast(pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("price_cents", alias_name="sum_totalprice_cents"),
+            Count(alias_name="n_orders"),
+        )
+        .sort("c_mktsegment")
+    )
+
+
+def top_parts_by_size(sf_dir: str) -> ray.data.Dataset:
+    """Distributed sort + limit (O1/O4 analog): top-100 parts by
+    (p_size desc, p_partkey asc)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def negkey(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_size", pc.negate(t["p_size"]))
+
+    out = (
+        ds.map_batches(negkey, batch_format="pyarrow")
+        .sort(["neg_size", "p_partkey"])
+        .limit(100)
+        .select_columns(["p_partkey", "p_size"])
+    )
+    return out
+
+
+def order_status_facets(sf_dir: str) -> ray.data.Dataset:
+    """Facet counts (A5 kvstats analog): per (o_orderstatus, o_orderpriority)
+    count, ordered by count desc then keys — the 'topk(n, cmp)' shape."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def negkey(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_n", pc.negate(t["n"]))
+
+    return (
+        out.map_batches(negkey, batch_format="pyarrow")
+        .sort(["neg_n", "o_orderstatus", "o_orderpriority"])
+        .limit(10)
+        .select_columns(["o_orderstatus", "o_orderpriority", "n"])
+    )
+
+
+def customer_set_ops(sf_dir: str) -> pa.Table:
+    """Set-algebra over id sets (X1-X4 analog) with the engine's numpy
+    kernels: customers with BUILDING segment vs customers holding an
+    open ('O') order -> sizes of intersection / union / difference /
+    symmetric difference. One scalar row."""
+    from oscar_ray.query import setops
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+
+    seg_ids = np.unique(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy()
+                for b in cust.map_batches(building_only, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    ).astype(np.uint64)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_custkey"])
+
+    open_ids = np.unique(
+        np.concatenate(
+            [
+                b["o_custkey"].to_numpy()
+                for b in orders.map_batches(open_orders, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    ).astype(np.uint64)
+    a = (seg_ids, np.zeros(len(seg_ids)))
+    b = (open_ids, np.zeros(len(open_ids)))
+    return pa.table(
+        {
+            "n_building": pa.array([len(seg_ids)], type=pa.int64()),
+            "n_open": pa.array([len(open_ids)], type=pa.int64()),
+            "n_and": pa.array([len(setops.intersect(a, b)[0])], type=pa.int64()),
+            "n_or": pa.array([len(setops.union(a, b)[0])], type=pa.int64()),
+            "n_andnot": pa.array([len(setops.andnot(a, b)[0])], type=pa.int64()),
+            "n_xor": pa.array([len(setops.xor(a, b)[0])], type=pa.int64()),
+        }
+    )
+
+
+def events_window_counts(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window grouped aggregate over the events stream table.
+
+    Stream-shaped analog (guide §streaming): window = floor(epoch/3600s),
+    grouped per (user-ish key, window). Assumes the events table has a
+    timestamp column and some key/value columns; adapts to actual names.
+    """
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())  # us since epoch
+        win = pc.divide(ts, pa.scalar(3600_000_000, type=pa.int64()))
+        return pa.table({"k": t["event_type"], "hour_bucket": win})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["k", "hour_bucket"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["k", "hour_bucket"])
+    )

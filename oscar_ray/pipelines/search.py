@@ -1,0 +1,107 @@
+"""Search pipelines over the testdata ``documents`` table.
+
+``documents`` (doc_id, text, lang, source, n_chars) plays the pages role
+with ``id_column="doc_id"`` (docid == doc_id, so results are directly
+comparable to DuckDB SQL over the same table). Index artifacts are cached
+under /tmp keyed by the input fingerprint, so repeated ``queries()``
+calls share one build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from oscar_ray.index.build import IndexBuildConfig, build_index
+from oscar_ray.index.layout import dict_path, manifest_path
+from oscar_ray.index.reader import IndexReader
+from oscar_ray.query.engine import QueryEngine
+
+_CACHE_ROOT = "/tmp/oscar_ray_cache"
+
+
+def documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def documents_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the documents index for one sf dir; returns its path."""
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+
+    src = documents_path(sf_dir)
+    fp = input_fingerprint(list_fragments(src))
+    out = os.path.join(_CACHE_ROOT, f"documents-{fp}")
+    cfg = IndexBuildConfig(
+        num_partitions=8,
+        block_span_bits=12,
+        shard_fragments=2,
+        id_column="doc_id",
+        url_column=None,
+        lang_column="lang",
+        dedup_urls=False,
+        cleanup_spill=False,
+    )
+    build_index(src, out, cfg)  # no-op when complete manifest matches
+    return out
+
+
+def term_stats_table(sf_dir: str) -> pa.Table:
+    """(term, df, cf) over the whole corpus, term ascending."""
+    import pyarrow.parquet as pq
+
+    idx = documents_index_dir(sf_dir)
+    reader = IndexReader(idx)
+    parts = []
+    for p in range(reader.num_partitions):
+        path = dict_path(idx, p)
+        if os.path.exists(path):
+            parts.append(pq.read_table(path))
+    return pa.concat_tables(parts).sort_by("term")
+
+
+def doc_lengths_table(sf_dir: str) -> pa.Table:
+    """(doc_id, doclen) for docs with >= 1 token."""
+    import pyarrow.parquet as pq
+
+    idx = documents_index_dir(sf_dir)
+    meta = pq.read_table(os.path.join(idx, "docmeta"), columns=["docid", "doclen"])
+    meta = meta.rename_columns(["doc_id", "doclen"]).sort_by("doc_id")
+    import pyarrow.compute as pc
+
+    return meta.filter(pc.greater(meta["doclen"], 0))
+
+
+def bm25_scores_table(sf_dir: str, query: str, k: int | None = None, round_to: int = 4) -> pa.Table:
+    """(doc_id, score) for one query; score rounded AFTER ranking.
+
+    k=None returns the full matching set (robust for oracle comparison);
+    otherwise top-k in rank order. Raw scores are bit-identical to the
+    SQL oracle (see spec/bm25.bm25_idf), so rounding agrees too.
+    """
+    idx = documents_index_dir(sf_dir)
+    engine = QueryEngine(idx)
+    eff_k = k if k is not None else 1 << 62
+    ids, scores = engine.search(query, k=eff_k)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "score": pa.array(np.round(scores, round_to), type=pa.float64()),
+        }
+    )
+    return tbl if k is not None else tbl.sort_by("doc_id")
+
+
+def corpus_stats_table(sf_dir: str) -> pa.Table:
+    """One row: (n_docs, sum_doclen) — docs with >=1 token excluded? No:
+    every ingested doc counts (empty docs keep doclen 0)."""
+    idx = documents_index_dir(sf_dir)
+    reader = IndexReader(idx)
+    s = reader.manifest["stats"]
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], type=pa.int64()),
+            "sum_doclen": pa.array([s["sum_doclen"]], type=pa.int64()),
+        }
+    )

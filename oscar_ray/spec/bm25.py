@@ -32,10 +32,16 @@ DEFAULT_PARAMS = BM25Params()
 
 
 def bm25_idf(df: float | np.ndarray, n_docs: float) -> float | np.ndarray:
-    """idf = ln(1 + (N - df + 0.5)/(df + 0.5)); vectorized over df."""
+    """idf = ln(1 + (N - df + 0.5)/(df + 0.5)); vectorized over df.
+
+    Deliberately ``log(1 + x)`` (not log1p): the same two IEEE ops an SQL
+    oracle writes as ``ln(1 + ...)``, so scores are bit-identical across
+    engines. x >= 0.5/(N+0.5) here, so log1p's tiny-x accuracy advantage
+    is irrelevant.
+    """
     if isinstance(df, np.ndarray):
-        return np.log1p((n_docs - df + 0.5) / (df + 0.5))
-    return math.log1p((n_docs - df + 0.5) / (df + 0.5))
+        return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
 def bm25_tf_norm(

@@ -1,0 +1,204 @@
+"""Text-analysis stages over a documents Dataset (map_batches, Arrow-first).
+
+Large-scale training-data pipeline operators: per-doc token statistics,
+quality scoring, language ID (n-gram/stopword heuristic), rolling-hash
+document fingerprints. All deterministic; token semantics come from the
+pinned spec tokenizer, so stats agree with the index builder and with
+the DuckDB oracle SQL (regexp_split on the same delimiter class).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from oscar_ray.spec.tokenizer import flatten_tokens
+
+# pinned stopword lists for the language-ID heuristic (tiny, deterministic)
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the a an and or of to in is are was were be with for on at this that it as by".split()
+    ),
+    "de": frozenset(
+        "der die das und oder von zu im ist sind war waren mit für auf bei dies als ein eine".split()
+    ),
+}
+
+FP_MOD = np.uint64((1 << 61) - 1)
+FP_BASE = np.uint64(1_000_003)
+
+
+def doc_token_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, n_tokens, n_unique_tokens, mean_token_len) per doc with >=1 token.
+
+    Vectorized: one flatten + one int64-key unique per batch. Mirrors SQL
+    ``GROUP BY doc_id`` over the unnested token table.
+    """
+    parent_a, tokens_a = flatten_tokens(batch[text_col])
+    parent = np.asarray(parent_a)
+    ids = batch[id_col].to_numpy()
+    n = len(batch)
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    tok_lens = pc.utf8_length(tokens_a).to_numpy().astype(np.float64)
+    sum_len = np.bincount(parent, weights=tok_lens, minlength=n)
+    denc = pc.dictionary_encode(tokens_a)
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    uniq_pairs = np.unique((parent.astype(np.int64) << np.int64(32)) | codes)
+    n_unique = np.bincount(
+        (uniq_pairs >> np.int64(32)).astype(np.int64), minlength=n
+    ).astype(np.int64)
+    keep = n_tokens > 0
+    # mean as exact micro-units: floor((sum/count) * 1e6) — sum/count is an
+    # exact-integer ratio in float64, so any engine computes the same bits
+    mean_micro = np.floor((sum_len[keep] / n_tokens[keep]) * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "n_tokens": pa.array(n_tokens[keep]),
+            "n_unique_tokens": pa.array(n_unique[keep]),
+            "mean_token_len_micro": pa.array(mean_micro),
+        }
+    )
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic quality features + score per document.
+
+    Features (all deterministic, vectorized): token count, mean token
+    length, unique-token ratio, stopword ratio, alnum character ratio.
+    Score is a fixed linear blend in [0, 1] — a stand-in for a learned
+    quality model; the Ray plumbing (actor pool, arrow batches) is the
+    real deliverable, the weights are pinned constants.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.stop_en = pa.array(sorted(_LANG_STOPWORDS["en"]), type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_col, text_col = self.id_col, self.text_col
+        parent_a, tokens_a = flatten_tokens(batch[text_col])
+        parent = np.asarray(parent_a)
+        n = len(batch)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.float64)
+        is_stop = pc.is_in(tokens_a, value_set=self.stop_en).to_numpy(zero_copy_only=False)
+        stop_ratio = np.bincount(parent, weights=is_stop.astype(np.float64), minlength=n)
+        stop_ratio = np.divide(stop_ratio, n_tokens, out=np.zeros(n), where=n_tokens > 0)
+        tok_lens = pc.utf8_length(tokens_a).to_numpy().astype(np.float64)
+        mean_len = np.divide(
+            np.bincount(parent, weights=tok_lens, minlength=n),
+            n_tokens,
+            out=np.zeros(n),
+            where=n_tokens > 0,
+        )
+        denc = pc.dictionary_encode(tokens_a)
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        uniq = np.unique((parent.astype(np.int64) << np.int64(32)) | codes)
+        n_unique = np.bincount((uniq >> np.int64(32)).astype(np.int64), minlength=n)
+        uniq_ratio = np.divide(n_unique, n_tokens, out=np.zeros(n), where=n_tokens > 0)
+
+        # pinned blend: favors mid-length tokens, diverse vocab, some stopwords
+        score = (
+            0.25 * np.clip(n_tokens / 256.0, 0, 1)
+            + 0.25 * np.clip(uniq_ratio, 0, 1)
+            + 0.25 * np.clip(stop_ratio * 5.0, 0, 1)
+            + 0.25 * np.clip((mean_len - 2.0) / 8.0, 0, 1)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
+                "unique_ratio": pa.array(np.round(uniq_ratio, 6)),
+                "mean_token_len": pa.array(np.round(mean_len, 6)),
+                "quality_score": pa.array(np.round(score, 6)),
+            }
+        )
+
+
+class LangId:
+    """Actor-pool language-ID heuristic: stopword-hit voting per language.
+
+    Deterministic n-gram-free heuristic: the language whose stopword set
+    hits the most tokens wins; below ``min_hits`` hits -> 'und'. State
+    (value sets) is built once per actor (SURVEY.md ST3 pattern).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", min_ratio: float = 0.03):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.min_ratio = min_ratio
+        self.sets = {
+            lang: pa.array(sorted(words), type=pa.string())
+            for lang, words in _LANG_STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent_a, tokens_a = flatten_tokens(batch[self.text_col])
+        parent = np.asarray(parent_a)
+        n = len(batch)
+        n_tokens = np.maximum(np.bincount(parent, minlength=n), 1).astype(np.float64)
+        langs = sorted(self.sets)
+        ratios = np.zeros((len(langs), n))
+        for i, lang in enumerate(langs):
+            hits = pc.is_in(tokens_a, value_set=self.sets[lang]).to_numpy(zero_copy_only=False)
+            ratios[i] = np.bincount(parent, weights=hits.astype(np.float64), minlength=n) / n_tokens
+        best = np.argmax(ratios, axis=0)
+        best_ratio = ratios[best, np.arange(n)]
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_ratio < self.min_ratio] = "und"
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].cast(pa.int64()),
+                "pred_lang": pa.array(pred, type=pa.string()),
+                "confidence": pa.array(np.round(best_ratio, 6), type=pa.float64()),
+            }
+        )
+
+
+def doc_fingerprint(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Rolling polynomial hash over the token stream -> (id, fingerprint).
+
+    fp(doc) = sum_i token_hash_i * BASE^(n_doc-1-i)  (mod 2^64), with
+    token_hash = crc32 of the token. Order-sensitive (unlike a bag-of-words
+    hash), deterministic across processes, fully vectorized: powers of
+    BASE come from a wrap-around cumprod, the per-doc sum from a
+    wrap-around scatter-add.
+    """
+    import zlib
+
+    parent_a, tokens_a = flatten_tokens(batch[text_col])
+    parent = np.asarray(parent_a).astype(np.int64)
+    denc = pc.dictionary_encode(tokens_a)
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    n = len(batch)
+    fps = np.zeros(n, dtype=np.uint64)
+    if len(codes):
+        uniq_hash = np.fromiter(
+            (zlib.crc32(t.encode()) for t in denc.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(denc.dictionary),
+        )
+        tok_hash = uniq_hash[codes]
+        counts = np.bincount(parent, minlength=n)
+        ends = np.cumsum(counts)
+        # position from the end of each doc's token run
+        idx = np.arange(len(parent), dtype=np.int64)
+        pos_from_end = ends[parent] - 1 - idx
+        max_pow = int(pos_from_end.max()) + 1
+        powers = np.ones(max_pow, dtype=np.uint64)
+        if max_pow > 1:
+            powers[1:] = FP_BASE
+            with np.errstate(over="ignore"):
+                powers = np.cumprod(powers)  # wraps mod 2^64 by design
+        with np.errstate(over="ignore"):
+            contrib = tok_hash * powers[pos_from_end]
+        np.add.at(fps, parent, contrib)  # wrap-add mod 2^64
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "fingerprint": pa.array(fps.view(np.int64)),
+        }
+    )

@@ -60,7 +60,7 @@ class OracleIndex:
 
     def idf(self, term: str) -> float:
         df = self.df(term)
-        return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def term_scores(self, term: str) -> dict[int, float]:
         idf = self.idf(term)
