@@ -19,6 +19,46 @@ import sys
 import time
 
 
+# pages-table scale per sf dir (the input_hint table, synthesized
+# deterministically — driver documents.parquet is too small to stress the
+# build: 5k rows at sf0.1)
+_BENCH_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
+
+
+def _pages_dir(sf_dir: str, n_rows: int, n_files: int = 16) -> str:
+    """Generate (once, cached) the deterministic pages table via Ray tasks."""
+    import ray
+
+    out = f"/tmp/oscar_ray_bench/pages-{n_rows}"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    @ray.remote
+    def gen_file(f: int, start: int, n: int) -> str:
+        import pyarrow.parquet as pq
+
+        from oscar_ray.sources.synth import generate_pages_batch
+
+        tbl = generate_pages_batch(start, n, seed=42)
+        path = os.path.join(out, f"pages-{f:04d}.parquet")
+        pq.write_table(tbl, path, row_group_size=max(1, n // 2))
+        return path
+
+    per = (n_rows + n_files - 1) // n_files
+    ray.get(
+        [
+            gen_file.remote(f, f * per, min(per, n_rows - f * per))
+            for f in range(n_files)
+            if min(per, n_rows - f * per) > 0
+        ]
+    )
+    open(done, "w").close()
+    return out
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -41,20 +81,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"/tmp/oscar_ray_bench/idx-cpus{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    n_rows = _BENCH_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 20_000)
+    src = _pages_dir(sf_dir, n_rows)
     # warm the page cache so both parallelism levels measure compute+shuffle
-    with open(src, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    for name in sorted(os.listdir(src)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(src, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
+    # IDENTICAL config at every parallelism level (the two-cluster-size
+    # protocol compares the same job, only the resource count varies)
     cfg = IndexBuildConfig(
-        num_partitions=max(16, num_cpus),
-        block_span_bits=12,
+        num_partitions=32,
+        block_span_bits=14,
         shard_fragments=1,
-        id_column="doc_id",
-        url_column=None,
-        lang_column="lang",
-        dedup_urls=False,
+        dedup_urls=True,
     )
     t0 = time.perf_counter()
     manifest = build_index(src, out_dir, cfg, resume=False)
@@ -75,26 +117,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             dfs.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
     queries = generate_queries(dfs, n_queries=400, seed=42)
 
-    qds = ray.data.from_items(queries, override_num_blocks=num_cpus * 2)
-    # cold run counts (first-touch of postings per actor), mirroring cc=true;
-    # then a warm run, mirroring the reference's 2-run warm protocol
+    # query serving: a PERSISTENT actor pool (the ST6 'energize once, serve
+    # many' analog). Actors are spawned and index-opened before timing; the
+    # cold run then measures first-touch postings reads (cc=true analog),
+    # the warm run measures steady-state serving (2-run warm protocol).
+    import pyarrow as pa
+
+    ServerActor = ray.remote(num_cpus=1)(QueryServer)
+    pool = [
+        ServerActor.remote(index_dir=out_dir) for _ in range(num_cpus)
+    ]
+    qtbl = pa.Table.from_pylist(queries)
+    slices = [
+        qtbl.slice(i * len(queries) // num_cpus,
+                   (i + 1) * len(queries) // num_cpus - i * len(queries) // num_cpus)
+        for i in range(num_cpus)
+    ]
+    ray.get([p.__ray_ready__.remote() for p in pool])  # spawn + open outside timing
+
     t0 = time.perf_counter()
-    n_rows_cold = qds.map_batches(
-        QueryServer,
-        fn_constructor_kwargs={"index_dir": out_dir},
-        batch_format="pyarrow",
-        concurrency=num_cpus,
-        num_cpus=1,
-    ).count()
+    outs = ray.get(
+        [p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows]
+    )
     cold_secs = time.perf_counter() - t0
+    n_rows_cold = sum(t.num_rows for t in outs)
     t0 = time.perf_counter()
-    qds.map_batches(
-        QueryServer,
-        fn_constructor_kwargs={"index_dir": out_dir},
-        batch_format="pyarrow",
-        concurrency=num_cpus,
-        num_cpus=1,
-    ).count()
+    ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
     warm_secs = time.perf_counter() - t0
 
     ray.shutdown()

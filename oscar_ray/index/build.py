@@ -77,6 +77,7 @@ class IndexBuildConfig:
     block_span_bits: int = 16  # posting block covers 2^bits docids
     shard_fragments: int = 4  # input row-groups per stage-A shard
     dedup_urls: bool = True
+    url_partitions: int = 16  # docmeta hash-partition count (dedup parallelism)
     text_column: str = "text"
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
@@ -176,7 +177,8 @@ class TokenizeShardWorker:
             pq.write_table(out_tbl.slice(int(s), int(e - s)), path, **_PARQUET_WRITE_OPTS)
             spilled_bytes += os.path.getsize(path)
 
-        # docmeta for this shard
+        # docmeta for this shard, hash-partitioned by url so dedup is a
+        # per-partition scan (crc32 over this shard's rows, C-speed)
         if cfg.url_column:
             url_arr = tbl[cfg.url_column]
         else:
@@ -188,9 +190,18 @@ class TokenizeShardWorker:
         }
         if cfg.lang_column:
             meta_cols["lang"] = tbl[cfg.lang_column]
-        meta_path = layout.docmeta_path(self.out_dir, shard_id)
-        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-        pq.write_table(pa.table(meta_cols), meta_path, **_PARQUET_WRITE_OPTS)
+        meta_tbl = pa.table(meta_cols)
+        url_parts = layout.term_partitions_np(url_arr.to_pylist(), cfg.url_partitions)
+        uorder = np.argsort(url_parts, kind="stable")
+        meta_tbl = meta_tbl.take(pa.array(uorder))
+        up_sorted = url_parts[uorder]
+        ub = np.flatnonzero(np.diff(up_sorted)) + 1
+        for s, e in zip(
+            np.concatenate(([0], ub)), np.concatenate((ub, [len(up_sorted)]))
+        ):
+            mp = layout.docmeta_path(self.out_dir, shard_id, int(up_sorted[s]))
+            os.makedirs(os.path.dirname(mp), exist_ok=True)
+            pq.write_table(meta_tbl.slice(int(s), int(e - s)), mp, **_PARQUET_WRITE_OPTS)
 
         m = {
             "shard_id": shard_id,
@@ -222,7 +233,14 @@ class AssemblePartitionWorker:
         self.cfg = IndexBuildConfig(**cfg)
         self.out_dir = out_dir
         self.stats = stats
-        tomb = ray.get(tombstones_ref) if tombstones_ref is not None else None
+        # raw tasks auto-resolve top-level ObjectRef args; actor-pool
+        # constructor kwargs do not — accept both
+        if tombstones_ref is None:
+            tomb = None
+        elif isinstance(tombstones_ref, ray.ObjectRef):
+            tomb = ray.get(tombstones_ref)
+        else:
+            tomb = tombstones_ref
         self.tombstones = (
             np.sort(np.asarray(tomb, dtype=np.int64)) if tomb is not None and len(tomb) else None
         )
@@ -371,14 +389,6 @@ def _chunk(seq, n):
         yield seq[i : i + n]
 
 
-def _pool_size(n_tasks: int, requested: int | None) -> int:
-    """Actor-pool size: bounded by task count and the session's CPU count."""
-    if requested:
-        return max(1, min(requested, n_tasks))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, min(n_tasks, cpus))
-
-
 def build_index(
     input_paths: str | list[str],
     out_dir: str,
@@ -426,6 +436,7 @@ def build_index(
         for i, chunk in enumerate(_chunk(frags, cfg.shard_fragments))
     ]
     t_build0 = time.perf_counter()
+    phase_walls = {}
 
     # ---- Stage A (skip shards whose marker exists) ----
     todo = [
@@ -434,53 +445,29 @@ def build_index(
         if layout.read_marker(layout.marker_path(out_dir, "shardA", s["shard_id"])) is None
     ]
     if todo:
-        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
-        ds.map_batches(
-            TokenizeShardWorker,
-            fn_constructor_kwargs={"cfg": asdict(cfg), "out_dir": out_dir},
-            batch_format="numpy",
-            batch_size=None,
-            concurrency=_pool_size(len(todo), cfg.stage_a_concurrency),
-            num_cpus=1,
-        ).materialize()
+        # raw task fan-out: each task is a pure side-effect writer driven by
+        # a descriptor (spill files + marker) — the Dataset API adds only
+        # per-execution overhead here. Tasks reuse Ray's warm workers.
+        cfg_dict = asdict(cfg)
+        ray.get(
+            [
+                _stage_a_task.remote(s["shard_id"], s["fragments"], cfg_dict, out_dir)
+                for s in todo
+            ]
+        )
     stage_a_metrics = [
         layout.read_marker(layout.marker_path(out_dir, "shardA", s["shard_id"]))
         for s in shards
     ]
+    phase_walls["stage_a"] = round(time.perf_counter() - t_build0, 3)
 
-    # ---- Dedup + corpus stats over docmeta ----
-    meta_ds = ray.data.read_parquet(
-        os.path.join(out_dir, "docmeta"), columns=["docid", "url", "doclen"]
-    )
-    tombstones = np.empty(0, dtype=np.int64)
-    if cfg.dedup_urls:
-        tombstones = _find_url_tombstones(meta_ds)
-    from ray.data.aggregate import Count, Sum
-
-    agg = meta_ds.aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
-    total_docs, total_dl = int(agg["count()"]), int(agg["sum_dl"] or 0)
-    if len(tombstones):
-        sorted_tomb = np.sort(tombstones)
-
-        def _drop_tombstoned(batch: pa.Table) -> pa.Table:
-            docid = batch["docid"].to_numpy()
-            pos = np.minimum(np.searchsorted(sorted_tomb, docid), len(sorted_tomb) - 1)
-            return batch.filter(pa.array(sorted_tomb[pos] != docid))
-
-        tomb_tbl = meta_ds.map_batches(
-            _drop_tombstoned, batch_format="pyarrow"
-        ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
-        n_docs = int(tomb_tbl["count()"])
-        sum_dl = int(tomb_tbl["sum_dl"] or 0)
-    else:
-        n_docs, sum_dl = total_docs, total_dl
-    stats = {
-        "n_docs": n_docs,
-        "total_docs": total_docs,
-        "n_duplicates": int(len(tombstones)),
-        "sum_doclen": sum_dl,
-        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
-    }
+    # ---- Dedup + corpus stats (totals come free from stage-A markers) ----
+    t_phase = time.perf_counter()
+    total_docs = sum(m["docs"] for m in stage_a_metrics)
+    total_dl = sum(m["tokens"] for m in stage_a_metrics)
+    tombstones, stats = _dedup_and_stats(out_dir, cfg, total_docs, total_dl)
+    phase_walls["dedup_stats"] = round(time.perf_counter() - t_phase, 3)
+    t_phase = time.perf_counter()
 
     # ---- Stage B (skip partitions whose marker exists) ----
     parts = [
@@ -490,27 +477,19 @@ def build_index(
     ]
     if parts:
         tomb_ref = ray.put(tombstones) if len(tombstones) else None
-        ds = ray.data.from_items(
-            [{"part": p} for p in parts], override_num_blocks=len(parts)
+        cfg_dict = asdict(cfg)
+        ray.get(
+            [
+                _stage_b_task.remote(p, cfg_dict, out_dir, stats, tomb_ref)
+                for p in parts
+            ]
         )
-        ds.map_batches(
-            AssemblePartitionWorker,
-            fn_constructor_kwargs={
-                "cfg": asdict(cfg),
-                "out_dir": out_dir,
-                "stats": stats,
-                "tombstones_ref": tomb_ref,
-            },
-            batch_format="numpy",
-            batch_size=None,
-            concurrency=_pool_size(len(parts), cfg.stage_b_concurrency),
-            num_cpus=1,
-        ).materialize()
     part_metrics = [
         layout.read_marker(layout.marker_path(out_dir, "partB", p))
         for p in range(cfg.num_partitions)
     ]
 
+    phase_walls["stage_b"] = round(time.perf_counter() - t_phase, 3)
     manifest = {
         "version": INDEX_FORMAT_VERSION,
         "fingerprint": fingerprint,
@@ -519,6 +498,7 @@ def build_index(
         "shards": stage_a_metrics,
         "partitions": part_metrics,
         "build_secs": round(time.perf_counter() - t_build0, 3),
+        "phase_walls": phase_walls,
         "complete": True,
     }
     _write_manifest(out_dir, manifest)
@@ -527,52 +507,78 @@ def build_index(
     return manifest
 
 
-def _find_url_tombstones(meta_ds) -> np.ndarray:
-    """Exact URL dedup: keep min docid per url, tombstone the rest.
+@ray.remote(num_cpus=1)
+def _stage_a_task(shard_id: int, fragments_json: str, cfg: dict, out_dir: str) -> int:
+    """Raw-task wrapper for stage A (worker construction is trivially cheap)."""
+    TokenizeShardWorker(cfg, out_dir)._process_shard(shard_id, json.loads(fragments_json))
+    return shard_id
 
-    Shape: one native hash aggregate over (url, docid) — Min + Count per
-    url, vectorized inside Ray's groupby (never a per-group Python call)
-    — then a broadcast-filtered scan marks the non-min rows of the
-    (small) duplicated-url set. At web scale the aggregate is the
-    standard exact-dedup exchange; the dup set rides the object store.
+
+@ray.remote(num_cpus=1)
+def _stage_b_task(part: int, cfg: dict, out_dir: str, stats: dict, tombstones_ref) -> int:
+    """Raw-task wrapper for stage B."""
+    AssemblePartitionWorker(cfg, out_dir, stats, tombstones_ref)._assemble(part)
+    return part
+
+
+@ray.remote(num_cpus=1)
+def _dedup_part_task(out_dir: str, url_part: int) -> tuple:
+    """Find tombstones within one url-hash partition of docmeta.
+
+    All rows of any url live in exactly one partition (crc32 routing at
+    stage-A write), so dedup needs no exchange: sort by (url, docid),
+    mark every row whose url equals its predecessor's.
     """
-    from ray.data.aggregate import Count, Min
-
-    agg = meta_ds.groupby("url").aggregate(
-        Min("docid", alias_name="min_docid"), Count(alias_name="n")
+    files = layout.docmeta_files(out_dir, url_part)
+    if not files:
+        return np.empty(0, dtype=np.int64), 0
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["docid", "url", "doclen"]) for f in files
     )
+    import pandas as pd
 
-    def dup_urls_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["n"], 1)).select(["url", "min_docid"])
+    df = pd.DataFrame(
+        {
+            "docid": t["docid"].to_numpy(),
+            "url": t["url"].to_pylist(),
+            "doclen": t["doclen"].to_numpy(),
+        }
+    ).sort_values(["url", "docid"], kind="mergesort")
+    dup_mask = df["url"].to_numpy()[1:] == df["url"].to_numpy()[:-1]
+    mask = np.concatenate(([False], dup_mask))
+    return df["docid"].to_numpy()[mask], int(df["doclen"].to_numpy()[mask].sum())
 
-    dups = agg.map_batches(dup_urls_only, batch_format="pyarrow").take_all()
-    if not dups:
-        return np.empty(0, dtype=np.int64)
-    keep_by_url = {r["url"]: r["min_docid"] for r in dups}
-    keep_ref = ray.put(keep_by_url)
 
-    class MarkTombstones:
-        def __init__(self):
-            self.keep = ray.get(keep_ref)
+def _dedup_and_stats(out_dir: str, cfg: IndexBuildConfig, total_docs: int, total_dl: int):
+    """Exact URL dedup; corpus totals are passed in from stage-A markers.
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
-            docid = batch["docid"].to_numpy()
-            keep = self.keep
-            mask = np.fromiter(
-                (
-                    (u in keep and keep[u] != d)
-                    for u, d in zip(urls, docid.tolist())
-                ),
-                dtype=bool,
-                count=len(urls),
-            )
-            return batch.select(["docid"]).filter(pa.array(mask))
+    The `removeDuplicates` analog (``OsmKeyValueObjectStore.cpp:1110-1116``).
+    Because docmeta is url-hash-partitioned at write time, dedup is an
+    embarrassingly parallel per-partition raw-task scan — the exchange
+    already happened as part of the stage-A spill, and no groupby shuffle
+    is needed.
+    """
 
-    rows = meta_ds.map_batches(
-        MarkTombstones, batch_format="pyarrow", concurrency=2
-    ).take_all()
-    return np.array([r["docid"] for r in rows], dtype=np.int64)
+    def _stats(n_tomb: int, tomb_dl: int) -> dict:
+        n_docs = total_docs - n_tomb
+        sum_dl = total_dl - tomb_dl
+        return {
+            "n_docs": n_docs,
+            "total_docs": total_docs,
+            "n_duplicates": n_tomb,
+            "sum_doclen": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
+
+    if not cfg.dedup_urls:
+        return np.empty(0, dtype=np.int64), _stats(0, 0)
+
+    results = ray.get(
+        [_dedup_part_task.remote(out_dir, p) for p in range(cfg.url_partitions)]
+    )
+    tombstones = np.sort(np.concatenate([r[0] for r in results]))
+    tomb_dl = int(sum(r[1] for r in results))
+    return tombstones.astype(np.int64), _stats(len(tombstones), tomb_dl)
 
 
 def _load_manifest(out_dir: str) -> dict | None:

@@ -57,8 +57,26 @@ def dict_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, "dict", f"part-{part:05d}.parquet")
 
 
-def docmeta_path(out_dir: str, shard: int) -> str:
-    return os.path.join(out_dir, "docmeta", f"shard-{shard:04d}.parquet")
+def docmeta_path(out_dir: str, shard: int, url_part: int | None = None) -> str:
+    """Docmeta is hash-partitioned by url (crc32(url) % url_partitions) at
+    write time so exact-url dedup is an embarrassingly parallel per-part
+    scan instead of a shuffle."""
+    if url_part is None:
+        return os.path.join(out_dir, "docmeta", f"shard-{shard:04d}.parquet")
+    return os.path.join(
+        out_dir, "docmeta", f"part={url_part}", f"shard-{shard:04d}.parquet"
+    )
+
+
+def docmeta_files(out_dir: str, url_part: int | None = None) -> list[str]:
+    import glob as _glob
+
+    if url_part is None:
+        pattern = os.path.join(out_dir, "docmeta", "**", "*.parquet")
+        return sorted(_glob.glob(pattern, recursive=True))
+    return sorted(
+        _glob.glob(os.path.join(out_dir, "docmeta", f"part={url_part}", "*.parquet"))
+    )
 
 
 def spill_dir(out_dir: str, part: int) -> str:

@@ -53,6 +53,21 @@ class TermPostings:
         return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
 
 
+import pyarrow as pa
+
+_EMPTY_TBL = pa.table(
+    {
+        "term": pa.array([], type=pa.string()),
+        "block_id": pa.array([], type=pa.int64()),
+        "doc_count": pa.array([], type=pa.int64()),
+        "sum_tf": pa.array([], type=pa.int64()),
+        "max_tfn": pa.array([], type=pa.float64()),
+        "docs": pa.array([], type=pa.binary()),
+        "tfs": pa.array([], type=pa.binary()),
+        "dls": pa.array([], type=pa.binary()),
+    }
+)
+
 _EMPTY = TermPostings(
     term="",
     df=0,
@@ -84,6 +99,8 @@ class IndexReader:
         self.avgdl = max(stats["avgdl"], 1e-9)
         self._dicts: dict[int, dict[str, tuple[int, int]]] = {}
         self._postings_cache: dict[str, TermPostings] = {}
+        self._files: dict[int, pq.ParquetFile] = {}
+        self._rg_stats: dict[int, list[tuple[str, str]]] = {}
 
     # -- dictionary ---------------------------------------------------------
 
@@ -124,8 +141,7 @@ class IndexReader:
         if df == 0:
             tp = _EMPTY
         else:
-            path = layout.postings_path(self.index_dir, part)
-            t = pq.read_table(path, filters=pc.field("term") == term)
+            t = self._read_term_rows(part, term)
             tp = TermPostings(
                 term=term,
                 df=int(df),
@@ -141,3 +157,28 @@ class IndexReader:
             self._postings_cache.clear()
         self._postings_cache[term] = tp
         return tp
+
+    def _read_term_rows(self, part: int, term: str):
+        """Read one term's posting rows: open-once file handle + manual
+        row-group pruning on the sorted `term` column's min/max statistics
+        (the mmap-once ST6 analog; avoids re-opening footer per query)."""
+        f = self._files.get(part)
+        if f is None:
+            f = pq.ParquetFile(layout.postings_path(self.index_dir, part))
+            self._files[part] = f
+            stats = []
+            md = f.metadata
+            ci = f.schema_arrow.get_field_index("term")
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                stats.append((s.min, s.max))
+            self._rg_stats[part] = stats
+        groups = [
+            rg
+            for rg, (lo, hi) in enumerate(self._rg_stats[part])
+            if lo <= term <= hi
+        ]
+        if not groups:
+            return _EMPTY_TBL
+        t = f.read_row_groups(groups, use_threads=False)
+        return t.filter(pc.equal(t["term"], term))

@@ -65,8 +65,12 @@ def doc_lengths_table(sf_dir: str) -> pa.Table:
     """(doc_id, doclen) for docs with >= 1 token."""
     import pyarrow.parquet as pq
 
+    from oscar_ray.index.layout import docmeta_files
+
     idx = documents_index_dir(sf_dir)
-    meta = pq.read_table(os.path.join(idx, "docmeta"), columns=["docid", "doclen"])
+    meta = pa.concat_tables(
+        pq.read_table(f, columns=["docid", "doclen"]) for f in docmeta_files(idx)
+    )
     meta = meta.rename_columns(["doc_id", "doclen"]).sort_by("doc_id")
     import pyarrow.compute as pc
 

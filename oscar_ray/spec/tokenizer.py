@@ -24,6 +24,9 @@ byte-identity between oracle and engine holds by construction.
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -66,9 +69,27 @@ def flatten_tokens(col: pa.ChunkedArray | pa.Array):
 
 
 def tokenize_text(text: str) -> list[str]:
-    """Scalar oracle path: tokenize one string via the same arrow kernels."""
+    """Scalar oracle path: tokenize one string via the same arrow kernels.
+
+    Results are LRU-cached: query parsing normalizes the same short terms
+    over and over, and each arrow-kernel invocation on a 1-element array
+    costs ~1ms of dispatch overhead.
+    """
     if text is None:
         return []
+    return list(_tokenize_text_cached(text))
+
+
+_ASCII_TOKEN = re.compile(r"[A-Za-z0-9]+")
+
+
+@lru_cache(maxsize=65536)
+def _tokenize_text_cached(text: str) -> tuple[str, ...]:
+    if text.isascii():
+        # exact fast path: on ASCII, NFD is identity, \p{M} never matches,
+        # utf8_lower == ASCII lower, and the delimiter class restricted to
+        # ASCII is [^A-Za-z0-9] — so this equals the kernel chain bit-for-bit
+        return tuple(t.lower() for t in _ASCII_TOKEN.findall(text))
     lists = tokenize_column(pa.array([text], type=pa.string()))
     toks = lists[0].as_py()
-    return [t for t in toks if t]
+    return tuple(t for t in toks if t)

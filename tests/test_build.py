@@ -22,7 +22,9 @@ def _artifact_hashes(index_dir: str) -> dict[str, str]:
     """sha256 of every index artifact file (postings/dict/docmeta)."""
     out = {}
     for sub in ("postings", "dict", "docmeta"):
-        for p in sorted(glob.glob(os.path.join(index_dir, sub, "*.parquet"))):
+        for p in sorted(
+            glob.glob(os.path.join(index_dir, sub, "**", "*.parquet"), recursive=True)
+        ):
             out[os.path.relpath(p, index_dir)] = hashlib.sha256(
                 open(p, "rb").read()
             ).hexdigest()
