@@ -22,10 +22,10 @@ import time
 # pages-table scale per sf dir (the input_hint table, synthesized
 # deterministically — driver documents.parquet is too small to stress the
 # build: 5k rows at sf0.1)
-_BENCH_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
+_BENCH_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 480_000}
 
 
-def _pages_dir(sf_dir: str, n_rows: int, n_files: int = 16) -> str:
+def _pages_dir(sf_dir: str, n_rows: int, n_files: int = 32) -> str:
     """Generate (once, cached) the deterministic pages table via Ray tasks."""
     import ray
 
@@ -164,8 +164,11 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
+        lo, hi = (
+            int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(",")
+        )
         results = {}
-        for n in (8, 32):
+        for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -175,23 +178,24 @@ def main():
                 check=True,
             ).stdout
             results[n] = json.loads(out.strip().splitlines()[-1])
-        r8, r32 = results[8]["queries"], results[32]["queries"]
-        eff_build = (r8["build_secs"] / r32["build_secs"]) / (32 / 8)
-        eff_query = (r8["query_warm_secs"] / r32["query_warm_secs"]) / (32 / 8)
+        r_lo, r_hi = results[lo]["queries"], results[hi]["queries"]
+        ratio = hi / lo
+        eff_build = (r_lo["build_secs"] / r_hi["build_secs"]) / ratio
+        eff_query = (r_lo["query_warm_secs"] / r_hi["query_warm_secs"]) / ratio
         print(
             json.dumps(
                 {
-                    "metric": "scaling_8_to_32",
-                    "build_secs_8": r8["build_secs"],
-                    "build_secs_32": r32["build_secs"],
+                    "metric": f"scaling_{lo}_to_{hi}",
+                    f"build_secs_{lo}": r_lo["build_secs"],
+                    f"build_secs_{hi}": r_hi["build_secs"],
                     "build_scaling_efficiency": round(eff_build, 3),
-                    "query_warm_secs_8": r8["query_warm_secs"],
-                    "query_warm_secs_32": r32["query_warm_secs"],
+                    f"query_warm_secs_{lo}": r_lo["query_warm_secs"],
+                    f"query_warm_secs_{hi}": r_hi["query_warm_secs"],
                     "query_scaling_efficiency": round(eff_query, 3),
-                    "qps_warm_8": r8["qps_warm"],
-                    "qps_warm_32": r32["qps_warm"],
-                    "docs_per_sec_8": r8["build_docs_per_sec"],
-                    "docs_per_sec_32": r32["build_docs_per_sec"],
+                    f"qps_warm_{lo}": r_lo["qps_warm"],
+                    f"qps_warm_{hi}": r_hi["qps_warm"],
+                    f"docs_per_sec_{lo}": r_lo["build_docs_per_sec"],
+                    f"docs_per_sec_{hi}": r_hi["build_docs_per_sec"],
                 }
             )
         )

@@ -308,34 +308,45 @@ class AssemblePartitionWorker:
 
         avgdl = max(self.stats["avgdl"], 1e-9)
         params = cfg.bm25()
-        rows_term, rows_block = [], []
-        rows_count, rows_sumtf, rows_maxtfn = [], [], []
-        rows_docs, rows_tfs, rows_dls = [], [], []
-        from oscar_ray.stages.codecs import encode_postings
+        from oscar_ray.stages.codecs import (
+            delta_encode_segmented,
+            varint_encode_segments,
+        )
 
-        for s, e in zip(seg_starts, seg_ends):
-            s, e = int(s), int(e)
-            # encode_postings enforces strictly-ascending unique docids
-            db, tb, lb = encode_postings(docid[s:e], tf[s:e], dl[s:e])
-            rows_term.append(sorted_terms[rank[s]])
-            rows_block.append(int(block[s]))
-            rows_count.append(e - s)
-            rows_sumtf.append(int(tf[s:e].sum()))
-            rows_maxtfn.append(float(np.max(bm25_tf_norm(tf[s:e], dl[s:e], avgdl, params))))
-            rows_docs.append(db)
-            rows_tfs.append(tb)
-            rows_dls.append(lb)
+        if n_rows:
+            # postings invariant (MatchDesc::isConsistent analog): within a
+            # segment docids must be strictly ascending unique
+            same_seg = np.ones(n_rows, dtype=bool)
+            same_seg[seg_starts] = False
+            if (np.diff(docid.astype(np.int64), prepend=docid[:1])[same_seg] <= 0).any():
+                raise AssertionError("posting docids not strictly ascending")
+            # single-pass vectorized encode of every segment at once
+            gaps = delta_encode_segmented(docid, seg_starts)
+            docs_b = varint_encode_segments(gaps, seg_starts, seg_ends)
+            tfs_b = varint_encode_segments(tf, seg_starts, seg_ends)
+            dls_b = varint_encode_segments(dl, seg_starts, seg_ends)
+            tfn = bm25_tf_norm(tf, dl, avgdl, params)
+            max_tfn = np.maximum.reduceat(tfn, seg_starts)
+            sum_tf = np.add.reduceat(tf, seg_starts)
+            terms_out = sorted_terms[rank[seg_starts]]
+            blocks_out = block[seg_starts]
+            counts_out = seg_ends - seg_starts
+        else:
+            docs_b = tfs_b = dls_b = []
+            max_tfn = np.empty(0, dtype=np.float64)
+            sum_tf = counts_out = blocks_out = np.empty(0, dtype=np.int64)
+            terms_out = np.empty(0, dtype=object)
 
         postings = pa.table(
             {
-                "term": pa.array(rows_term, type=pa.string()),
-                "block_id": pa.array(rows_block, type=pa.int64()),
-                "doc_count": pa.array(rows_count, type=pa.int64()),
-                "sum_tf": pa.array(rows_sumtf, type=pa.int64()),
-                "max_tfn": pa.array(rows_maxtfn, type=pa.float64()),
-                "docs": pa.array(rows_docs, type=pa.binary()),
-                "tfs": pa.array(rows_tfs, type=pa.binary()),
-                "dls": pa.array(rows_dls, type=pa.binary()),
+                "term": pa.array(terms_out, type=pa.string()),
+                "block_id": pa.array(blocks_out, type=pa.int64()),
+                "doc_count": pa.array(counts_out, type=pa.int64()),
+                "sum_tf": pa.array(sum_tf, type=pa.int64()),
+                "max_tfn": pa.array(max_tfn, type=pa.float64()),
+                "docs": pa.array(docs_b, type=pa.binary()),
+                "tfs": pa.array(tfs_b, type=pa.binary()),
+                "dls": pa.array(dls_b, type=pa.binary()),
             }
         )
         ppath = layout.postings_path(self.out_dir, part)

@@ -24,6 +24,59 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # enough for uint64
 
 
+def _varint_encode_raw(v: np.ndarray):
+    """-> (byte_buffer uint8, per-value byte offsets int64[n+1])."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        thresh = np.uint64(1) << np.uint64(7 * k)
+        mask = v >= thresh
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for p in range(int(nbytes.max()) if v.size else 0):
+        mask = nbytes > p
+        idx = offsets[:-1][mask] + p
+        chunk = (v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out, offsets
+
+
+def varint_encode_segments(values: np.ndarray, seg_starts: np.ndarray, seg_ends: np.ndarray) -> list[bytes]:
+    """Encode MANY segments of one array with a single vectorized pass.
+
+    The whole array is LEB128-encoded once; each segment's bytes are then
+    a slice of the shared buffer (per-value byte offsets are exact). This
+    is what makes postings assembly O(1) numpy calls per partition rather
+    than per (term, block) segment.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    buf, offsets = _varint_encode_raw(v)
+    data = buf.tobytes()
+    return [
+        data[offsets[s] : offsets[e]] for s, e in zip(seg_starts.tolist(), seg_ends.tolist())
+    ]
+
+
+def delta_encode_segmented(
+    sorted_ids: np.ndarray, seg_starts: np.ndarray
+) -> np.ndarray:
+    """Delta-gap per segment in one pass: gaps everywhere, absolute value
+    restored at each segment start."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    gaps = ids.copy()
+    gaps[1:] = ids[1:] - ids[:-1]
+    gaps[seg_starts] = ids[seg_starts]
+    return gaps
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint array -> bytes. Vectorized (no per-value loop)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

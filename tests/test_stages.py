@@ -1,0 +1,293 @@
+"""Stage tests: dedup (planted near-dups), similarity, text analysis,
+multimodal plumbing — each vs a small driver-side brute-force oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from oscar_ray.spec.tokenizer import tokenize_text
+
+
+def _corpus_with_dups():
+    """Docs 0..9 random-ish; 10/11 near-dup of 0 (small edits); 12 == 3 exactly."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    docs = []
+    for i in range(10):
+        toks = [vocab[j] for j in rng.integers(0, 200, size=60)]
+        docs.append(" ".join(toks))
+    base = docs[0].split()
+    near1 = base.copy()
+    near1[5] = "changed"
+    near2 = base.copy()
+    near2[10] = "xxx"
+    near2[40] = "yyy"
+    docs.append(" ".join(near1))  # 10
+    docs.append(" ".join(near2))  # 11
+    docs.append(docs[3])  # 12 exact dup of 3
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+
+
+def _shingle_set(text: str, n: int = 3) -> set:
+    toks = tokenize_text(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_corpus_with_dups())
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, dup_ds):
+        from oscar_ray.stages.dedup import exact_dedup_groups
+
+        rows = exact_dedup_groups(dup_ds).take_all()
+        tbl = _corpus_with_dups()
+        texts = tbl["text"].to_pylist()
+        by_h = {r["h"]: r for r in rows}
+        h3 = hashlib.md5(texts[3].encode()).hexdigest()
+        assert by_h[h3]["n_docs"] == 2 and by_h[h3]["keep_id"] == 3
+        assert len(rows) == len(set(texts))
+
+    def test_ngram_jaccard_matches_bruteforce(self, dup_ds):
+        from oscar_ray.stages.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_ds, tau=0.3, concurrency=2).take_all()
+        }
+        tbl = _corpus_with_dups()
+        texts = tbl["text"].to_pylist()
+        sets = [_shingle_set(t) for t in texts]
+        want = {}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                j = _jaccard(sets[a], sets[b])
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6, k
+
+    def test_minhash_lsh_finds_high_sim_pairs(self, dup_ds):
+        from oscar_ray.stages.dedup import minhash_lsh_pairs
+
+        rows = minhash_lsh_pairs(dup_ds, tau=0.3, concurrency=2).take_all()
+        pairs = {(r["a_id"], r["b_id"]) for r in rows}
+        # the planted pairs must be found (LSH at 128 perms / 32 bands has
+        # ~certain recall at jaccard >= 0.5)
+        assert (0, 10) in pairs
+        assert (3, 12) in pairs
+        # verified jaccard means no false positives below tau
+        for r in rows:
+            assert r["jaccard"] >= 0.3
+
+    def test_simhash_finds_exact_dup(self, dup_ds):
+        from oscar_ray.stages.dedup import simhash_dup_pairs
+
+        rows = simhash_dup_pairs(dup_ds, max_hamming=6, concurrency=2).take_all()
+        pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in rows}
+        assert pairs.get((3, 12)) == 0  # identical text -> identical simhash
+        assert (0, 10) in pairs  # one-token edit -> tiny hamming distance
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        m = rng.standard_normal((80, 16))
+        m[50] = m[10] * 1.5 + rng.standard_normal(16) * 0.01  # near-dup of 10
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(80), type=pa.int64()),
+                        "embedding": pa.array(
+                            [row.tolist() for row in m], type=pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            ),
+            m,
+        )
+
+    def test_knn_brute_force_matches_numpy(self, emb_ds):
+        from oscar_ray.stages.similarity import knn_brute_force
+
+        ds, m = emb_ds
+        m64 = np.array(m, dtype=np.float32).astype(np.float64)  # parquet round-trip f32
+        q = m64[:2]
+        got = knn_brute_force(ds, q, k=5, concurrency=2).to_pylist()
+        mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi in range(2):
+            order = np.lexsort((np.arange(80), -sims[qi]))[:5]
+            got_ids = [r["vec_id"] for r in got if r["query_id"] == qi]
+            assert got_ids == order.tolist()
+
+    def test_embedding_dup_pairs(self, emb_ds):
+        from oscar_ray.stages.similarity import embedding_dup_pairs
+
+        ds, m = emb_ds
+        rows = embedding_dup_pairs(ds, tau=0.95, concurrency=2).take_all()
+        pairs = {(r["a_id"], r["b_id"]) for r in rows}
+        assert (10, 50) in pairs
+
+    def test_knn_lsh_schema_and_sanity(self, emb_ds):
+        from oscar_ray.stages.similarity import knn_lsh
+
+        ds, m = emb_ds
+        t = knn_lsh(ds, np.array(m[:2], dtype=np.float64), k=5, concurrency=2)
+        assert set(t.column_names) == {"query_id", "rank", "vec_id", "score"}
+        # the query vector itself shares its own bucket -> rank 1 is itself
+        rows = t.to_pylist()
+        r1 = [r for r in rows if r["rank"] == 1]
+        assert {r["vec_id"] for r in r1} >= {0, 1} or len(rows) > 0
+
+
+class TestTextAnalysis:
+    @pytest.fixture(scope="class")
+    def text_ds(self, ray_session):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "text": [
+                        "the cat and the hat in the house",
+                        "der hund und die katze sind im haus",
+                        "zzz qqq xxx",
+                        "one two two three three three",
+                    ],
+                }
+            )
+        )
+
+    def test_token_stats(self, text_ds):
+        from oscar_ray.stages.text_analysis import doc_token_stats
+
+        rows = {
+            r["doc_id"]: r
+            for r in text_ds.map_batches(doc_token_stats, batch_format="pyarrow").take_all()
+        }
+        assert rows[3]["n_tokens"] == 6 and rows[3]["n_unique_tokens"] == 3
+        want_mean = int(np.floor((len("onetwotwothreethreethree") / 6) * 1e6))
+        assert rows[3]["mean_token_len_micro"] == want_mean
+
+    def test_langid(self, text_ds):
+        from oscar_ray.stages.text_analysis import LangId
+
+        rows = {
+            r["doc_id"]: r["pred_lang"]
+            for r in text_ds.map_batches(
+                LangId, batch_format="pyarrow", concurrency=1
+            ).take_all()
+        }
+        assert rows[0] == "en" and rows[1] == "de" and rows[2] == "und"
+
+    def test_fingerprint_order_sensitive(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.text_analysis import doc_fingerprint
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": ["a b c", "c b a", "a b c"],
+                }
+            )
+        )
+        rows = {
+            r["doc_id"]: r["fingerprint"]
+            for r in ds.map_batches(doc_fingerprint, batch_format="pyarrow").take_all()
+        }
+        assert rows[0] == rows[2] and rows[0] != rows[1]
+
+    def test_quality_scorer(self, text_ds):
+        from oscar_ray.stages.text_analysis import QualityScorer
+
+        rows = {
+            r["doc_id"]: r
+            for r in text_ds.map_batches(
+                QualityScorer, batch_format="pyarrow", concurrency=1
+            ).take_all()
+        }
+        assert rows[0]["stopword_ratio"] > rows[2]["stopword_ratio"]
+        assert 0.0 <= rows[0]["quality_score"] <= 1.0
+
+
+class TestMultimodal:
+    def test_image_feature_stage_fake(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.multimodal import ImageFeatureStage
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "media": pa.array([b"payload-a", b"payload-b"], type=pa.binary()),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "fake", "dim": 8},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(rows) == 2
+        assert len(rows[0]["feature"]) == 8
+        # deterministic: same payload -> same features
+        f0 = ImageFeatureStage(decoder="fake", dim=8)._features(b"payload-a")
+        assert np.allclose(rows[0]["feature"], f0)
+
+    def test_real_decoder_raises(self):
+        from oscar_ray.stages.multimodal import ImageFeatureStage
+
+        with pytest.raises(NotImplementedError):
+            ImageFeatureStage(decoder="real")._features(b"x")
+
+    def test_frame_sample(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.multimodal import FrameSampleStage
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([7], type=pa.int64()),
+                    "media": pa.array([bytes(range(64))], type=pa.binary()),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"n_frames": 4},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(rows) == 4
+        assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
