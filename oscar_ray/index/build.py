@@ -66,6 +66,8 @@ from oscar_ray.spec.bm25 import BM25Params, bm25_tf_norm
 from oscar_ray.spec.tokenizer import flatten_tokens
 
 _PARQUET_WRITE_OPTS = dict(compression="zstd", data_page_version="2.0")
+# spill is written once and read once — cheap (de)compression wins there
+_SPILL_WRITE_OPTS = dict(compression="lz4", data_page_version="2.0")
 INDEX_FORMAT_VERSION = 1
 
 
@@ -174,7 +176,7 @@ class TokenizeShardWorker:
             p = int(pair_part[s])
             path = layout.spill_path(self.out_dir, p, shard_id)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(out_tbl.slice(int(s), int(e - s)), path, **_PARQUET_WRITE_OPTS)
+            pq.write_table(out_tbl.slice(int(s), int(e - s)), path, **_SPILL_WRITE_OPTS)
             spilled_bytes += os.path.getsize(path)
 
         # docmeta for this shard, hash-partitioned by url so dedup is a
@@ -258,11 +260,16 @@ class AssemblePartitionWorker:
             os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
         ) if os.path.isdir(sdir) else []
         if files:
-            tbl = pa.concat_tables(pq.read_table(f) for f in files)
+            # keep the parquet dictionary encoding: unify_dictionaries merges
+            # the per-file term dicts (vocab-sized work) instead of
+            # re-hashing every one of the partition's posting rows
+            tbl = pa.concat_tables(
+                pq.read_table(f, read_dictionary=["term"]) for f in files
+            ).unify_dictionaries()
         else:
             tbl = pa.table(
                 {
-                    "term": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()).dictionary_encode(),
                     "docid": pa.array([], type=pa.int64()),
                     "tf": pa.array([], type=pa.int64()),
                     "doclen": pa.array([], type=pa.int64()),
@@ -272,7 +279,7 @@ class AssemblePartitionWorker:
         docid = tbl["docid"].to_numpy()
         tf = tbl["tf"].to_numpy()
         dl = tbl["doclen"].to_numpy()
-        term_col = tbl["term"].combine_chunks() if tbl.num_rows else tbl["term"]
+        term_col = tbl["term"]
 
         if self.tombstones is not None and tbl.num_rows:
             pos = np.searchsorted(self.tombstones, docid)
@@ -283,18 +290,30 @@ class AssemblePartitionWorker:
 
         n_rows = len(docid)
         if n_rows:
-            denc = pc.dictionary_encode(
-                term_col if isinstance(term_col, pa.Array) else term_col.combine_chunks()
+            denc = (
+                term_col.combine_chunks()
+                if isinstance(term_col, pa.ChunkedArray)
+                else term_col
             )
-            if isinstance(denc, pa.ChunkedArray):
-                denc = denc.combine_chunks()
+            if not pa.types.is_dictionary(denc.type):
+                denc = pc.dictionary_encode(denc)
             codes = np.asarray(denc.indices, dtype=np.int64)
             terms_np = np.asarray(denc.dictionary.to_pylist(), dtype=object)
             rank_of_code = np.empty(len(terms_np), dtype=np.int64)
             term_order = np.argsort(terms_np, kind="stable")
             rank_of_code[term_order] = np.arange(len(terms_np))
             rank = rank_of_code[codes]
-            order = np.lexsort((docid, rank))
+            # pack (rank, docid) into ONE int64 sort key when ranges allow
+            # (half the memory traffic of a 2-key lexsort; docids at 10^12-doc
+            # scale exceed 2^40 only past ~10^12, where the fallback kicks in)
+            max_docid = int(docid.max()) if n_rows else 0
+            if max_docid < (1 << 40) and len(terms_np) < (1 << 23):
+                order = np.argsort(
+                    (rank.astype(np.int64) << np.int64(40)) | docid.astype(np.int64),
+                    kind="stable",
+                )
+            else:
+                order = np.lexsort((docid, rank))
             rank, docid, tf, dl = rank[order], docid[order], tf[order], dl[order]
             block = docid >> np.int64(cfg.block_span_bits)
             seg_change = (np.diff(rank) != 0) | (np.diff(block) != 0)

@@ -24,15 +24,23 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # enough for uint64
 
 
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """ceil(bit_length/7) per value in one vectorized pass.
+
+    frexp's exponent == bit_length exactly for v < 2^53; the rare huge
+    values get a per-value exact fix-up.
+    """
+    _, exp = np.frexp(v.astype(np.float64))
+    nbytes = np.maximum((exp + 6) // 7, 1).astype(np.int64)
+    big = v >= np.uint64(1) << np.uint64(53)
+    if big.any():
+        nbytes[big] = [(int(x).bit_length() + 6) // 7 for x in v[big]]
+    return nbytes
+
+
 def _varint_encode_raw(v: np.ndarray):
     """-> (byte_buffer uint8, per-value byte offsets int64[n+1])."""
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        thresh = np.uint64(1) << np.uint64(7 * k)
-        mask = v >= thresh
-        if not mask.any():
-            break
-        nbytes[mask] += 1
+    nbytes = _varint_nbytes(v)
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
@@ -82,25 +90,8 @@ def varint_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + (number of 7-bit thresholds <= value)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        thresh = np.uint64(1) << np.uint64(7 * k)
-        mask = v >= thresh
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-    offsets = np.zeros(v.size + 1, dtype=np.int64)
-    np.cumsum(nbytes, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
-    # fill byte position p for every value with nbytes > p
-    for p in range(int(nbytes.max())):
-        mask = nbytes > p
-        idx = offsets[:-1][mask] + p
-        chunk = (v[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    buf, _ = _varint_encode_raw(v)
+    return buf.tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
