@@ -25,6 +25,7 @@ BM25_TERM = "merge"
 BM25_AND = "hash join"
 BM25_OR_TERMS = ("scan", "filter")
 BM25_NOT = ("scan", "hash")
+BM25_PREFIX = "s"  # expands to scan/slow/small/sort/spark/... (qt=prefix analog)
 K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
@@ -96,6 +97,12 @@ def _search_bm25_andnot(sf_dir: str):
     return bm25_scores_table(sf_dir, f"{BM25_NOT[0]} - {BM25_NOT[1]}", k=None)
 
 
+def _search_bm25_prefix(sf_dir: str):
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"{BM25_PREFIX}*", k=None)
+
+
 def _rel_lineitem_agg(sf_dir: str):
     from oscar_ray.pipelines.relational import lineitem_agg
 
@@ -118,6 +125,12 @@ def _rel_order_facets(sf_dir: str):
     from oscar_ray.pipelines.relational import order_status_facets
 
     return order_status_facets(sf_dir)
+
+
+def _rel_facet_entropy(sf_dir: str):
+    from oscar_ray.pipelines.relational import facet_entropy
+
+    return facet_entropy(sf_dir)
 
 
 def _rel_customer_setops(sf_dir: str):
@@ -330,11 +343,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_and": _search_bm25_and,
         "search_bm25_or": _search_bm25_or,
         "search_bm25_andnot": _search_bm25_andnot,
+        "search_bm25_prefix": _search_bm25_prefix,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
         "rel_order_facets": _rel_order_facets,
         "rel_customer_setops": _rel_customer_setops,
+        "rel_facet_entropy": _rel_facet_entropy,
         "rel_events_window": _rel_events_window,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -436,6 +451,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.term = '{BM25_NOT[1]}' AND b.doc_id = a.doc_id)
             ORDER BY doc_id
         """,
+        "search_bm25_prefix": _BM25_BASE
+        + f"""
+            SELECT doc_id, round(sum(score), 4) AS score
+            FROM scores WHERE term LIKE '{BM25_PREFIX}%'
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "rel_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
@@ -474,6 +495,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b))::BIGINT AS n_andnot,
                    ((SELECT count(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b))
                     + (SELECT count(*) FROM (SELECT id FROM b EXCEPT SELECT id FROM a)))::BIGINT AS n_xor
+        """,
+        "rel_facet_entropy": """
+            WITH s1 AS (SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_orderstatus),
+                 s2 AS (SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_orderpriority)
+            SELECT 'o_orderstatus' AS facet,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_values,
+                   (SELECT round(sum(-(n / t) * ln(n / t)), 6)
+                    FROM (SELECT n, (SELECT sum(n) FROM s1) AS t FROM s1)) AS entropy
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   (SELECT count(*) FROM s2)::BIGINT,
+                   (SELECT round(sum(-(n / t) * ln(n / t)), 6)
+                    FROM (SELECT n, (SELECT sum(n) FROM s2) AS t FROM s2))
+            ORDER BY facet
         """,
         "rel_events_window": """
             SELECT event_type AS k,

@@ -124,6 +124,35 @@ class IndexReader:
         part = layout.term_partition(term, self.num_partitions)
         return self._part_dict(part).get(term, (0, 0))
 
+    def terms_with_prefix(self, prefix: str, limit: int | None = None) -> list[str]:
+        """All dictionary terms starting with ``prefix``, ascending.
+
+        The flat-trie range-scan analog (``HashBasedFlatTrie`` /
+        sorted-term layout, SURVEY.md §1.3): per-partition sorted term
+        arrays + binary search — terms hash-scatter across partitions, so
+        every partition contributes its own (tiny) range.
+        """
+        out: list[str] = []
+        for part in range(self.num_partitions):
+            arr = self._part_sorted_terms(part)
+            if len(arr) == 0:
+                continue
+            lo = np.searchsorted(arr, prefix)
+            hi = np.searchsorted(arr, prefix + "￿")
+            out.extend(arr[lo:hi].tolist())
+        out.sort()
+        return out[:limit] if limit is not None else out
+
+    def _part_sorted_terms(self, part: int) -> np.ndarray:
+        if not hasattr(self, "_sorted_terms"):
+            self._sorted_terms: dict[int, np.ndarray] = {}
+        if part not in self._sorted_terms:
+            # dict files are written sorted by term
+            self._sorted_terms[part] = np.array(
+                list(self._part_dict(part).keys()), dtype=object
+            )
+        return self._sorted_terms[part]
+
     def vocabulary_size(self) -> int:
         return sum(
             m["terms"] for m in self.manifest["partitions"] if m is not None

@@ -199,6 +199,35 @@ def customer_set_ops(sf_dir: str) -> pa.Table:
     )
 
 
+def facet_entropy(sf_dir: str) -> pa.Table:
+    """Shannon facet statistics (A6 analog: `shannonKvstats`,
+    ``oscar-cmd/Workfunctions.cpp:171-233``): per facet key, the entropy
+    of its value distribution over orders. Counts come from a grouped
+    aggregate; the entropy reduce is driver-side (value cardinality is
+    tiny)."""
+    from ray.data.aggregate import Count
+
+    rows = []
+    for facet in ("o_orderstatus", "o_orderpriority"):
+        counts = (
+            _read(sf_dir, "orders", [facet])
+            .groupby(facet)
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        n = np.array(sorted(r["n"] for r in counts), dtype=np.float64)
+        p = n / n.sum()
+        entropy = float(np.sum(-p * np.log(p)))
+        rows.append(
+            {
+                "facet": facet,
+                "n_values": len(counts),
+                "entropy": round(entropy, 6),
+            }
+        )
+    return pa.Table.from_pylist(rows).sort_by("facet")
+
+
 def events_window_counts(sf_dir: str) -> ray.data.Dataset:
     """Tumbling-window grouped aggregate over the events stream table.
 

@@ -30,8 +30,48 @@ import pyarrow as pa
 
 from oscar_ray.index.reader import IndexReader, TermPostings
 from oscar_ray.query import setops
-from oscar_ray.query.parser import Node, Op, QueryParseError, Term, parse_query, query_terms
+from oscar_ray.query.parser import (
+    Node,
+    Op,
+    Prefix,
+    QueryParseError,
+    Term,
+    parse_query,
+    query_terms,
+)
 from oscar_ray.spec.bm25 import bm25_idf, bm25_tf_norm
+
+#: maximum dictionary expansions per prefix leaf (ascending term order);
+#: pinned — the oracle applies the same cap
+MAX_PREFIX_EXPANSIONS = 256
+
+
+def expand_prefixes(
+    node: Node, reader: IndexReader, limit: int = MAX_PREFIX_EXPANSIONS
+) -> Node:
+    """Rewrite Prefix leaves into left-assoc OR chains over the matching
+    dictionary terms (ascending — pins float accumulation order). A prefix
+    with no matches becomes Term("") which has df == 0.
+
+    The trie-descent analog: oscar resolves a prefix to a trie subtree
+    whose payload is the precomputed union (``CellTextCompleter`` fm/pm
+    pointers); we resolve it to an OR over the sorted dictionary range.
+    """
+    if isinstance(node, Prefix):
+        terms = reader.terms_with_prefix(node.prefix, limit=limit)
+        if not terms:
+            return Term("")
+        out: Node = Term(terms[0])
+        for t in terms[1:]:
+            out = Op("or", out, Term(t))
+        return out
+    if isinstance(node, Op):
+        return Op(
+            node.kind,
+            expand_prefixes(node.left, reader, limit),
+            expand_prefixes(node.right, reader, limit),
+        )
+    return node
 
 
 class QueryEngine:
@@ -52,6 +92,7 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         if node is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        node = expand_prefixes(node, self.reader)
         if mode == "exhaustive":
             ids, scores = self._eval_exhaustive(node)
             ids, scores = setops.top_k(ids, scores, k)

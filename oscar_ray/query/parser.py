@@ -45,6 +45,18 @@ class Term:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """Prefix leaf (`foo*`) — the reference's qt=prefix query type
+    (``oscar-create/Config.h`` capability matrix; trie descent analog).
+    Evaluated as the union of all dictionary terms with this prefix."""
+
+    prefix: str
+
+    def __repr__(self):
+        return f"P({self.prefix}*)"
+
+
+@dataclass(frozen=True)
 class Op:
     kind: str  # 'and' | 'or' | 'andnot' | 'xor'
     left: "Node"
@@ -54,7 +66,7 @@ class Op:
         return f"({self.left} {self.kind} {self.right})"
 
 
-Node = Term | Op
+Node = Term | Prefix | Op
 
 _OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
 
@@ -146,18 +158,25 @@ def parse_query(q: str, max_len: int = 100_000, max_terms: int = 512) -> Node | 
 
 
 def _term_node(raw: str) -> Node | None:
+    is_prefix = raw.endswith("*")
+    if is_prefix:
+        raw = raw.rstrip("*")
     tokens = tokenize_text(raw)
     if not tokens:
         return None
-    node: Node = Term(tokens[0])
-    for t in tokens[1:]:
-        node = Op("and", node, Term(t))
+    leaves: list[Node] = [Term(t) for t in tokens]
+    if is_prefix:
+        leaves[-1] = Prefix(tokens[-1])
+    node = leaves[0]
+    for leaf in leaves[1:]:
+        node = Op("and", node, leaf)
     return node
 
 
 def query_terms(node: Node | None) -> list[str]:
-    """All leaf tokens, left-to-right (duplicates preserved). Iterative —
-    left-deep trees from long queries must not hit the recursion limit."""
+    """All Term leaf tokens, left-to-right (duplicates preserved). Iterative —
+    left-deep trees from long queries must not hit the recursion limit.
+    Prefix leaves are skipped (expand them first; see engine.expand_prefixes)."""
     if node is None:
         return []
     out: list[str] = []
@@ -166,7 +185,7 @@ def query_terms(node: Node | None) -> list[str]:
         n = stack.pop()
         if isinstance(n, Term):
             out.append(n.token)
-        else:
+        elif isinstance(n, Op):
             stack.append(n.right)
             stack.append(n.left)
     return out

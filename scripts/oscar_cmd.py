@@ -1,0 +1,118 @@
+"""CLI query tool — the `oscar-cmd` analog (``oscar-cmd/oscarmain.cpp``).
+
+Work items (mirroring the reference's dispatch):
+  query      evaluate one query:        -q "term1 term2 + other*" [-k 10]
+  batch      evaluate a query file (one per line) via the actor pool
+  dump-term  print a term's stats + decoded postings head (S9 dump analog)
+  dump-dict  print dictionary head / vocabulary size
+  stats      print manifest stats
+
+Usage:
+  python scripts/oscar_cmd.py -i /tmp/idx query -q "hash join" -k 10
+  python scripts/oscar_cmd.py -i /tmp/idx batch -f queries.txt -k 10
+  python scripts/oscar_cmd.py -i /tmp/idx dump-term -t merge
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Query / inspect an index")
+    ap.add_argument("--index", "-i", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    q = sub.add_parser("query")
+    q.add_argument("-q", "--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["auto", "exhaustive"], default="auto")
+    b = sub.add_parser("batch")
+    b.add_argument("-f", "--file", required=True, help="one query per line")
+    b.add_argument("-k", type=int, default=10)
+    b.add_argument("--num-cpus", type=int, default=8)
+    dt = sub.add_parser("dump-term")
+    dt.add_argument("-t", "--term", required=True)
+    dt.add_argument("--head", type=int, default=10)
+    sub.add_parser("dump-dict")
+    sub.add_parser("stats")
+    args = ap.parse_args()
+
+    if args.cmd == "batch":
+        import ray
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+        )
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from oscar_ray.query.engine import QueryServer
+
+        with open(args.file) as f:
+            queries = [
+                {"query_id": i, "query": line.rstrip("\n"), "k": args.k}
+                for i, line in enumerate(f)
+                if line.strip()
+            ]
+        qds = ray.data.from_items(queries, override_num_blocks=max(1, args.num_cpus))
+        t0 = time.perf_counter()
+        rows = qds.map_batches(
+            QueryServer,
+            fn_constructor_kwargs={"index_dir": args.index},
+            batch_format="pyarrow",
+            concurrency=args.num_cpus,
+        ).take_all()
+        dt_s = time.perf_counter() - t0
+        for r in rows[: 5 * args.k]:
+            print(json.dumps(r))
+        print(
+            f"# {len(queries)} queries, {len(rows)} result rows, "
+            f"{dt_s:.3f}s, {len(queries)/dt_s:.1f} qps",
+            file=sys.stderr,
+        )
+        ray.shutdown()
+        return
+
+    # single-process work items (mmap-once analog: open reader, serve)
+    from oscar_ray.index.reader import IndexReader
+    from oscar_ray.query.engine import QueryEngine
+
+    reader = IndexReader(args.index)
+    if args.cmd == "stats":
+        print(json.dumps(reader.manifest["stats"], indent=1))
+        print(json.dumps({"vocabulary": reader.vocabulary_size()}))
+    elif args.cmd == "dump-dict":
+        for part in range(reader.num_partitions):
+            for term, (df, cf) in sorted(reader._part_dict(part).items())[:5]:
+                print(f"{term}\tdf={df}\tcf={cf}\t(part {part})")
+    elif args.cmd == "dump-term":
+        tp = reader.postings(args.term)
+        print(json.dumps({"term": args.term, "df": tp.df, "cf": tp.cf,
+                          "blocks": len(tp.block_ids)}))
+        if tp.df:
+            ids, tfs, dls = tp.decode_all()
+            for i in range(min(args.head, len(ids))):
+                print(f"docid={ids[i]} tf={tfs[i]} doclen={dls[i]}")
+    elif args.cmd == "query":
+        engine = QueryEngine(args.index, reader)
+        t0 = time.perf_counter()
+        ids, scores = engine.search(args.query, k=args.k, mode=args.mode)
+        dt_s = time.perf_counter() - t0
+        for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+            print(f"{rank}\t{d}\t{s:.6f}")
+        print(f"# {len(ids)} results in {dt_s*1000:.2f} ms", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""CLI index builder — the `oscar-create` analog (``oscar-create/oscarcreate.cpp``).
+
+Usage:
+  python scripts/oscar_create.py --input /path/to/pages_dir --out /tmp/idx \
+      [--config cfg.json] [--num-cpus 32] [--no-resume]
+
+The JSON config carries IndexBuildConfig fields (the reference's
+config-driven pipeline analog, ``oscar-create/Config.h:137-257``);
+CLI flags override. Prints the manifest summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Build the inverted index")
+    ap.add_argument("--input", "-i", required=True, help="pages parquet dir/glob")
+    ap.add_argument("--out", "-o", required=True, help="index output directory")
+    ap.add_argument("--config", "-c", help="JSON file of IndexBuildConfig fields")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--no-resume", action="store_true", help="force full rebuild")
+    ap.add_argument("--partitions", type=int, help="term partitions (P)")
+    ap.add_argument("--block-span-bits", type=int, help="docids per block = 2^bits")
+    ap.add_argument("--id-column", help="use an existing unique int64 id column")
+    ap.add_argument("--no-dedup", action="store_true", help="skip exact URL dedup")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+
+    fields = {}
+    if args.config:
+        with open(args.config) as f:
+            fields.update(json.load(f))
+    if args.partitions:
+        fields["num_partitions"] = args.partitions
+    if args.block_span_bits:
+        fields["block_span_bits"] = args.block_span_bits
+    if args.id_column:
+        fields["id_column"] = args.id_column
+        fields["url_column"] = fields.get("url_column")
+    if args.no_dedup:
+        fields["dedup_urls"] = False
+    cfg = IndexBuildConfig(**fields)
+
+    manifest = build_index(args.input, args.out, cfg, resume=not args.no_resume)
+    print(
+        json.dumps(
+            {
+                "complete": manifest["complete"],
+                "stats": manifest["stats"],
+                "build_secs": manifest.get("build_secs"),
+                "phase_walls": manifest.get("phase_walls"),
+                "partitions": len([p for p in manifest["partitions"] if p]),
+            },
+            indent=1,
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

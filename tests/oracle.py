@@ -12,8 +12,10 @@ import math
 from collections import Counter
 
 from oscar_ray.index.layout import term_partition  # noqa: F401  (used by tests)
-from oscar_ray.query.parser import Node, Op, Term, parse_query, QueryParseError
+from oscar_ray.query.parser import Node, Op, Prefix, Term, parse_query, QueryParseError
 from oscar_ray.spec.tokenizer import tokenize_text
+
+MAX_PREFIX_EXPANSIONS = 256  # pinned, mirrors engine.MAX_PREFIX_EXPANSIONS
 
 
 class OracleIndex:
@@ -75,6 +77,14 @@ class OracleIndex:
     def evaluate(self, node: Node | None) -> dict[int, float]:
         if node is None:
             return {}
+        if isinstance(node, Prefix):
+            terms = sorted(t for t in self.postings if t.startswith(node.prefix))
+            terms = terms[:MAX_PREFIX_EXPANSIONS]
+            out: dict[int, float] = {}
+            for t in terms:  # ascending — same accumulation order as engine
+                for d, s in self.term_scores(t).items():
+                    out[d] = out[d] + s if d in out else s
+            return out
         if isinstance(node, Term):
             return self.term_scores(node.token)
         l = self.evaluate(node.left)

@@ -154,6 +154,22 @@ class TestOracleParity:
         want = oracle_t1.search("waaa waaa", k=10)
         assert got_ids.tolist() == [d for d, _ in want]
 
+    @pytest.mark.parametrize(
+        "q", ["wab*", "wa* - waaa", "wzz* + waaa", "(wab* wac*) ^ waaa", "zzzz*", "*"]
+    )
+    def test_prefix_queries_match_oracle(self, engine, oracle_t1, q):
+        """qt=prefix analog: dictionary range expansion == oracle expansion."""
+        got_ids, got_sc = engine.search(q, k=25)
+        want = oracle_t1.search(q, k=25)
+        assert got_ids.tolist() == [d for d, _ in want], q
+        np.testing.assert_allclose(got_sc, [s for _, s in want], rtol=1e-12, atol=0)
+
+    def test_prefix_pruned_equals_exhaustive(self, engine):
+        a_ids, a_sc = engine.search("wab* + wac*", k=30, mode="auto")
+        b_ids, b_sc = engine.search("wab* + wac*", k=30, mode="exhaustive")
+        assert a_ids.tolist() == b_ids.tolist()
+        assert a_sc.tolist() == b_sc.tolist()
+
 
 class TestBatchServing:
     def test_query_server_map_batches(self, ray_session, built_index_t1, query_set):
