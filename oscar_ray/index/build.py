@@ -80,6 +80,15 @@ class IndexBuildConfig:
     shard_fragments: int = 4  # input row-groups per stage-A shard
     dedup_urls: bool = True
     url_partitions: int = 16  # docmeta hash-partition count (dedup parallelism)
+    # substring search support (the reference's suffix-string insertion,
+    # ``SampleSuffixStringsContainer``/suffixDelimeters, SURVEY.md M5):
+    # every proper suffix (len >= min_suffix_len) of every token is indexed
+    # as a marker-prefixed term SUFFIX_MARKER+suffix, so a substring query
+    # becomes a prefix scan over the suffix dictionary. Multiplies the
+    # postings volume by ~avg token length — off by default (the reference
+    # gates it behind config the same way).
+    index_suffixes: bool = False
+    min_suffix_len: int = 2
     text_column: str = "text"
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
@@ -151,18 +160,23 @@ class TokenizeShardWorker:
 
         doclen_per_row = np.bincount(parent, minlength=len(tbl)).astype(np.int64)
 
+        terms_py = terms_dict.to_pylist()
+        if cfg.index_suffixes:
+            urow, ucode, tf, terms_py = _expand_suffix_pairs(
+                urow, ucode, tf, terms_py, cfg.min_suffix_len
+            )
+
         # partition of each unique term in this shard's dictionary
-        part_by_code = layout.term_partitions_np(
-            terms_dict.to_pylist(), cfg.num_partitions
-        )
+        part_by_code = layout.term_partitions_np(terms_py, cfg.num_partitions)
         pair_part = part_by_code[ucode]
 
         # order rows by partition for contiguous per-partition slices
         order = np.argsort(pair_part, kind="stable")
         pair_part = pair_part[order]
+        terms_arr = pa.array(terms_py, type=pa.string())
         out_tbl = pa.table(
             {
-                "term": pc.take(terms_dict, pa.array(ucode[order])),
+                "term": pc.take(terms_arr, pa.array(ucode[order])),
                 "docid": pa.array(docid[urow[order]], type=pa.int64()),
                 "tf": pa.array(tf[order], type=pa.int64()),
                 "doclen": pa.array(doclen_per_row[urow[order]], type=pa.int64()),
@@ -535,6 +549,71 @@ def build_index(
     if cfg.cleanup_spill:
         shutil.rmtree(os.path.join(out_dir, "tmp"), ignore_errors=True)
     return manifest
+
+
+def _expand_suffix_pairs(
+    urow: np.ndarray,
+    ucode: np.ndarray,
+    tf: np.ndarray,
+    terms_py: list[str],
+    min_suffix_len: int,
+):
+    """Add marker-prefixed suffix terms to the (row, term, tf) pairs.
+
+    For every dictionary term t, every proper suffix s with
+    len(s) >= min_suffix_len becomes SUFFIX_MARKER+s; a doc's tf for a
+    suffix term is the sum of tfs of its tokens having that suffix
+    (re-aggregated per (row, suffix)). The full token itself is also
+    inserted (its own suffix), so substring queries subsume exact ones.
+    """
+    from oscar_ray.index.layout import SUFFIX_MARKER
+
+    # per original code: the list of suffix-term codes it expands into
+    suffix_terms: list[str] = []
+    suffix_code_of: dict[str, int] = {}
+    expansions: list[list[int]] = []
+    for t in terms_py:
+        codes = []
+        for i in range(len(t)):
+            s = t[i:]
+            if len(s) < min_suffix_len:
+                break
+            st = SUFFIX_MARKER + s
+            c = suffix_code_of.get(st)
+            if c is None:
+                c = len(suffix_terms)
+                suffix_code_of[st] = c
+                suffix_terms.append(st)
+            codes.append(c)
+        expansions.append(codes)
+
+    counts = np.fromiter((len(e) for e in expansions), dtype=np.int64, count=len(expansions))
+    flat_exp = np.fromiter(
+        (c for e in expansions for c in e), dtype=np.int64, count=int(counts.sum())
+    )
+    exp_offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    n_base = len(terms_py)
+    per_pair = counts[ucode]
+    rep_row = np.repeat(urow, per_pair)
+    rep_tf = np.repeat(tf, per_pair)
+    # suffix code per expanded pair: gather each pair's expansion list
+    idx = np.concatenate(
+        [flat_exp[exp_offsets[c] : exp_offsets[c + 1]] for c in ucode.tolist()]
+    ) if len(ucode) else np.empty(0, dtype=np.int64)
+    # re-aggregate tf by (row, suffix code): same term-suffix can come from
+    # several tokens of the same doc
+    key = (rep_row.astype(np.int64) << np.int64(32)) | (idx + n_base)
+    order = np.argsort(key, kind="stable")
+    key_s, tf_s = key[order], rep_tf[order]
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(key_s)) + 1))
+    agg_key = key_s[seg]
+    agg_tf = np.add.reduceat(tf_s, seg) if len(tf_s) else np.empty(0, dtype=np.int64)
+
+    all_row = np.concatenate((urow, (agg_key >> np.int64(32)).astype(np.int64)))
+    all_code = np.concatenate((ucode, (agg_key & np.int64(0xFFFFFFFF)).astype(np.int64)))
+    all_tf = np.concatenate((tf, agg_tf))
+    return all_row, all_code, all_tf, terms_py + suffix_terms
 
 
 @ray.remote(num_cpus=1)

@@ -29,6 +29,11 @@ import zlib
 import numpy as np
 
 
+#: namespace marker for suffix-index terms (substring search, SURVEY.md M5);
+#: \x01 never appears in tokenizer output, so the namespaces cannot collide
+SUFFIX_MARKER = "\x01"
+
+
 def term_partition(term: str, num_partitions: int) -> int:
     """Stable term -> partition id (CRC32 mod P). Must match build & query."""
     return zlib.crc32(term.encode("utf-8")) % num_partitions

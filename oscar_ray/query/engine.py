@@ -30,11 +30,13 @@ import pyarrow as pa
 
 from oscar_ray.index.reader import IndexReader, TermPostings
 from oscar_ray.query import setops
+from oscar_ray.index.layout import SUFFIX_MARKER
 from oscar_ray.query.parser import (
     Node,
     Op,
     Prefix,
     QueryParseError,
+    Substring,
     Term,
     parse_query,
     query_terms,
@@ -57,8 +59,17 @@ def expand_prefixes(
     whose payload is the precomputed union (``CellTextCompleter`` fm/pm
     pointers); we resolve it to an OR over the sorted dictionary range.
     """
-    if isinstance(node, Prefix):
-        terms = reader.terms_with_prefix(node.prefix, limit=limit)
+    if isinstance(node, (Prefix, Substring)):
+        if isinstance(node, Prefix):
+            terms = reader.terms_with_prefix(node.prefix, limit=limit)
+        elif node.exact_suffix:
+            # `*foo`: exact suffix == the single marker term
+            terms = [SUFFIX_MARKER + node.token]
+            if reader.term_stats(terms[0])[0] == 0:
+                terms = []
+        else:
+            # `*foo*`: substring == prefix scan over the suffix namespace
+            terms = reader.terms_with_prefix(SUFFIX_MARKER + node.token, limit=limit)
         if not terms:
             return Term("")
         out: Node = Term(terms[0])

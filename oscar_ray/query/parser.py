@@ -57,6 +57,19 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Substring:
+    """Substring (`*foo*`) or exact-suffix (`*foo`) leaf — the reference's
+    qt=substring/suffix query types, answered via the optional suffix
+    index (IndexBuildConfig.index_suffixes)."""
+
+    token: str
+    exact_suffix: bool = False  # True for `*foo` (token ends with foo)
+
+    def __repr__(self):
+        return f"S(*{self.token}{'' if self.exact_suffix else '*'})"
+
+
+@dataclass(frozen=True)
 class Op:
     kind: str  # 'and' | 'or' | 'andnot' | 'xor'
     left: "Node"
@@ -66,7 +79,7 @@ class Op:
         return f"({self.left} {self.kind} {self.right})"
 
 
-Node = Term | Prefix | Op
+Node = Term | Prefix | Substring | Op
 
 _OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
 
@@ -158,14 +171,15 @@ def parse_query(q: str, max_len: int = 100_000, max_terms: int = 512) -> Node | 
 
 
 def _term_node(raw: str) -> Node | None:
-    is_prefix = raw.endswith("*")
-    if is_prefix:
-        raw = raw.rstrip("*")
-    tokens = tokenize_text(raw)
+    lead = raw.startswith("*")
+    trail = raw.endswith("*")
+    tokens = tokenize_text(raw.strip("*"))
     if not tokens:
         return None
     leaves: list[Node] = [Term(t) for t in tokens]
-    if is_prefix:
+    if lead and len(tokens) == 1:
+        leaves[0] = Substring(tokens[0], exact_suffix=not trail)
+    elif trail:
         leaves[-1] = Prefix(tokens[-1])
     node = leaves[0]
     for leaf in leaves[1:]:

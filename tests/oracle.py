@@ -11,18 +11,36 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from oscar_ray.index.layout import term_partition  # noqa: F401  (used by tests)
-from oscar_ray.query.parser import Node, Op, Prefix, Term, parse_query, QueryParseError
+from oscar_ray.index.layout import SUFFIX_MARKER, term_partition  # noqa: F401
+from oscar_ray.query.parser import (
+    Node,
+    Op,
+    Prefix,
+    Substring,
+    Term,
+    parse_query,
+    QueryParseError,
+)
 from oscar_ray.spec.tokenizer import tokenize_text
 
 MAX_PREFIX_EXPANSIONS = 256  # pinned, mirrors engine.MAX_PREFIX_EXPANSIONS
 
 
 class OracleIndex:
-    def __init__(self, rows: list[dict], dedup_urls: bool = True, k1: float = 0.9, b: float = 0.4):
+    def __init__(
+        self,
+        rows: list[dict],
+        dedup_urls: bool = True,
+        k1: float = 0.9,
+        b: float = 0.4,
+        index_suffixes: bool = False,
+        min_suffix_len: int = 2,
+    ):
         """rows: dicts with docid, url, text (docid unique, any order)."""
         rows = sorted(rows, key=lambda r: r["docid"])
         self.k1, self.b = k1, b
+        self.index_suffixes = index_suffixes
+        self.min_suffix_len = min_suffix_len
         kept: list[dict] = []
         seen: dict[str, int] = {}
         self.tombstones: set[int] = set()
@@ -39,6 +57,13 @@ class OracleIndex:
             self.doclen[r["docid"]] = len(toks)
             for t, tf in Counter(toks).items():
                 self.postings.setdefault(t, {})[r["docid"]] = tf
+                if index_suffixes:
+                    for i in range(len(t)):
+                        s = t[i:]
+                        if len(s) < min_suffix_len:
+                            break
+                        p = self.postings.setdefault(SUFFIX_MARKER + s, {})
+                        p[r["docid"]] = p.get(r["docid"], 0) + tf
         self.n_docs = len(kept)
         self.avgdl = (sum(self.doclen.values()) / self.n_docs) if self.n_docs else 0.0
 
@@ -77,8 +102,14 @@ class OracleIndex:
     def evaluate(self, node: Node | None) -> dict[int, float]:
         if node is None:
             return {}
-        if isinstance(node, Prefix):
-            terms = sorted(t for t in self.postings if t.startswith(node.prefix))
+        if isinstance(node, (Prefix, Substring)):
+            if isinstance(node, Prefix):
+                pre = node.prefix
+            elif node.exact_suffix:
+                return self.term_scores(SUFFIX_MARKER + node.token)
+            else:
+                pre = SUFFIX_MARKER + node.token
+            terms = sorted(t for t in self.postings if t.startswith(pre))
             terms = terms[:MAX_PREFIX_EXPANSIONS]
             out: dict[int, float] = {}
             for t in terms:  # ascending — same accumulation order as engine
