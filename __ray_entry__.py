@@ -173,6 +173,21 @@ def _dedup_ngram_jaccard(sf_dir: str):
     ).sort(["a_id", "b_id"])
 
 
+def _dedup_clusters(sf_dir: str):
+    """Connected components over exact n-gram-Jaccard pair edges."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import cluster_pairs, ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(ds, n=NGRAM_N, tau=JACCARD_TAU, max_shingle_df=MAX_SHINGLE_DF)
+    return cluster_pairs(pairs).sort_by("doc_id")
+
+
 def _dedup_minhash(sf_dir: str):
     import os
 
@@ -353,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": _rel_events_window,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "text_token_stats": _text_token_stats,
@@ -405,6 +421,43 @@ scores AS (
     JOIN df USING (term)
     CROSS JOIN corpus
 )"""
+
+
+def _ngram_pairs_sql() -> str:
+    """Exact token-3-gram Jaccard pairs (shared by two oracle entries)."""
+    return f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+                FROM tokarr, unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+                WHERE len(arr) >= {NGRAM_N}
+            ),
+            sz AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            keep_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+            ),
+            pairs AS (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::DOUBLE AS inter
+                FROM sh x
+                JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                WHERE x.shingle IN (SELECT shingle FROM keep_sh)
+                GROUP BY 1, 2
+            )
+            SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+                   round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = a_id
+            JOIN sz sb ON sb.doc_id = b_id
+            WHERE inter / (sa.set_size + sb.set_size - inter) >= {JACCARD_TAU}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -521,39 +574,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1 ORDER BY h
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH tokarr AS (
-                SELECT doc_id,
-                       list_filter(
-                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
-                           x -> x <> '') AS arr
-                FROM documents
+        "dedup_ngram_jaccard": _ngram_pairs_sql() + " ORDER BY a_id, b_id",
+        "dedup_clusters": f"""
+            WITH RECURSIVE p AS (
+                SELECT * FROM ({_ngram_pairs_sql()}) q
             ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
-                FROM tokarr, unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
-                WHERE len(arr) >= {NGRAM_N}
-            ),
-            sz AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-            keep_sh AS (
-                SELECT shingle FROM sh GROUP BY shingle
-                HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
-            ),
-            pairs AS (
-                SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::DOUBLE AS inter
-                FROM sh x
-                JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-                WHERE x.shingle IN (SELECT shingle FROM keep_sh)
-                GROUP BY 1, 2
+            nodes AS (SELECT a_id AS id FROM p UNION SELECT b_id FROM p),
+            edges AS (SELECT a_id AS u, b_id AS v FROM p
+                      UNION ALL SELECT b_id, a_id FROM p),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
             )
-            SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
-                   round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
-            FROM pairs
-            JOIN sz sa ON sa.doc_id = a_id
-            JOIN sz sb ON sb.doc_id = b_id
-            WHERE inter / (sa.set_size + sb.set_size - inter) >= {JACCARD_TAU}
-            ORDER BY a_id, b_id
+            SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "text_token_stats": f"""
             WITH {_TOK_CTE}

@@ -572,3 +572,54 @@ def simhash_dup_pairs(
     return verified.groupby(["a_id", "b_id"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters (connected components over pair edges)
+# --------------------------------------------------------------------------
+
+
+def cluster_pairs(
+    pairs: ray.data.Dataset | pa.Table,
+    id_col_a: str = "a_id",
+    id_col_b: str = "b_id",
+    max_rounds: int = 50,
+) -> pa.Table:
+    """Connected components over near-dup pair edges -> (doc_id, cluster_id).
+
+    cluster_id = min doc_id of the component (the dedup survivor). The
+    iterate-to-fixpoint shape of the reference's relation-member closure
+    (``OsmKeyValueObjectStore.cpp:1009-1016``, SURVEY.md J2): min-label
+    propagation over the edge list, repeated until no label changes.
+    Rounds are O(component diameter); near-dup components are tiny, so a
+    handful of rounds suffice. Labels are numpy arrays here (pair sets are
+    cardinality-bounded: near-dup edges only); the same loop distributes
+    as per-round groupby(node).min(label) when edges exceed one task.
+    """
+    if isinstance(pairs, ray.data.Dataset):
+        rows = pairs.select_columns([id_col_a, id_col_b]).take_all()
+        a = np.array([r[id_col_a] for r in rows], dtype=np.int64)
+        b = np.array([r[id_col_b] for r in rows], dtype=np.int64)
+    else:
+        a = pairs[id_col_a].to_numpy().astype(np.int64)
+        b = pairs[id_col_b].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate((a, b))) if len(a) else np.empty(0, dtype=np.int64)
+    label = nodes.copy()
+    pos = {int(n): i for i, n in enumerate(nodes.tolist())}
+    ai = np.array([pos[int(x)] for x in a], dtype=np.int64)
+    bi = np.array([pos[int(x)] for x in b], dtype=np.int64)
+    for _ in range(max_rounds):
+        new = label.copy()
+        np.minimum.at(new, ai, label[bi])
+        np.minimum.at(new, bi, label[ai])
+        # pointer-jump: adopt your current label's label
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if (new == label).all():
+            break
+        label = new
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(label, type=pa.int64()),
+        }
+    )

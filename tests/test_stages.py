@@ -99,6 +99,22 @@ class TestDedup:
         for r in rows:
             assert r["jaccard"] >= 0.3
 
+    def test_cluster_pairs_connected_components(self, ray_session):
+        import pyarrow as pa
+
+        from oscar_ray.stages.dedup import cluster_pairs
+
+        # components: {1,2,3,7} (chain), {5,9}, singleton edges preserved
+        pairs = pa.table(
+            {
+                "a_id": pa.array([1, 2, 3, 5], type=pa.int64()),
+                "b_id": pa.array([2, 3, 7, 9], type=pa.int64()),
+            }
+        )
+        t = cluster_pairs(pairs)
+        lab = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+        assert lab == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+
     def test_simhash_finds_exact_dup(self, dup_ds):
         from oscar_ray.stages.dedup import simhash_dup_pairs
 
