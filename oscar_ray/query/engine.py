@@ -97,19 +97,42 @@ class QueryEngine:
 
         Malformed queries yield empty results (don't-crash contract).
         """
+        ids, scores, _ = self.search_timed(query, k=k, mode=mode)
+        return ids, scores
+
+    def search_timed(self, query: str, k: int = 10, mode: str = "auto"):
+        """search() + per-phase microsecond timings, mirroring the
+        reference's benchmark phase split (parse / calc / flatten,
+        ``oscar-cmd/Benchmark.cpp:227-305``): parse_us (query -> AST),
+        expand_us (prefix/substring dictionary expansion), eval_us
+        (posting fetch + set ops + top-k)."""
+        import time as _time
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        t0 = _time.perf_counter()
         try:
             node = parse_query(query)
         except QueryParseError:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return (*empty, {"parse_us": (_time.perf_counter() - t0) * 1e6,
+                             "expand_us": 0.0, "eval_us": 0.0, "error": True})
+        t1 = _time.perf_counter()
         if node is None:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return (*empty, {"parse_us": (t1 - t0) * 1e6, "expand_us": 0.0,
+                             "eval_us": 0.0})
         node = expand_prefixes(node, self.reader)
+        t2 = _time.perf_counter()
         if mode == "exhaustive":
             ids, scores = self._eval_exhaustive(node)
             ids, scores = setops.top_k(ids, scores, k)
         else:
             ids, scores = self._eval_pruned(node, k)
-        return ids.astype(np.int64), scores
+        t3 = _time.perf_counter()
+        timings = {
+            "parse_us": (t1 - t0) * 1e6,
+            "expand_us": (t2 - t1) * 1e6,
+            "eval_us": (t3 - t2) * 1e6,
+        }
+        return ids.astype(np.int64), scores, timings
 
     # -- exhaustive ----------------------------------------------------
     def _leaf_full(self, term: str) -> setops.ScoredSet:

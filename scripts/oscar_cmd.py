@@ -106,12 +106,11 @@ def main():
                 print(f"docid={ids[i]} tf={tfs[i]} doclen={dls[i]}")
     elif args.cmd == "query":
         engine = QueryEngine(args.index, reader)
-        t0 = time.perf_counter()
-        ids, scores = engine.search(args.query, k=args.k, mode=args.mode)
-        dt_s = time.perf_counter() - t0
+        ids, scores, timings = engine.search_timed(args.query, k=args.k, mode=args.mode)
         for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
             print(f"{rank}\t{d}\t{s:.6f}")
-        print(f"# {len(ids)} results in {dt_s*1000:.2f} ms", file=sys.stderr)
+        phases = " ".join(f"{k_}={v:.0f}us" for k_, v in timings.items())
+        print(f"# {len(ids)} results; {phases}", file=sys.stderr)
 
 
 if __name__ == "__main__":
