@@ -17,12 +17,25 @@ OOM external-sort build ``readwritefuncs.cpp:340-394``):
                     SURVEY.md §4 skew row) -> delta+varint encode +
                     block-max metadata -> postings/dict parquet
 
-Both stages are Dataset ``map_batches`` over descriptor datasets — the
-explicit hash-partition + per-partition-reduce pattern replaces a global
-``groupby(term)`` so (a) head-term groups never materialize as one giant
-Arrow group, (b) each stage checkpoints at its natural granularity
-(input shard / term partition) via atomic completion markers, and
-(c) partition tasks are embarrassingly parallel at both cluster sizes.
+The explicit hash-partition + per-partition-reduce pattern replaces a
+global ``groupby(term)`` so (a) head-term groups never materialize as
+one giant Arrow group, (b) each stage checkpoints at its natural
+granularity (input shard / term partition) via atomic completion
+markers, and (c) partition tasks are embarrassingly parallel at both
+cluster sizes.
+
+Why the two stages are raw ``ray.remote`` fan-outs over descriptors
+rather than Dataset operators: both are *resumable side-effect writers*
+— each work item writes its own artifact files then an atomic marker,
+and a resumed build re-runs exactly the unmarked items. The Dataset API
+has no per-item completion contract (a failed pipeline re-runs whole
+lineage), which is precisely the "lay outputs out so a rerun can skip
+finished work" case the Ray guide carves out for explicit layout.
+Everything per-record elsewhere in this repo (tokenize-for-analysis,
+dedup, scoring, serving) stays in ``map_batches``; the tokenizer itself
+is the same vectorized arrow-kernel code in both shapes. Raw tasks also
+reuse Ray's warm worker processes across the A -> dedup -> B phases,
+where per-pipeline actor pools would respawn.
 
 Determinism: docids derive from the static input layout
 (``sources/pages.py``), stage-B sorts are stable, and every artifact file
@@ -42,11 +55,11 @@ theoretical minimum for index inversion.
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import shutil
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 import numpy as np
 import pyarrow as pa

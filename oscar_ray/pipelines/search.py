@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from oscar_ray.index.build import IndexBuildConfig, build_index
-from oscar_ray.index.layout import dict_path, manifest_path
+from oscar_ray.index.layout import dict_path
 from oscar_ray.index.reader import IndexReader
 from oscar_ray.query.engine import QueryEngine
 

@@ -23,12 +23,11 @@ the same:
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pyarrow as pa
 
-from oscar_ray.index.reader import IndexReader, TermPostings
+from oscar_ray.index.reader import IndexReader
 from oscar_ray.query import setops
 from oscar_ray.index.layout import SUFFIX_MARKER
 from oscar_ray.query.parser import (

@@ -9,7 +9,6 @@ scanned).
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pyarrow as pa
