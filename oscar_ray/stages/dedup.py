@@ -196,30 +196,38 @@ def ngram_jaccard_pairs(
         return out
 
     co = shingled.groupby("part").map_groups(pairs_in_partition, batch_format="pandas")
-    from ray.data.aggregate import Max, Sum
 
-    counted = co.groupby(["a_id", "b_id"]).aggregate(
-        Sum("inter", alias_name="inter"),
-        Max("a_sz", alias_name="a_sz"),
-        Max("b_sz", alias_name="b_sz"),
+    # combine per-pair partial intersections: route rows by a pair-hash
+    # partition and aggregate vectorized per partition. (Ray's native
+    # multi-column groupby().aggregate() is avoided deliberately — it is
+    # orders of magnitude slower than this pattern on pair-shaped keys.)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a_id", "b_id"], as_index=False).agg(
+            inter=("inter", "sum"), a_sz=("a_sz", "first"), b_sz=("b_sz", "first")
+        )
+        union_sz = (agg["a_sz"] + agg["b_sz"] - agg["inter"]).astype(float)
+        j = np.round(agg["inter"].astype(float) / np.maximum(union_sz, 1.0), 6)
+        out = pd.DataFrame(
+            {"a_id": agg["a_id"], "b_id": agg["b_id"], "jaccard": j}
+        )
+        return out[j >= tau]
+
+    return _pair_partitioned(co, num_parts).groupby("pair_part").map_groups(
+        finish, batch_format="pandas"
     )
 
-    def jacc(batch: pa.Table) -> pa.Table:
-        inter = batch["inter"].to_numpy().astype(np.float64)
-        union = (
-            batch["a_sz"].to_numpy() + batch["b_sz"].to_numpy() - batch["inter"].to_numpy()
-        ).astype(np.float64)
-        j = np.round(np.divide(inter, np.maximum(union, 1.0)), 6)
-        out = pa.table(
-            {
-                "a_id": batch["a_id"].cast(pa.int64()),
-                "b_id": batch["b_id"].cast(pa.int64()),
-                "jaccard": pa.array(j, type=pa.float64()),
-            }
-        )
-        return out.filter(pa.array(j >= tau))
 
-    return counted.map_batches(jacc, batch_format="pyarrow")
+def _pair_partitioned(ds: ray.data.Dataset, num_parts: int) -> ray.data.Dataset:
+    """Add a pair_part routing column = hash(a_id, b_id) % num_parts."""
+
+    def add(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy().astype(np.uint64)
+        b = t["b_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(1_000_003) + b) % np.uint64(num_parts)
+        return t.append_column("pair_part", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -362,14 +370,15 @@ def minhash_lsh_pairs(
         df = pd.DataFrame({"a_id": np.concatenate(a_l), "b_id": np.concatenate(b_l)})
         return df.drop_duplicates()
 
-    from ray.data.aggregate import Count
-
+    raw_pairs = sig.groupby("part").map_groups(
+        bucket_pairs_in_partition, batch_format="pandas"
+    )
     cand = (
-        sig.groupby("part")
-        .map_groups(bucket_pairs_in_partition, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a_id", "b_id"])
+        _pair_partitioned(raw_pairs, num_parts)
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g[["a_id", "b_id"]].drop_duplicates(), batch_format="pandas"
+        )
     )
     empty = pa.table(
         {
@@ -566,11 +575,16 @@ def simhash_dup_pairs(
         return out.filter(pa.array(ham <= max_hamming))
 
     verified = allp.map_batches(verify, batch_format="pyarrow")
-    # a pair can match in several bands: dedup with a native aggregate
-    from ray.data.aggregate import Min
-
-    return verified.groupby(["a_id", "b_id"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    # a pair can match in several bands: dedup via pair-hash partitions
+    return (
+        _pair_partitioned(verified, num_parts)
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.groupby(["a_id", "b_id"], as_index=False).agg(
+                hamming=("hamming", "min")
+            ),
+            batch_format="pandas",
+        )
     )
 
 
