@@ -133,7 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if os.path.exists(path):
             t = pq.read_table(path)
             dfs.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
-    queries = generate_queries(dfs, n_queries=400, seed=42)
+    queries = generate_queries(dfs, n_queries=2000, seed=42)
 
     # query serving: a PERSISTENT actor pool (the ST6 'energize once, serve
     # many' analog). Actors are spawned and index-opened before timing; the

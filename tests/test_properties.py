@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): codecs and set-op kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oscar_ray.query import setops
+from oscar_ray.stages.codecs import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+uints = st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+
+
+@given(uints)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr), count=len(arr)) == arr).all()
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_postings_roundtrip(ids_set):
+    ids = np.array(sorted(ids_set), dtype=np.uint64)
+    tfs = np.arange(1, len(ids) + 1, dtype=np.uint64)
+    dls = np.full(len(ids), 7, dtype=np.uint64)
+    d, t, l = encode_postings(ids, tfs, dls)
+    di, ti, li = decode_postings(d, t, l, count=len(ids))
+    assert (di == ids).all() and (ti == tfs).all() and (li == dls).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(vals):
+    ids = np.unique(np.array(vals, dtype=np.uint64))
+    assert (delta_decode(delta_encode(ids)) == ids).all()
+
+
+id_sets = st.sets(st.integers(min_value=0, max_value=500), max_size=80)
+
+
+@given(id_sets, id_sets)
+@settings(max_examples=200, deadline=None)
+def test_setops_match_python_sets(sa, sb):
+    def mk(s):
+        ids = np.array(sorted(s), dtype=np.uint64)
+        return ids, np.ones(len(ids), dtype=np.float64)
+
+    a, b = mk(sa), mk(sb)
+    assert set(setops.intersect(a, b)[0].tolist()) == (sa & sb)
+    assert set(setops.union(a, b)[0].tolist()) == (sa | sb)
+    assert set(setops.andnot(a, b)[0].tolist()) == (sa - sb)
+    assert set(setops.xor(a, b)[0].tolist()) == (sa ^ sb)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_top_k_matches_sorted(pairs, k):
+    ids = np.array([p[0] for p in pairs], dtype=np.uint64)
+    scores = np.array([p[1] for p in pairs], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, scores = ids[order], scores[order]
+    got_ids, got_sc = setops.top_k(ids, scores, k)
+    want = sorted(zip(ids.tolist(), scores.tolist()), key=lambda t: (-t[1], t[0]))[:k]
+    assert got_ids.tolist() == [w[0] for w in want]
+    assert got_sc.tolist() == [w[1] for w in want]
