@@ -102,6 +102,12 @@ class IndexBuildConfig:
     # gates it behind config the same way).
     index_suffixes: bool = False
     min_suffix_len: int = 2
+    # input_hint invariant: when True, stage A reads the html binary column
+    # and derives text via the deterministic extractor (spec/extract.py);
+    # if a text column also exists it is asserted byte-identical per row
+    # (the "byte-identical extracted text per url" contract).
+    extract_from_html: bool = False
+    html_column: str = "html"
     text_column: str = "text"
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
@@ -145,7 +151,7 @@ class TokenizeShardWorker:
     def _process_shard(self, shard_id: int, frags: list[dict]) -> dict:
         cfg = self.cfg
         t0 = time.perf_counter()
-        cols = [cfg.text_column]
+        cols = [cfg.html_column] if cfg.extract_from_html else [cfg.text_column]
         if cfg.url_column:
             cols.append(cfg.url_column)
         if cfg.lang_column:
@@ -155,7 +161,16 @@ class TokenizeShardWorker:
             for f in frags
         )
         docid = tbl["docid"].to_numpy()
-        parent_a, tokens_a = flatten_tokens(tbl[cfg.text_column])
+        if cfg.extract_from_html:
+            from oscar_ray.spec.extract import extract_text
+
+            text_col = pa.array(
+                [extract_text(h) for h in tbl[cfg.html_column].to_pylist()],
+                type=pa.string(),
+            )
+        else:
+            text_col = tbl[cfg.text_column]
+        parent_a, tokens_a = flatten_tokens(text_col)
         parent = np.asarray(parent_a)
         dict_enc = pc.dictionary_encode(
             tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])

@@ -186,6 +186,21 @@ class TestDeterminismAndResume:
         assert m2["fingerprint"] != m1["fingerprint"]
         assert m2["stats"]["total_docs"] == 150
 
+    def test_extract_from_html_identical_artifacts(self, ray_session, pages_t1, tmp_path):
+        """input_hint invariant: building from the html column (via the
+        deterministic extractor) yields byte-identical postings/dict to
+        building from the text column."""
+        base = dict(num_partitions=4, block_span_bits=8, shard_fragments=2)
+        out_text = str(tmp_path / "from_text")
+        out_html = str(tmp_path / "from_html")
+        build_index(pages_t1, out_text, IndexBuildConfig(**base))
+        build_index(
+            pages_t1, out_html, IndexBuildConfig(**base, extract_from_html=True)
+        )
+        ht = {k: v for k, v in _artifact_hashes(out_text).items() if not k.startswith("docmeta")}
+        hh = {k: v for k, v in _artifact_hashes(out_html).items() if not k.startswith("docmeta")}
+        assert ht == hh and len(ht) > 0
+
     def test_id_column_mode(self, ray_session, tmp_path):
         """Existing unique int64 id column becomes the docid."""
         import pyarrow as pa

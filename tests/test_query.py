@@ -171,6 +171,39 @@ class TestOracleParity:
         assert a_sc.tolist() == b_sc.tolist()
 
 
+class TestRandomTreeDifferential:
+    """Random deep query trees: engine (both modes) vs oracle (the
+    reference's -ifq differential at higher intensity)."""
+
+    def _random_query(self, rng, terms):
+        def expr(depth):
+            if depth == 0 or rng.random() < 0.4:
+                t = str(terms[rng.integers(0, len(terms))])
+                roll = rng.random()
+                if roll < 0.15:
+                    return t[: max(2, len(t) - 1)] + "*"
+                return t
+            op = ["+", "-", "^", " ", "/"][rng.integers(0, 5)]
+            return f"({expr(depth - 1)} {op} {expr(depth - 1)})"
+
+        return expr(int(rng.integers(1, 4)))
+
+    def test_deep_random_trees(self, engine, oracle_t1):
+        rng = np.random.default_rng(123)
+        terms = np.array(sorted(oracle_t1.postings), dtype=object)
+        for i in range(60):
+            q = self._random_query(rng, terms)
+            k = int(rng.choice([1, 7, 50]))
+            got_ids, got_sc = engine.search(q, k=k)
+            exh_ids, exh_sc = engine.search(q, k=k, mode="exhaustive")
+            assert got_ids.tolist() == exh_ids.tolist(), q
+            want = oracle_t1.search(q, k=k)
+            assert got_ids.tolist() == [d for d, _ in want], q
+            np.testing.assert_allclose(
+                got_sc, [s for _, s in want], rtol=1e-12, atol=0, err_msg=q
+            )
+
+
 class TestBatchServing:
     def test_query_server_map_batches(self, ray_session, built_index_t1, query_set):
         import ray.data
