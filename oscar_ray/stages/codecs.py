@@ -95,25 +95,32 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a LEB128 stream -> uint64 array. Vectorized."""
+    """Decode a LEB128 stream -> uint64 array. Vectorized.
+
+    Fast paths: an all-1-byte stream (tf streams, most dl/gap streams) is
+    a straight widen; the general path reconstructs by byte position with
+    masked gathers (no scatter-add).
+    """
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
-    # group id per byte: number of completed varints before this byte
-    group = np.zeros(raw.size, dtype=np.int64)
-    np.cumsum(is_last[:-1], out=group[1:])
     n_values = int(is_last.sum())
-    # position of each byte within its varint
-    starts = np.zeros(n_values, dtype=np.int64)
-    if n_values > 1:
-        starts[1:] = np.flatnonzero(is_last)[:-1] + 1
-    pos = np.arange(raw.size, dtype=np.int64) - starts[group]
-    vals = np.zeros(n_values, dtype=np.uint64)
-    payload = (raw & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
-    np.add.at(vals, group, payload)
     if count is not None and count != n_values:
         raise ValueError(f"varint stream has {n_values} values, expected {count}")
+    if n_values == raw.size:  # every varint is one byte
+        return raw.astype(np.uint64)
+    ends = np.flatnonzero(is_last)
+    starts = np.empty(n_values, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    sizes = ends - starts + 1
+    vals = np.zeros(n_values, dtype=np.uint64)
+    max_size = int(sizes.max())
+    for p in range(max_size):
+        mask = sizes > p
+        b = raw[starts[mask] + p].astype(np.uint64)
+        vals[mask] |= (b & np.uint64(0x7F)) << np.uint64(7 * p)
     return vals
 
 
