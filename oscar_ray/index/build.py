@@ -466,10 +466,14 @@ def build_index(
     out_dir: str,
     cfg: IndexBuildConfig | None = None,
     resume: bool = True,
+    check: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index; returns the manifest dict.
 
     Ray must already be initialized by the caller (driver contract).
+    ``check=True`` runs the structural invariant checkers after the build
+    (the reference's post-build `check` flag,
+    ``readwritefuncs.cpp:311-325``).
     """
     cfg = cfg or IndexBuildConfig()
     if cfg.url_column is None and cfg.dedup_urls:
@@ -576,6 +580,10 @@ def build_index(
     _write_manifest(out_dir, manifest)
     if cfg.cleanup_spill:
         shutil.rmtree(os.path.join(out_dir, "tmp"), ignore_errors=True)
+    if check:
+        from oscar_ray.index.check import check_index
+
+        check_index(out_dir)
     return manifest
 
 

@@ -41,6 +41,8 @@ def main():
     dt.add_argument("--head", type=int, default=10)
     sub.add_parser("dump-dict")
     sub.add_parser("stats")
+    ck = sub.add_parser("check")
+    ck.add_argument("--sample-blocks", type=int, default=None)
     args = ap.parse_args()
 
     if args.cmd == "batch":
@@ -87,6 +89,12 @@ def main():
     # single-process work items (mmap-once analog: open reader, serve)
     from oscar_ray.index.reader import IndexReader
     from oscar_ray.query.engine import QueryEngine
+
+    if args.cmd == "check":
+        from oscar_ray.index.check import check_index
+
+        print(json.dumps(check_index(args.index, sample_blocks=args.sample_blocks)))
+        return
 
     reader = IndexReader(args.index)
     if args.cmd == "stats":
