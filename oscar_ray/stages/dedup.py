@@ -390,41 +390,74 @@ def minhash_lsh_pairs(
     cand_rows = cand.take_all()
     if not cand_rows:
         return ray.data.from_arrow(empty)
-    need = sorted({r["a_id"] for r in cand_rows} | {r["b_id"] for r in cand_rows})
-    need_arr = np.array(need, dtype=np.int64)
-    need_ref = ray.put(need_arr)
 
-    class CandidateShingles(ShingleStage):
+    # DISTRIBUTED exact verification: the pair list (LSH output, small by
+    # construction) is broadcast as a doc -> [(pair_part, pair_idx)] plan;
+    # a filtered shingle pass re-emits each candidate doc's shingles once
+    # per pair partition it participates in, and each pair partition
+    # computes its pairs' exact Jaccard vectorized. Only the candidate
+    # PAIR LIST ever touches the driver, never the shingle sets.
+    pairs = sorted((int(r["a_id"]), int(r["b_id"])) for r in cand_rows)
+    n_pair_parts = max(1, min(num_parts, (len(pairs) + 63) // 64))
+    doc_plan: dict[int, list[int]] = {}
+    for i, (a, b) in enumerate(pairs):
+        pp = i % n_pair_parts
+        doc_plan.setdefault(a, []).append(pp)
+        doc_plan.setdefault(b, []).append(pp)
+    plan_ref = ray.put({d: sorted(set(pp)) for d, pp in doc_plan.items()})
+    pairs_ref = ray.put(pairs)
+
+    class RoutedShingles(ShingleStage):
         def __init__(self, **kw):
             super().__init__(**kw)
-            self.need = ray.get(need_ref)
+            self.plan = ray.get(plan_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy()
-            pos = np.minimum(np.searchsorted(self.need, ids), len(self.need) - 1)
-            batch = batch.filter(pa.array(self.need[pos] == ids))
-            return super().__call__(batch)
+            keep = np.fromiter(
+                (int(d) in self.plan for d in ids), dtype=bool, count=len(ids)
+            )
+            sh = super().__call__(batch.filter(pa.array(keep)))
+            # replicate each doc's shingle rows to every pair partition it's in
+            doc = sh[self.id_col].to_numpy()
+            reps = np.fromiter(
+                (len(self.plan[int(d)]) for d in doc), dtype=np.int64, count=len(doc)
+            )
+            parts = np.fromiter(
+                (p for d in doc for p in self.plan[int(d)]),
+                dtype=np.int64,
+                count=int(reps.sum()),
+            )
+            idx = np.repeat(np.arange(len(doc)), reps)
+            rep_tbl = sh.take(pa.array(idx))
+            return rep_tbl.append_column("pair_part", pa.array(parts))
 
-    sh = ds.map_batches(
-        CandidateShingles,
+    routed = ds.map_batches(
+        RoutedShingles,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).take_all()
-    sets: dict[int, set] = {}
-    for r in sh:
-        sets.setdefault(r[id_col], set()).add(r["shingle"])
-    out = []
-    for r in cand_rows:
-        a, b = int(r["a_id"]), int(r["b_id"])
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        union = len(sa | sb)
-        j = round(len(sa & sb) / union, 6) if union else 0.0
-        if j >= tau:
-            out.append({"a_id": a, "b_id": b, "jaccard": j})
-    out.sort(key=lambda r: (r["a_id"], r["b_id"]))
-    tbl = pa.Table.from_pylist(out) if out else empty
-    return ray.data.from_arrow(tbl)
+    )
+
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        all_pairs = ray.get(pairs_ref)
+        pp = int(g["pair_part"].iloc[0])
+        my_pairs = [p for i, p in enumerate(all_pairs) if i % n_pair_parts == pp]
+        sets: dict[int, set] = {}
+        for d, s in zip(g[id_col].to_numpy(), g["shingle"].to_numpy()):
+            sets.setdefault(int(d), set()).add(int(s))
+        rows = []
+        for a, b in my_pairs:
+            sa, sb = sets.get(a, set()), sets.get(b, set())
+            union = len(sa | sb)
+            j = round(len(sa & sb) / union, 6) if union else 0.0
+            if j >= tau:
+                rows.append({"a_id": a, "b_id": b, "jaccard": j})
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"]).astype(
+            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
+        )
+
+    return routed.groupby("pair_part").map_groups(verify_partition, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
