@@ -112,6 +112,13 @@ class IndexBuildConfig:
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
     id_column: str | None = None  # use an existing unique int64 id as docid
+    # static-rank docid ordering (the applySort analog,
+    # ``OsmKeyValueObjectStore.cpp:1339-1399`` — "docID order is rank
+    # order"): when set, docids are assigned by DESCENDING value of this
+    # column (ties by input position), so BM25's docid-ascending tiebreak
+    # prefers higher-static-rank documents and `limit` over docid order is
+    # a static top-k. Mutually exclusive with id_column.
+    rank_column: str | None = None
     k1: float = 0.9
     b: float = 0.4
     stage_a_concurrency: int | None = None  # default: let Ray schedule tasks
@@ -160,6 +167,17 @@ class TokenizeShardWorker:
             read_fragment(Fragment(**f), columns=cols, id_column=cfg.id_column)
             for f in frags
         )
+        if cfg.rank_column:
+            # static-rank mode: overwrite layout docids with the remap
+            remap = pa.concat_tables(
+                pq.read_table(
+                    os.path.join(self.out_dir, "remap", f"frag-{f['base_docid']}.parquet")
+                )
+                for f in frags
+            )["docid"]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("docid"), "docid", remap.combine_chunks()
+            )
         docid = tbl["docid"].to_numpy()
         if cfg.extract_from_html:
             from oscar_ray.spec.extract import extract_text
@@ -514,6 +532,12 @@ def build_index(
     t_build0 = time.perf_counter()
     phase_walls = {}
 
+    if cfg.rank_column:
+        if cfg.id_column:
+            raise ValueError("rank_column and id_column are mutually exclusive")
+        _assign_rank_docids(frags, cfg, out_dir)
+        phase_walls["rank_sort"] = round(time.perf_counter() - t_build0, 3)
+
     # ---- Stage A (skip shards whose marker exists) ----
     todo = [
         s
@@ -653,6 +677,43 @@ def _expand_suffix_pairs(
 
 
 @ray.remote(num_cpus=1)
+def _read_rank_column(frag: dict, column: str) -> np.ndarray:
+    t = pq.ParquetFile(frag["path"]).read_row_group(frag["row_group"], columns=[column])
+    return t[column].to_numpy().astype(np.float64)
+
+
+def _assign_rank_docids(frags, cfg: IndexBuildConfig, out_dir: str) -> None:
+    """Pre-pass for rank_column mode: global sort by (rank desc, input
+    position asc) -> docid = sort position; per-fragment remap files.
+
+    The applySort analog. The sort runs driver-side over one float per
+    row (fine to ~10^9 docs on one node); at 10^12 replace with a
+    distributed ``ds.sort`` producing the same remap files — the remap
+    CONTRACT (remap/frag-N.parquet, column 'docid' aligned to fragment
+    rows) is what stage A depends on, not the sort's location.
+    """
+    marker = layout.marker_path(out_dir, "rankmap", 0)
+    if layout.read_marker(marker) is not None:
+        return
+    ranks = ray.get(
+        [_read_rank_column.remote(f.to_dict(), cfg.rank_column) for f in frags]
+    )
+    flat = np.concatenate(ranks) if ranks else np.empty(0)
+    order = np.lexsort((np.arange(len(flat)), -flat))
+    docid_of_orig = np.empty(len(flat), dtype=np.int64)
+    docid_of_orig[order] = np.arange(len(flat))
+    os.makedirs(os.path.join(out_dir, "remap"), exist_ok=True)
+    for f in frags:
+        seg = docid_of_orig[f.base_docid : f.base_docid + f.num_rows]
+        pq.write_table(
+            pa.table({"docid": pa.array(seg)}),
+            os.path.join(out_dir, "remap", f"frag-{f.base_docid}.parquet"),
+            **_PARQUET_WRITE_OPTS,
+        )
+    layout.write_marker(marker, {"rows": int(len(flat))})
+
+
+@ray.remote(num_cpus=1)
 def _stage_a_task(shard_id: int, fragments_json: str, cfg: dict, out_dir: str) -> int:
     """Raw-task wrapper for stage A (worker construction is trivially cheap)."""
     TokenizeShardWorker(cfg, out_dir)._process_shard(shard_id, json.loads(fragments_json))
@@ -743,5 +804,5 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def _wipe(out_dir: str) -> None:
-    for sub in ("docmeta", "postings", "dict", "tmp"):
+    for sub in ("docmeta", "postings", "dict", "tmp", "remap"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)

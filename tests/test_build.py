@@ -201,6 +201,39 @@ class TestDeterminismAndResume:
         hh = {k: v for k, v in _artifact_hashes(out_html).items() if not k.startswith("docmeta")}
         assert ht == hh and len(ht) > 0
 
+    def test_rank_column_mode(self, ray_session, tmp_path):
+        """applySort analog: docids assigned by rank desc; BM25 ties then
+        prefer higher-static-rank docs automatically."""
+        import pyarrow as pa
+
+        tbl = pa.table(
+            {
+                "url": ["u0", "u1", "u2", "u3"],
+                "text": ["same text here"] * 4,  # identical -> identical scores
+                "rank": pa.array([5.0, 20.0, 1.0, 10.0], type=pa.float64()),
+            }
+        )
+        src = str(tmp_path / "ranked")
+        os.makedirs(src)
+        pq.write_table(tbl, os.path.join(src, "part.parquet"))
+        out = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(
+            num_partitions=2,
+            rank_column="rank",
+            lang_column=None,
+            dedup_urls=False,
+        )
+        build_index(src, out, cfg)
+        # rank 20 -> docid 0, rank 10 -> 1, rank 5 -> 2, rank 1 -> 3
+        meta = pq.read_table(os.path.join(out, "docmeta"))
+        by_url = dict(zip(meta["url"].to_pylist(), meta["docid"].to_pylist()))
+        assert by_url == {"u1": 0, "u3": 1, "u0": 2, "u2": 3}
+        from oscar_ray.query.engine import QueryEngine
+
+        ids, scores = QueryEngine(out).search("same", k=4)
+        assert ids.tolist() == [0, 1, 2, 3]  # equal scores -> static-rank order
+        assert len(set(scores.tolist())) == 1
+
     def test_id_column_mode(self, ray_session, tmp_path):
         """Existing unique int64 id column becomes the docid."""
         import pyarrow as pa
