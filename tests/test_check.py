@@ -78,3 +78,40 @@ class TestChecker:
             pages, out, IndexBuildConfig(num_partitions=4, shard_fragments=2), check=True
         )
         assert m["complete"]
+
+    def test_all_features_combined(self, ray_session, tmp_path):
+        """Suffix index + static rank + dedup + html extraction together:
+        invariants hold and every query family answers."""
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.query.engine import QueryEngine
+        from oscar_ray.sources.synth import write_pages
+
+        pages = str(tmp_path / "pages")
+        write_pages(pages, n_rows=300, n_files=2, rows_per_group=150)
+        # add a rank column derived from warc_ts (any float works)
+        import glob
+
+        import pyarrow.compute as pc_mod
+
+        for f in glob.glob(pages + "/*.parquet"):
+            t = pq.read_table(f)
+            rank = pc_mod.cast(t["warc_ts"].cast("int64"), "float64")
+            pq.write_table(t.append_column("rank", rank), f, row_group_size=150)
+
+        out = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(
+            num_partitions=4,
+            block_span_bits=8,
+            shard_fragments=2,
+            index_suffixes=True,
+            rank_column="rank",
+            extract_from_html=True,
+            dedup_urls=True,
+        )
+        m = build_index(pages, out, cfg, check=True)
+        assert m["complete"]
+        eng = QueryEngine(out)
+        for q in ["waaa", "wa*", "*aa*", "*aa", "waaa + wbab", "waaa - wbab"]:
+            ids, scores = eng.search(q, k=10)
+            assert len(ids) == len(scores)
+        assert len(eng.search("*aa*", k=10)[0]) > 0
