@@ -142,8 +142,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow as pa
 
     ServerActor = ray.remote(num_cpus=1)(QueryServer)
+    # preload = the reference's mlock/mload protocol: postings resident
+    # before timing; the cold run then measures first DECODE, the warm
+    # run steady-state scoring
     pool = [
-        ServerActor.remote(index_dir=out_dir) for _ in range(num_cpus)
+        ServerActor.remote(index_dir=out_dir, preload=True) for _ in range(num_cpus)
     ]
     qtbl = pa.Table.from_pylist(queries)
     slices = [

@@ -182,10 +182,50 @@ class IndexReader:
                 _tfs=t["tfs"].to_pylist(),
                 _dls=t["dls"].to_pylist(),
             )
-        if len(self._postings_cache) > 4096:
+        if len(self._postings_cache) > 4096 and not getattr(self, "_cache_pinned", False):
             self._postings_cache.clear()
         self._postings_cache[term] = tp
         return tp
+
+    def preload(self) -> int:
+        """Load every term's postings into the in-memory cache (the
+        reference's `mlock`/`mload` work items,
+        ``oscar-cmd/Workfunctions.cpp:781-820``): read each partition file
+        once, group rows by term, cache TermPostings (payload bytes held,
+        blocks still decoded lazily). Returns number of terms cached.
+        Memory = compressed index size — only for indices that fit."""
+        n = 0
+        for part in range(self.num_partitions):
+            path = layout.postings_path(self.index_dir, part)
+            if not os.path.exists(path):
+                continue
+            t = pq.ParquetFile(path).read()
+            terms = t["term"].to_pylist()
+            if not terms:
+                continue
+            d = self._part_dict(part)
+            start = 0
+            for i in range(1, len(terms) + 1):
+                if i == len(terms) or terms[i] != terms[start]:
+                    term = terms[start]
+                    sl = t.slice(start, i - start)
+                    df, cf = d.get(term, (0, 0))
+                    self._postings_cache[term] = TermPostings(
+                        term=term,
+                        df=int(df),
+                        cf=int(cf),
+                        block_ids=sl["block_id"].to_numpy(),
+                        doc_counts=sl["doc_count"].to_numpy(),
+                        max_tfns=sl["max_tfn"].to_numpy(),
+                        _docs=sl["docs"].to_pylist(),
+                        _tfs=sl["tfs"].to_pylist(),
+                        _dls=sl["dls"].to_pylist(),
+                    )
+                    n += 1
+                    start = i
+        # preloaded caches must not be evicted by the LRU-ish clear
+        self._cache_pinned = True
+        return n
 
     def _read_term_rows(self, part: int, term: str):
         """Read one term's posting rows: open-once file handle + manual

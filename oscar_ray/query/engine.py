@@ -278,8 +278,16 @@ class QueryServer:
     serves query batches, emitting (query_id, rank, docid, score) rows.
     """
 
-    def __init__(self, index_dir: str, default_k: int = 10, mode: str = "auto"):
+    def __init__(
+        self,
+        index_dir: str,
+        default_k: int = 10,
+        mode: str = "auto",
+        preload: bool = False,
+    ):
         self.engine = QueryEngine(index_dir)
+        if preload:  # mlock analog: resident postings per actor
+            self.engine.reader.preload()
         self.default_k = default_k
         self.mode = mode
 
