@@ -152,6 +152,8 @@ class QueryEngine:
 
     # -- pruned (block-max) --------------------------------------------
     def _eval_pruned(self, node: Node, k: int):
+        if k <= 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         leaves = _collect_leaves(node, self.reader)
         # per-node, per-block upper bounds + feasibility
         blocks = _block_bounds(node, leaves)

@@ -149,6 +149,39 @@ class TestOracleParity:
         ids, _ = engine.search("zzzznotaterm", k=10)
         assert len(ids) == 0
 
+    def test_k_edge_cases(self, engine):
+        ids, sc = engine.search("waaa", k=0)
+        assert len(ids) == 0
+        ids1, _ = engine.search("waaa", k=1)
+        assert len(ids1) == 1
+        ids_huge, _ = engine.search("waaa", k=10**6)
+        assert len(ids_huge) >= len(ids1)
+
+    def test_single_doc_index(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.query.engine import QueryEngine
+
+        src = str(tmp_path / "one")
+        os.makedirs(src)
+        pq.write_table(
+            pa.table({"url": ["u"], "text": ["hello world hello"]}),
+            os.path.join(src, "p.parquet"),
+        )
+        out = str(tmp_path / "idx1")
+        build_index(
+            src, out, IndexBuildConfig(num_partitions=2, lang_column=None), check=True
+        )
+        eng = QueryEngine(out)
+        ids, sc = eng.search("hello", k=5)
+        assert ids.tolist() == [0]
+        ids, _ = eng.search("hello - world", k=5)
+        assert len(ids) == 0
+
     def test_duplicate_term_query(self, engine, oracle_t1):
         got_ids, got_sc = engine.search("waaa waaa", k=10)
         want = oracle_t1.search("waaa waaa", k=10)
