@@ -179,7 +179,7 @@ def ngram_jaccard_pairs(
             asz_l.append(szs[s:e][ai])
             bsz_l.append(szs[s:e][bi])
         if not a_l:
-            return pd.DataFrame({"a_id": [], "b_id": [], "inter": [], "a_sz": [], "b_sz": []})
+            return pd.DataFrame({"a_id": [], "b_id": [], "inter": [], "a_sz": [], "b_sz": []}).astype("int64")
         df = pd.DataFrame(
             {
                 "a_id": np.concatenate(a_l),
@@ -366,7 +366,7 @@ def minhash_lsh_pairs(
             a_l.append(uids[ai])
             b_l.append(uids[bi])
         if not a_l:
-            return pd.DataFrame({"a_id": [], "b_id": []})
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
         df = pd.DataFrame({"a_id": np.concatenate(a_l), "b_id": np.concatenate(b_l)})
         return df.drop_duplicates()
 
@@ -578,7 +578,7 @@ def simhash_dup_pairs(
             as_l.append(sims[s:e][ai])
             bs_l.append(sims[s:e][bi])
         if not a_l:
-            return pd.DataFrame({"a_id": [], "b_id": [], "a_sim": [], "b_sim": []})
+            return pd.DataFrame({"a_id": [], "b_id": [], "a_sim": [], "b_sim": []}).astype("int64")
         return pd.DataFrame(
             {
                 "a_id": np.concatenate(a_l),

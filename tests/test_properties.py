@@ -61,6 +61,31 @@ def test_setops_match_python_sets(sa, sb):
     assert set(setops.xor(a, b)[0].tolist()) == (sa ^ sb)
 
 
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_fast_path_equivalence(text):
+    """ASCII fast path == arrow kernel chain for arbitrary unicode input."""
+    import pyarrow as pa
+
+    from oscar_ray.spec.tokenizer import tokenize_column, tokenize_text
+
+    got = tokenize_text(text)
+    lists = tokenize_column(pa.array([text], type=pa.string()))
+    want = [t for t in lists[0].as_py() if t]
+    assert got == want
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_unexpectedly(q):
+    from oscar_ray.query.parser import QueryParseError, parse_query
+
+    try:
+        parse_query(q)
+    except QueryParseError:
+        pass  # the only permitted failure mode
+
+
 @given(
     st.lists(
         st.tuples(
