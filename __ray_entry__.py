@@ -103,6 +103,14 @@ def _search_bm25_prefix(sf_dir: str):
     return bm25_scores_table(sf_dir, f"{BM25_PREFIX}*", k=None)
 
 
+def _search_bm25_substring(sf_dir: str):
+    """Substring search via the suffix-indexed variant (rows-only check;
+    exact semantics are pytest-verified against the oracle)."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, "*erg*", k=None, suffixes=True)
+
+
 def _rel_lineitem_agg(sf_dir: str):
     from oscar_ray.pipelines.relational import lineitem_agg
 
@@ -359,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_or": _search_bm25_or,
         "search_bm25_andnot": _search_bm25_andnot,
         "search_bm25_prefix": _search_bm25_prefix,
+        "search_bm25_substring": _search_bm25_substring,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,

@@ -26,13 +26,18 @@ def documents_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-def documents_index_dir(sf_dir: str) -> str:
-    """Build (or reuse) the documents index for one sf dir; returns its path."""
+def documents_index_dir(sf_dir: str, suffixes: bool = False) -> str:
+    """Build (or reuse) the documents index for one sf dir; returns its path.
+
+    ``suffixes=True`` builds the substring-capable variant (separate cache
+    dir; postings ~5x larger).
+    """
     from oscar_ray.sources.pages import input_fingerprint, list_fragments
 
     src = documents_path(sf_dir)
     fp = input_fingerprint(list_fragments(src))
-    out = os.path.join(_CACHE_ROOT, f"documents-{fp}")
+    tag = "documents-sfx" if suffixes else "documents"
+    out = os.path.join(_CACHE_ROOT, f"{tag}-{fp}")
     cfg = IndexBuildConfig(
         num_partitions=8,
         block_span_bits=12,
@@ -42,6 +47,7 @@ def documents_index_dir(sf_dir: str) -> str:
         lang_column="lang",
         dedup_urls=False,
         cleanup_spill=False,
+        index_suffixes=suffixes,
     )
     build_index(src, out, cfg)  # no-op when complete manifest matches
     return out
@@ -77,14 +83,20 @@ def doc_lengths_table(sf_dir: str) -> pa.Table:
     return meta.filter(pc.greater(meta["doclen"], 0))
 
 
-def bm25_scores_table(sf_dir: str, query: str, k: int | None = None, round_to: int = 4) -> pa.Table:
+def bm25_scores_table(
+    sf_dir: str,
+    query: str,
+    k: int | None = None,
+    round_to: int = 4,
+    suffixes: bool = False,
+) -> pa.Table:
     """(doc_id, score) for one query; score rounded AFTER ranking.
 
     k=None returns the full matching set (robust for oracle comparison);
     otherwise top-k in rank order. Raw scores are bit-identical to the
     SQL oracle (see spec/bm25.bm25_idf), so rounding agrees too.
     """
-    idx = documents_index_dir(sf_dir)
+    idx = documents_index_dir(sf_dir, suffixes=suffixes)
     engine = QueryEngine(idx)
     eff_k = k if k is not None else 1 << 62
     ids, scores = engine.search(query, k=eff_k)

@@ -1,0 +1,59 @@
+"""Print ds.stats() for representative Ray Data pipelines (perf triage).
+
+Usage: python scripts/pipeline_stats.py [sf_dir]
+
+Runs the text-analysis and dedup pipelines over the documents table and
+prints Ray Data's per-stage wall/cpu/memory breakdown — the feedback
+loop for checking that wall-time is dominated by useful compute (no
+starving stages, no absurd block counts).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 8)),
+        include_dashboard=False,
+        logging_level="ERROR",
+        runtime_env={
+            "env_vars": {
+                "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            }
+        },
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from oscar_ray.stages.dedup import ngram_jaccard_pairs
+    from oscar_ray.stages.text_analysis import doc_token_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    print("=== text analysis (map_batches) ===")
+    ds = docs.map_batches(doc_token_stats, batch_format="pyarrow")
+    ds.materialize()
+    print(ds.stats())
+
+    print("\n=== ngram jaccard (shingle -> partition groupbys) ===")
+    pairs = ngram_jaccard_pairs(docs, tau=0.2)
+    pairs.materialize()
+    print(pairs.stats())
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
