@@ -114,10 +114,22 @@ def main():
                 print(f"docid={ids[i]} tf={tfs[i]} doclen={dls[i]}")
     elif args.cmd == "query":
         engine = QueryEngine(args.index, reader)
+        if any(tok.startswith("*") for tok in args.query.split()) and not (
+            reader.manifest["config"].get("index_suffixes")
+        ):
+            print(
+                "# warning: substring/suffix query against an index built "
+                "without index_suffixes — it will match nothing",
+                file=sys.stderr,
+            )
         ids, scores, timings = engine.search_timed(args.query, k=args.k, mode=args.mode)
         for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
             print(f"{rank}\t{d}\t{s:.6f}")
-        phases = " ".join(f"{k_}={v:.0f}us" for k_, v in timings.items())
+        phases = " ".join(
+            f"{k_}={v:.0f}us" for k_, v in timings.items() if not isinstance(v, bool)
+        )
+        if timings.get("error"):
+            phases += " (parse error -> empty result)"
         print(f"# {len(ids)} results; {phases}", file=sys.stderr)
 
 
