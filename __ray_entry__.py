@@ -153,6 +153,18 @@ def _rel_events_window(sf_dir: str):
     return events_window_counts(sf_dir)
 
 
+def _rel_events_json(sf_dir: str):
+    from oscar_ray.pipelines.relational import events_json_stats
+
+    return events_json_stats(sf_dir)
+
+
+def _emb_label_centroids(sf_dir: str):
+    from oscar_ray.pipelines.relational import embedding_label_centroids
+
+    return embedding_label_centroids(sf_dir)
+
+
 def _dedup_exact(sf_dir: str):
     import os
 
@@ -375,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_setops": _rel_customer_setops,
         "rel_facet_entropy": _rel_facet_entropy,
         "rel_events_window": _rel_events_window,
+        "rel_events_json": _rel_events_json,
+        "emb_label_centroids": _emb_label_centroids,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
@@ -577,6 +591,27 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2 ORDER BY k, hour_bucket
+        """,
+        "rel_events_json": """
+            SELECT event_type,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "emb_label_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings
+            ),
+            c AS (SELECT label, dim, sum(v) / count(*) AS m FROM ex GROUP BY 1, 2),
+            nn AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1)
+            SELECT c.label::BIGINT AS label, nn.n_vecs,
+                   floor(sqrt(sum(m * m)) * 1e6)::BIGINT AS centroid_norm_micro
+            FROM c JOIN nn USING (label)
+            GROUP BY c.label, nn.n_vecs ORDER BY label
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id,

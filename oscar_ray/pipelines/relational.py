@@ -199,6 +199,104 @@ def customer_set_ops(sf_dir: str) -> pa.Table:
     )
 
 
+def events_json_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the events `props` JSON column
+    per batch and aggregate the extracted field per event type.
+
+    Ray has no arrow JSON-parse kernel; the per-row json.loads happens
+    inside map_batches (C-accelerated stdlib) — the pattern, not the
+    parser, is the point: schema-on-read projection fused with the scan.
+    """
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_k(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (
+                int(_json.loads(p).get("k", 0)) if p else 0
+                for p in t["props"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks)})
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        ds.map_batches(extract_k, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+            Count(alias_name="n"),
+        )
+        .sort("event_type")
+    )
+
+
+def embedding_label_centroids(sf_dir: str) -> pa.Table:
+    """Vector aggregate: per-label centroid of the embedding column via
+    per-batch partial sums (map_batches) + driver combine — the mergeable-
+    sketch aggregation pattern (guide §aggregation-at-scale).
+
+    Output: (label, n_vecs, centroid_norm_micro) — the centroid's L2 norm
+    in exact micro-units for engine-agnostic comparison.
+    """
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        n = len(t)
+        if not n:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = flat.reshape(n, -1)
+        labels = t["label"].to_numpy().astype(np.int64)
+        uniq = np.unique(labels)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        for i, lab in enumerate(uniq):
+            m = labels == lab
+            sums[i] = mat[m].sum(axis=0)
+            counts[i] = int(m.sum())
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "vsum": pa.array([row.tolist() for row in sums], type=pa.list_(pa.float64())),
+                "n": pa.array(counts),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for r in parts:
+        lab = int(r["label"])
+        v = np.asarray(r["vsum"], dtype=np.float64)
+        if lab in agg:
+            agg[lab] = (agg[lab][0] + v, agg[lab][1] + int(r["n"]))
+        else:
+            agg[lab] = (v, int(r["n"]))
+    rows = []
+    for lab in sorted(agg):
+        v, n = agg[lab]
+        centroid = v / n
+        norm = float(np.sqrt(np.sum(centroid * centroid)))
+        rows.append(
+            {"label": lab, "n_vecs": n, "centroid_norm_micro": int(np.floor(norm * 1e6))}
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def facet_entropy(sf_dir: str) -> pa.Table:
     """Shannon facet statistics (A6 analog: `shannonKvstats`,
     ``oscar-cmd/Workfunctions.cpp:171-233``): per facet key, the entropy
