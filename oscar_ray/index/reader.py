@@ -234,14 +234,16 @@ class IndexReader:
         f = self._files.get(part)
         if f is None:
             f = pq.ParquetFile(layout.postings_path(self.index_dir, part))
-            self._files[part] = f
             stats = []
             md = f.metadata
             ci = f.schema_arrow.get_field_index("term")
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(ci).statistics
                 stats.append((s.min, s.max))
+            # stats before files: concurrent leaf fetches (thread pool in
+            # _collect_leaves) key off _files and then read _rg_stats
             self._rg_stats[part] = stats
+            self._files[part] = f
         groups = [
             rg
             for rg, (lo, hi) in enumerate(self._rg_stats[part])

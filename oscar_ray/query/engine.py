@@ -193,12 +193,21 @@ class QueryEngine:
 
 
 def _collect_leaves(node: Node, reader: IndexReader) -> dict[str, dict]:
-    """term -> {postings, idf, block_index: {block_id: i}} for all leaves."""
+    """term -> {postings, idf, block_index: {block_id: i}} for all leaves.
+
+    Posting fetches for distinct terms run on a small thread pool (the
+    per-query threadCount analog, ``LiveCompleter.cpp:202-227``): the
+    reads are parquet IO + decompression and release the GIL."""
+    terms = list(dict.fromkeys(query_terms(node)))
+    if len(terms) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(terms))) as ex:
+            tps = list(ex.map(reader.postings, terms))
+    else:
+        tps = [reader.postings(t) for t in terms]
     out: dict[str, dict] = {}
-    for term in query_terms(node):
-        if term in out:
-            continue
-        tp = reader.postings(term)
+    for term, tp in zip(terms, tps):
         idf = bm25_idf(tp.df, reader.n_docs) if tp.df else 0.0
         out[term] = {
             "tp": tp,
