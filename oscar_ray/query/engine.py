@@ -85,10 +85,22 @@ def expand_prefixes(
 
 
 class QueryEngine:
-    """Evaluate set-algebra BM25 queries against one index directory."""
+    """Evaluate set-algebra BM25 queries against one index directory.
 
-    def __init__(self, index_dir: str, reader: IndexReader | None = None):
+    ``parallel_fetch=True`` fetches distinct terms' postings on a small
+    thread pool (the per-query threadCount analog,
+    ``LiveCompleter.cpp:202-227``) — use for single-query latency; leave
+    off in batch-serving actors, where it oversubscribes threads and
+    costs throughput."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        reader: IndexReader | None = None,
+        parallel_fetch: bool = False,
+    ):
         self.reader = reader or IndexReader(index_dir)
+        self.parallel_fetch = parallel_fetch
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "auto"):
@@ -154,7 +166,7 @@ class QueryEngine:
     def _eval_pruned(self, node: Node, k: int):
         if k <= 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        leaves = _collect_leaves(node, self.reader)
+        leaves = _collect_leaves(node, self.reader, parallel=self.parallel_fetch)
         # per-node, per-block upper bounds + feasibility
         blocks = _block_bounds(node, leaves)
         if not blocks:
@@ -192,14 +204,12 @@ class QueryEngine:
         return top_ids, top_scores
 
 
-def _collect_leaves(node: Node, reader: IndexReader) -> dict[str, dict]:
-    """term -> {postings, idf, block_index: {block_id: i}} for all leaves.
-
-    Posting fetches for distinct terms run on a small thread pool (the
-    per-query threadCount analog, ``LiveCompleter.cpp:202-227``): the
-    reads are parquet IO + decompression and release the GIL."""
+def _collect_leaves(
+    node: Node, reader: IndexReader, parallel: bool = False
+) -> dict[str, dict]:
+    """term -> {postings, idf, block_index: {block_id: i}} for all leaves."""
     terms = list(dict.fromkeys(query_terms(node)))
-    if len(terms) > 2:
+    if parallel and len(terms) > 2:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(terms))) as ex:

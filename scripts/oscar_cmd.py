@@ -113,7 +113,7 @@ def main():
             for i in range(min(args.head, len(ids))):
                 print(f"docid={ids[i]} tf={tfs[i]} doclen={dls[i]}")
     elif args.cmd == "query":
-        engine = QueryEngine(args.index, reader)
+        engine = QueryEngine(args.index, reader, parallel_fetch=True)
         if any(tok.startswith("*") for tok in args.query.split()) and not (
             reader.manifest["config"].get("index_suffixes")
         ):
