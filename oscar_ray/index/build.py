@@ -121,8 +121,6 @@ class IndexBuildConfig:
     rank_column: str | None = None
     k1: float = 0.9
     b: float = 0.4
-    stage_a_concurrency: int | None = None  # default: let Ray schedule tasks
-    stage_b_concurrency: int | None = None
     cleanup_spill: bool = False  # drop tmp/ after successful finalize
 
     def bm25(self) -> BM25Params:

@@ -115,10 +115,10 @@ class TestDeterminismAndResume:
         postings+dict (the queryable artifacts) across configs.
         """
         cfg_a = IndexBuildConfig(
-            num_partitions=8, block_span_bits=8, shard_fragments=3, stage_a_concurrency=1
+            num_partitions=8, block_span_bits=8, shard_fragments=3
         )
         cfg_b = IndexBuildConfig(
-            num_partitions=8, block_span_bits=8, shard_fragments=1, stage_a_concurrency=4
+            num_partitions=8, block_span_bits=8, shard_fragments=1
         )
         out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
         build_index(pages_t1, out_a, cfg_a)
