@@ -44,36 +44,66 @@ class Fragment:
         }
 
 
+#: recognized input formats: parquet (row-group fragments) and
+#: line-delimited JSON / CSV (whole-file fragments)
+_EXTS = (".parquet", ".jsonl", ".ndjson", ".csv")
+
+
 def resolve_paths(paths: str | list[str]) -> list[str]:
-    """Expand a dir / glob / list into a sorted list of parquet files."""
+    """Expand a dir / glob / list into a sorted list of input files."""
     if isinstance(paths, str):
         if os.path.isdir(paths):
-            out = sorted(glob.glob(os.path.join(paths, "*.parquet")))
+            out = sorted(
+                p
+                for ext in _EXTS
+                for p in glob.glob(os.path.join(paths, f"*{ext}"))
+            )
         else:
             out = sorted(glob.glob(paths)) or [paths]
     else:
         out = sorted(paths)
     if not out:
-        raise FileNotFoundError(f"no parquet files under {paths!r}")
+        raise FileNotFoundError(f"no input files under {paths!r}")
     return out
 
 
 def list_fragments(paths: str | list[str]) -> list[Fragment]:
-    """Footer-only scan: (path, row_group) -> cumulative docid base.
+    """Metadata scan: (path, row_group) -> cumulative docid base.
 
-    Deterministic: files sorted by path, row groups in order. At 100 TB
-    this scan reads only footers (KBs/file); it can itself be distributed
-    with a map over files if footer count gets large.
+    Deterministic: files sorted by path, row groups in order. Parquet
+    files cost a footer read per file; JSONL/CSV files (one fragment per
+    file, ``row_group == -1``) cost a row-count pass. At 100 TB this scan
+    can itself be distributed with a map over files.
     """
     frags: list[Fragment] = []
     base = 0
     for path in resolve_paths(paths):
-        meta = pq.ParquetFile(path).metadata
-        for rg in range(meta.num_row_groups):
-            n = meta.row_group(rg).num_rows
-            frags.append(Fragment(path, rg, base, n))
+        if path.endswith(".parquet"):
+            meta = pq.ParquetFile(path).metadata
+            for rg in range(meta.num_row_groups):
+                n = meta.row_group(rg).num_rows
+                frags.append(Fragment(path, rg, base, n))
+                base += n
+        else:
+            n = len(_read_whole_file(path, columns=None))
+            frags.append(Fragment(path, -1, base, n))
             base += n
     return frags
+
+
+def _read_whole_file(path: str, columns: list[str] | None) -> pa.Table:
+    """Read a non-parquet (jsonl/csv) file as one arrow table."""
+    if path.endswith((".jsonl", ".ndjson")):
+        from pyarrow import json as pa_json
+
+        t = pa_json.read_json(path)
+    elif path.endswith(".csv"):
+        from pyarrow import csv as pa_csv
+
+        t = pa_csv.read_csv(path)
+    else:
+        raise ValueError(f"unsupported input format: {path}")
+    return t.select(columns) if columns else t
 
 
 def input_fingerprint(frags: list[Fragment]) -> str:
@@ -104,7 +134,10 @@ def read_fragment(
     read_cols = list(columns) if columns else None
     if read_cols is not None and id_column and id_column not in read_cols:
         read_cols.append(id_column)
-    tbl = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=read_cols)
+    if frag.row_group < 0:
+        tbl = _read_whole_file(frag.path, read_cols)
+    else:
+        tbl = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=read_cols)
     if id_column:
         docid = tbl[id_column].cast(pa.int64())
         if id_column not in (columns or []):

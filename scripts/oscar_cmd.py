@@ -36,6 +36,7 @@ def main():
     b.add_argument("-f", "--file", required=True, help="one query per line")
     b.add_argument("-k", type=int, default=10)
     b.add_argument("--num-cpus", type=int, default=8)
+    b.add_argument("--out", help="write results as parquet to this dir instead of stdout")
     dt = sub.add_parser("dump-term")
     dt.add_argument("-t", "--term", required=True)
     dt.add_argument("--head", type=int, default=10)
@@ -69,17 +70,25 @@ def main():
             ]
         qds = ray.data.from_items(queries, override_num_blocks=max(1, args.num_cpus))
         t0 = time.perf_counter()
-        rows = qds.map_batches(
+        results = qds.map_batches(
             QueryServer,
             fn_constructor_kwargs={"index_dir": args.index},
             batch_format="pyarrow",
             concurrency=args.num_cpus,
-        ).take_all()
-        dt_s = time.perf_counter() - t0
-        for r in rows[: 5 * args.k]:
-            print(json.dumps(r))
+        )
+        if args.out:
+            # streaming parquet sink: results never materialize on the driver
+            results.write_parquet(args.out)
+            dt_s = time.perf_counter() - t0
+            n_rows = "written"
+        else:
+            rows = results.take_all()
+            dt_s = time.perf_counter() - t0
+            n_rows = len(rows)
+            for r in rows[: 5 * args.k]:
+                print(json.dumps(r))
         print(
-            f"# {len(queries)} queries, {len(rows)} result rows, "
+            f"# {len(queries)} queries, {n_rows} result rows, "
             f"{dt_s:.3f}s, {len(queries)/dt_s:.1f} qps",
             file=sys.stderr,
         )

@@ -201,6 +201,32 @@ class TestDeterminismAndResume:
         hh = {k: v for k, v in _artifact_hashes(out_html).items() if not k.startswith("docmeta")}
         assert ht == hh and len(ht) > 0
 
+    def test_jsonl_source_identical_index(self, ray_session, tmp_path):
+        """JSONL input (whole-file fragments) builds the same postings as
+        the equivalent parquet input."""
+        import json as _json
+
+        import pyarrow as pa
+
+        from oscar_ray.sources.synth import generate_pages_batch
+
+        tbl = generate_pages_batch(0, 120, seed=42).select(["url", "text", "lang"])
+        pdir = str(tmp_path / "pq")
+        jdir = str(tmp_path / "jl")
+        os.makedirs(pdir)
+        os.makedirs(jdir)
+        pq.write_table(tbl, os.path.join(pdir, "a.parquet"), row_group_size=60)
+        with open(os.path.join(jdir, "a.jsonl"), "w") as f:
+            for r in tbl.to_pylist():
+                f.write(_json.dumps(r) + "\n")
+        cfg = IndexBuildConfig(num_partitions=4, shard_fragments=2)
+        out_p, out_j = str(tmp_path / "ip"), str(tmp_path / "ij")
+        build_index(pdir, out_p, cfg)
+        build_index(jdir, out_j, cfg)
+        hp = {k: v for k, v in _artifact_hashes(out_p).items() if k.startswith(("postings", "dict"))}
+        hj = {k: v for k, v in _artifact_hashes(out_j).items() if k.startswith(("postings", "dict"))}
+        assert hp == hj and len(hp) > 0
+
     def test_rank_column_mode(self, ray_session, tmp_path):
         """applySort analog: docids assigned by rank desc; BM25 ties then
         prefer higher-static-rank docs automatically."""
