@@ -405,6 +405,10 @@ class AssemblePartitionWorker:
             tfn = bm25_tf_norm(tf, dl, avgdl, params)
             max_tfn = np.maximum.reduceat(tfn, seg_starts)
             sum_tf = np.add.reduceat(tf, seg_starts)
+            # avgdl-independent bound ingredients (segment merge recomputes
+            # max_tfn for the merged corpus's avgdl from these)
+            max_tf = np.maximum.reduceat(tf, seg_starts)
+            min_dl = np.minimum.reduceat(dl, seg_starts)
             terms_out = sorted_terms[rank[seg_starts]]
             blocks_out = block[seg_starts]
             counts_out = seg_ends - seg_starts
@@ -412,6 +416,7 @@ class AssemblePartitionWorker:
             docs_b = tfs_b = dls_b = []
             max_tfn = np.empty(0, dtype=np.float64)
             sum_tf = counts_out = blocks_out = np.empty(0, dtype=np.int64)
+            max_tf = min_dl = np.empty(0, dtype=np.int64)
             terms_out = np.empty(0, dtype=object)
 
         postings = pa.table(
@@ -421,6 +426,8 @@ class AssemblePartitionWorker:
                 "doc_count": pa.array(counts_out, type=pa.int64()),
                 "sum_tf": pa.array(sum_tf, type=pa.int64()),
                 "max_tfn": pa.array(max_tfn, type=pa.float64()),
+                "max_tf": pa.array(max_tf, type=pa.int64()),
+                "min_dl": pa.array(min_dl, type=pa.int64()),
                 "docs": pa.array(docs_b, type=pa.binary()),
                 "tfs": pa.array(tfs_b, type=pa.binary()),
                 "dls": pa.array(dls_b, type=pa.binary()),

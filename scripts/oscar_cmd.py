@@ -44,7 +44,28 @@ def main():
     sub.add_parser("stats")
     ck = sub.add_parser("check")
     ck.add_argument("--sample-blocks", type=int, default=None)
+    mg = sub.add_parser("merge", help="merge other built indexes INTO -i (segment merge)")
+    mg.add_argument("inputs", nargs="+", help="source index dirs (>= 2)")
     args = ap.parse_args()
+
+    if args.cmd == "merge":
+        import ray
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+        )
+        from oscar_ray.index.merge import merge_indexes
+
+        m = merge_indexes(args.inputs, args.index)
+        print(json.dumps({"complete": m["complete"], "stats": m["stats"],
+                          "merged_from": m["merged_from"]}))
+        ray.shutdown()
+        return
 
     if args.cmd == "batch":
         import ray
