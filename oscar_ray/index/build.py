@@ -81,7 +81,7 @@ from oscar_ray.spec.tokenizer import flatten_tokens
 _PARQUET_WRITE_OPTS = dict(compression="zstd", data_page_version="2.0")
 # spill is written once and read once — cheap (de)compression wins there
 _SPILL_WRITE_OPTS = dict(compression="lz4", data_page_version="2.0")
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: postings carry (max_tf, min_dl) for merge-time block-max
 
 
 @dataclass
@@ -512,6 +512,7 @@ def build_index(
         manifest
         and manifest.get("fingerprint") == fingerprint
         and manifest.get("config") == asdict(cfg)
+        and manifest.get("version") == INDEX_FORMAT_VERSION
     )
     if manifest and manifest.get("complete") and matches and resume:
         return manifest
