@@ -788,9 +788,18 @@ def _dedup_and_stats(out_dir: str, cfg: IndexBuildConfig, total_docs: int, total
     results = ray.get(
         [_dedup_part_task.remote(out_dir, p) for p in range(cfg.url_partitions)]
     )
-    tombstones = np.sort(np.concatenate([r[0] for r in results]))
+    tombstones = np.sort(np.concatenate([r[0] for r in results])).astype(np.int64)
     tomb_dl = int(sum(r[1] for r in results))
-    return tombstones.astype(np.int64), _stats(len(tombstones), tomb_dl)
+    # persist as an artifact: dedup lineage, external consumers, and the
+    # >10^9-doc path where stage B range-slices this sorted file instead
+    # of taking a ray.put broadcast (SCALE.md)
+    pq.write_table(
+        pa.table({"docid": pa.array(tombstones)}),
+        os.path.join(out_dir, "tombstones.parquet"),
+        row_group_size=1 << 20,
+        **_PARQUET_WRITE_OPTS,
+    )
+    return tombstones, _stats(len(tombstones), tomb_dl)
 
 
 def _load_manifest(out_dir: str) -> dict | None:
