@@ -30,6 +30,7 @@ K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
+MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
 TOKEN_SPLIT_SQL = "[^a-z0-9]+"  # spec tokenizer == this for ascii-lower corpora
 
 
@@ -530,7 +531,11 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_prefix": _BM25_BASE
         + f"""
             SELECT doc_id, round(sum(score), 4) AS score
-            FROM scores WHERE term LIKE '{BM25_PREFIX}%'
+            FROM scores WHERE term IN (
+                -- the engine caps prefix expansion at MAX_PREFIX_EXPANSIONS
+                -- dictionary terms, ascending — mirror the cap here
+                SELECT term FROM df WHERE term LIKE '{BM25_PREFIX}%'
+                ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
             GROUP BY doc_id ORDER BY doc_id
         """,
         "rel_lineitem_agg": """

@@ -101,12 +101,27 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
             pa.array(new_tfn, type=pa.float64()),
         )
         merged = merged.sort_by([("term", "ascending"), ("block_id", "ascending")])
+    if merged is None:
+        # no input contributed rows for this partition: write an empty
+        # v2-schema postings table (never re-read a file whose absence is
+        # exactly what made `merged` None)
+        merged = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "block_id": pa.array([], type=pa.int64()),
+                "doc_count": pa.array([], type=pa.int64()),
+                "sum_tf": pa.array([], type=pa.int64()),
+                "max_tfn": pa.array([], type=pa.float64()),
+                "max_tf": pa.array([], type=pa.int64()),
+                "min_dl": pa.array([], type=pa.int64()),
+                "docs": pa.array([], type=pa.binary()),
+                "tfs": pa.array([], type=pa.binary()),
+                "dls": pa.array([], type=pa.binary()),
+            }
+        )
     ppath = layout.postings_path(out_dir, part)
     os.makedirs(os.path.dirname(ppath), exist_ok=True)
-    pq.write_table(
-        merged if merged is not None else pq.read_table(layout.postings_path(in_dirs[0], part)),
-        ppath, row_group_size=4096, **_PARQUET_WRITE_OPTS,
-    )
+    pq.write_table(merged, ppath, row_group_size=4096, **_PARQUET_WRITE_OPTS)
 
     # dictionary: concat + per-term sum
     dicts = [
@@ -114,7 +129,11 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
         for d in in_dirs
         if os.path.exists(layout.dict_path(d, part))
     ]
-    dt = pa.concat_tables(dicts)
+    dt = pa.concat_tables(dicts) if dicts else pa.table(
+        {"term": pa.array([], type=pa.string()),
+         "df": pa.array([], type=pa.int64()),
+         "cf": pa.array([], type=pa.int64())}
+    )
     if dt.num_rows:
         g = dt.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
         dt = pa.table(
@@ -127,8 +146,7 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
     layout.write_marker(
         layout.marker_path(out_dir, "partB", part),
         {"part": part, "merged_from": len(in_dirs), "terms": int(dt.num_rows),
-         "blocks": int(merged.num_rows if merged is not None else 0),
-         "rows": int(merged.num_rows if merged is not None else 0),
+         "blocks": int(merged.num_rows), "rows": int(merged.num_rows),
          "postings_bytes": os.path.getsize(ppath), "secs": 0.0},
     )
     return part

@@ -138,7 +138,10 @@ class IndexReader:
             if len(arr) == 0:
                 continue
             lo = np.searchsorted(arr, prefix)
-            hi = np.searchsorted(arr, prefix + "￿")
+            # upper bound uses the MAX code point: '￿' would exclude
+            # terms whose next char is a supplementary-plane codepoint
+            # (e.g. CJK Ext-B, which the tokenizer does produce)
+            hi = np.searchsorted(arr, prefix + chr(0x10FFFF))
             out.extend(arr[lo:hi].tolist())
         out.sort()
         return out[:limit] if limit is not None else out

@@ -31,6 +31,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-30)
 
 
+def _tie_safe_topk(row: np.ndarray, ids: np.ndarray, k: int):
+    """Per-batch top-k candidate selection, tie-safe (same contract as
+    setops.top_k): keep every candidate whose score >= the k-th largest,
+    order by (score desc, id asc), truncate to k. Truncation is safe:
+    any dropped boundary tie has a higher id than k kept equal-score
+    candidates, so it can never enter the global (score desc, id asc)
+    top-k merge ahead of them."""
+    n = len(row)
+    if n == 0 or k <= 0:
+        return np.empty(0, dtype=np.int64)
+    if n > k:
+        thresh = np.partition(row, n - k)[n - k]
+        cand = np.flatnonzero(row >= thresh)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], -row[cand]))[:k]
+    return cand[order]
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch cosine top-k against broadcast queries.
 
@@ -57,13 +76,10 @@ class BruteForceTopK:
                 }
             )
         sims = self.q @ _normalize(m).T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
         qids, out_ids, out_sc = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            cand = np.argpartition(-row, k - 1)[:k] if len(row) > k else np.arange(len(row))
-            order = np.lexsort((ids[cand], -row[cand]))
-            sel = cand[order]
+            sel = _tie_safe_topk(row, ids, self.k)
             qids.extend([qi] * len(sel))
             out_ids.extend(ids[sel].tolist())
             out_sc.extend(row[sel].tolist())
@@ -232,10 +248,7 @@ def knn_lsh(
                 if not len(sel):
                     continue
                 row = self.q[qi] @ m[sel].T
-                kk = min(k, len(sel))
-                cand = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-                order = np.lexsort((ids[sel][cand], -row[cand]))
-                pick = cand[order]
+                pick = _tie_safe_topk(row, ids[sel], k)
                 qids.extend([qi] * len(pick))
                 out_ids.extend(ids[sel][pick].tolist())
                 out_sc.extend(row[pick].tolist())
