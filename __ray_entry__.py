@@ -112,6 +112,32 @@ def _search_bm25_substring(sf_dir: str):
     return bm25_scores_table(sf_dir, "*erg*", k=None, suffixes=True)
 
 
+def _search_bm25_lang_filter(sf_dir: str):
+    """BM25 term query narrowed by a @lang: field filter (tag-scoped
+    search, the TextSearchTraits tag-string analog)."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"{BM25_TERM} @lang:en", k=None)
+
+
+def _search_facets(sf_dir: str):
+    from oscar_ray.pipelines.facets import search_facets
+
+    return search_facets(sf_dir, BM25_AND, facet_cols=("lang", "source"), topk=10)
+
+
+def _search_shannon_facets(sf_dir: str):
+    from oscar_ray.pipelines.facets import search_shannon_facets
+
+    return search_shannon_facets(sf_dir, BM25_AND, facet_cols=("lang", "source"))
+
+
+def _search_hydrate(sf_dir: str):
+    from oscar_ray.pipelines.facets import hydrate_results
+
+    return hydrate_results(sf_dir, BM25_TERM, k=10)
+
+
 def _rel_lineitem_agg(sf_dir: str):
     from oscar_ray.pipelines.relational import lineitem_agg
 
@@ -312,14 +338,22 @@ def _ann_cosine_topk(sf_dir: str):
 
 
 def _ann_lsh_topk(sf_dir: str):
+    """LSH ANN over the bucket-partitioned vector artifact (built+cached
+    once per input): probes only admissible bucket directories; output is
+    identical to the full-scan knn_lsh with the same hasher."""
     import os
 
     import ray.data
 
-    from oscar_ray.stages.similarity import knn_lsh
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+    from oscar_ray.stages.similarity import build_vector_buckets, knn_lsh_partitioned
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return knn_lsh(ds, _queries_embeddings(sf_dir), k=ANN_K)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint(list_fragments(src))
+    bucket_dir = f"/tmp/oscar_ray_cache/annbuckets-{fp}"
+    if not os.path.exists(os.path.join(bucket_dir, "ann_manifest.json")):
+        build_vector_buckets(ray.data.read_parquet(src), bucket_dir, nbits=8)
+    return knn_lsh_partitioned(bucket_dir, _queries_embeddings(sf_dir), k=ANN_K)
 
 
 def _emb_dup_pairs(sf_dir: str):
@@ -381,6 +415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_andnot": _search_bm25_andnot,
         "search_bm25_prefix": _search_bm25_prefix,
         "search_bm25_substring": _search_bm25_substring,
+        "search_bm25_lang_filter": _search_bm25_lang_filter,
+        "search_facets": _search_facets,
+        "search_shannon_facets": _search_shannon_facets,
+        "search_hydrate": _search_hydrate,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -537,6 +575,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT term FROM df WHERE term LIKE '{BM25_PREFIX}%'
                 ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "search_bm25_lang_filter": _BM25_BASE
+        + f"""
+            SELECT s.doc_id, round(s.score, 4) AS score
+            FROM scores s JOIN documents d USING (doc_id)
+            WHERE s.term = '{BM25_TERM}' AND d.lang = 'en'
+            ORDER BY doc_id
+        """,
+        "search_facets": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[0]}'
+                INTERSECT
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[1]}'
+            ),
+            f AS (
+                SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+                FROM documents JOIN matched USING (doc_id) GROUP BY lang
+                UNION ALL
+                SELECT 'source', source, count(*)::BIGINT
+                FROM documents JOIN matched USING (doc_id) GROUP BY source
+            ),
+            r AS (
+                SELECT facet, value, n,
+                       row_number() OVER (
+                           PARTITION BY facet ORDER BY n DESC, value) AS rk
+                FROM f
+            )
+            SELECT facet, value, n FROM r WHERE rk <= 10
+            ORDER BY facet, n DESC, value
+        """,
+        "search_shannon_facets": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[0]}'
+                INTERSECT
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[1]}'
+            ),
+            c1 AS (SELECT lang AS v, count(*)::DOUBLE AS n
+                   FROM documents JOIN matched USING (doc_id) GROUP BY lang),
+            c2 AS (SELECT source AS v, count(*)::DOUBLE AS n
+                   FROM documents JOIN matched USING (doc_id) GROUP BY source)
+            SELECT 'lang' AS facet, (SELECT count(*) FROM c1)::BIGINT AS n_values,
+                   (SELECT round(sum(-(n / t) * ln(n / t)), 6)
+                    FROM (SELECT n, (SELECT sum(n) FROM c1) AS t FROM c1)) AS entropy
+            UNION ALL
+            SELECT 'source', (SELECT count(*) FROM c2)::BIGINT,
+                   (SELECT round(sum(-(n / t) * ln(n / t)), 6)
+                    FROM (SELECT n, (SELECT sum(n) FROM c2) AS t FROM c2))
+            ORDER BY facet
+        """,
+        "search_hydrate": _BM25_BASE
+        + f""",
+            ranked AS (
+                SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                FROM scores WHERE term = '{BM25_TERM}'
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                   round(r.score, 4) AS score
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rk <= 10 ORDER BY d.doc_id
         """,
         "rel_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -102,6 +102,12 @@ class IndexBuildConfig:
     # gates it behind config the same way).
     index_suffixes: bool = False
     min_suffix_len: int = 2
+    # field/tag-scoped search (the reference's `"@"+key+":"+value`
+    # tag-strings, ``TextSearchTraits.h:68-86``): for each listed column,
+    # every doc gets one marker term FIELD_MARKER+col+":"+norm(value)
+    # (tf=1), so `@col:value` query leaves evaluate as zero-score filter
+    # posting lists. Tiny postings cost: one row per doc per field.
+    field_columns: list = None  # e.g. ["lang"]; None/[] = off
     # input_hint invariant: when True, stage A reads the html binary column
     # and derives text via the deterministic extractor (spec/extract.py);
     # if a text column also exists it is asserted byte-identical per row
@@ -161,6 +167,9 @@ class TokenizeShardWorker:
             cols.append(cfg.url_column)
         if cfg.lang_column:
             cols.append(cfg.lang_column)
+        for fc in cfg.field_columns or []:
+            if fc not in cols:
+                cols.append(fc)
         tbl = pa.concat_tables(
             read_fragment(Fragment(**f), columns=cols, id_column=cfg.id_column)
             for f in frags
@@ -208,6 +217,10 @@ class TokenizeShardWorker:
         if cfg.index_suffixes:
             urow, ucode, tf, terms_py = _expand_suffix_pairs(
                 urow, ucode, tf, terms_py, cfg.min_suffix_len
+            )
+        if cfg.field_columns:
+            urow, ucode, tf, terms_py = _append_field_pairs(
+                tbl, cfg.field_columns, urow, ucode, tf, terms_py
             )
 
         # partition of each unique term in this shard's dictionary
@@ -680,6 +693,67 @@ def _expand_suffix_pairs(
     all_code = np.concatenate((ucode, (agg_key & np.int64(0xFFFFFFFF)).astype(np.int64)))
     all_tf = np.concatenate((tf, agg_tf))
     return all_row, all_code, all_tf, terms_py + suffix_terms
+
+
+def _append_field_pairs(
+    tbl: pa.Table,
+    field_columns: list,
+    urow: np.ndarray,
+    ucode: np.ndarray,
+    tf: np.ndarray,
+    terms_py: list[str],
+):
+    """Append one (row, FIELD_MARKER+col+":"+norm(value), tf=1) pair per
+    doc per field column. Values are normalized with the pinned tokenizer
+    (tokens joined '_'); the marker-term vocabulary is field-cardinality
+    sized, so normalization runs once per DISTINCT value (dictionary
+    encode), never per row."""
+    from oscar_ray.index.layout import field_term
+    from oscar_ray.spec.tokenizer import tokenize_text
+
+    add_rows, add_codes = [], []
+    for col in field_columns:
+        fcol = tbl[col]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        denc = pc.dictionary_encode(fcol)
+        codes = denc.indices.to_numpy(zero_copy_only=False)  # float w/ nan for null
+        uniq = denc.dictionary.to_pylist()
+        term_code_of: list[int] = []
+        seen: dict[str, int] = {}
+        for v in uniq:
+            toks = tokenize_text(str(v)) if v is not None else []
+            if not toks:
+                term_code_of.append(-1)
+                continue
+            t = field_term(col, toks)
+            c = seen.get(t)  # distinct raw values can normalize equal
+            if c is None:
+                c = len(terms_py)
+                seen[t] = c
+                terms_py.append(t)
+            term_code_of.append(c)
+        tco = np.asarray(term_code_of, dtype=np.int64)
+        valid = ~pd_isnull_np(codes)
+        rows = np.flatnonzero(valid)
+        mapped = tco[codes[valid].astype(np.int64)]
+        ok = mapped >= 0
+        add_rows.append(rows[ok])
+        add_codes.append(mapped[ok])
+    if add_rows:
+        ar = np.concatenate(add_rows)
+        ac = np.concatenate(add_codes)
+        urow = np.concatenate((urow, ar))
+        ucode = np.concatenate((ucode, ac))
+        tf = np.concatenate((tf, np.ones(len(ar), dtype=tf.dtype)))
+    return urow, ucode, tf, terms_py
+
+
+def pd_isnull_np(codes: np.ndarray) -> np.ndarray:
+    """Null mask for dictionary indices materialized as float (NaN=null)."""
+    if codes.dtype.kind == "f":
+        return np.isnan(codes)
+    return np.zeros(len(codes), dtype=bool)
 
 
 @ray.remote(num_cpus=1)

@@ -33,6 +33,18 @@ import numpy as np
 #: \x01 never appears in tokenizer output, so the namespaces cannot collide
 SUFFIX_MARKER = "\x01"
 
+#: namespace marker for field/tag terms (`@field:value` scoped search —
+#: the reference's `"@"+key+":"+value` tag-string insertion,
+#: ``oscar-create/TextSearchTraits.h:68-86``); \x02 never appears in
+#: tokenizer output, so the namespace cannot collide with text terms
+FIELD_MARKER = "\x02"
+
+
+def field_term(field: str, value_tokens: list[str]) -> str:
+    """Canonical marker term for a field value: tokens joined with '_'
+    (kept verbatim by the query lexer, impossible in tokenizer output)."""
+    return FIELD_MARKER + field + ":" + "_".join(value_tokens)
+
 
 def term_partition(term: str, num_partitions: int) -> int:
     """Stable term -> partition id (CRC32 mod P). Must match build & query."""

@@ -48,6 +48,7 @@ def documents_index_dir(sf_dir: str, suffixes: bool = False) -> str:
         dedup_urls=False,
         cleanup_spill=False,
         index_suffixes=suffixes,
+        field_columns=None if suffixes else ["lang"],  # @lang: filter terms
     )
     build_index(src, out, cfg)  # no-op when complete manifest matches
     return out
@@ -57,6 +58,10 @@ def term_stats_table(sf_dir: str) -> pa.Table:
     """(term, df, cf) over the whole corpus, term ascending."""
     import pyarrow.parquet as pq
 
+    import pyarrow.compute as pc
+
+    from oscar_ray.index.layout import FIELD_MARKER
+
     idx = documents_index_dir(sf_dir)
     reader = IndexReader(idx)
     parts = []
@@ -64,7 +69,11 @@ def term_stats_table(sf_dir: str) -> pa.Table:
         path = dict_path(idx, p)
         if os.path.exists(path):
             parts.append(pq.read_table(path))
-    return pa.concat_tables(parts).sort_by("term")
+    t = pa.concat_tables(parts)
+    # exclude namespace-marked terms (@field filters) — term stats are
+    # about the text vocabulary
+    t = t.filter(pc.invert(pc.starts_with(t["term"], FIELD_MARKER)))
+    return t.sort_by("term")
 
 
 def doc_lengths_table(sf_dir: str) -> pa.Table:

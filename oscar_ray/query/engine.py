@@ -29,8 +29,9 @@ import pyarrow as pa
 
 from oscar_ray.index.reader import IndexReader
 from oscar_ray.query import setops
-from oscar_ray.index.layout import SUFFIX_MARKER
+from oscar_ray.index.layout import FIELD_MARKER, SUFFIX_MARKER
 from oscar_ray.query.parser import (
+    Field,
     Node,
     Op,
     Prefix,
@@ -151,12 +152,14 @@ class QueryEngine:
         if tp.df == 0:
             return setops.empty_set()
         docids, tfs, dls = tp.decode_all()
-        idf = bm25_idf(tp.df, self.reader.n_docs)
+        # field marker terms are zero-score FILTERS (idf 0): they narrow
+        # the doc set through the set algebra without moving BM25 scores
+        idf = 0.0 if term.startswith(FIELD_MARKER) else bm25_idf(tp.df, self.reader.n_docs)
         scores = idf * bm25_tf_norm(tfs, dls, self.reader.avgdl, self.reader.params)
         return docids, scores
 
     def _eval_exhaustive(self, node: Node) -> setops.ScoredSet:
-        if isinstance(node, Term):
+        if isinstance(node, (Term, Field)):
             return self._leaf_full(node.token)
         left = self._eval_exhaustive(node.left)
         right = self._eval_exhaustive(node.right)
@@ -218,7 +221,10 @@ def _collect_leaves(
         tps = [reader.postings(t) for t in terms]
     out: dict[str, dict] = {}
     for term, tp in zip(terms, tps):
-        idf = bm25_idf(tp.df, reader.n_docs) if tp.df else 0.0
+        if tp.df == 0 or term.startswith(FIELD_MARKER):
+            idf = 0.0  # field filters score zero (see _leaf_full)
+        else:
+            idf = bm25_idf(tp.df, reader.n_docs)
         out[term] = {
             "tp": tp,
             "idf": idf,
@@ -236,7 +242,7 @@ def _block_bounds(node: Node, leaves: dict) -> dict[int, float]:
         all_blocks.update(leaf["blocks"].keys())
 
     def bound(n: Node, b: int) -> tuple[bool, float]:
-        if isinstance(n, Term):
+        if isinstance(n, (Term, Field)):
             leaf = leaves[n.token]
             i = leaf["blocks"].get(b)
             if i is None:
@@ -275,7 +281,7 @@ def _leaf_block(leaf: dict, block_id: int) -> setops.ScoredSet:
 
 
 def _eval_block(node: Node, leaves: dict, block_id: int) -> setops.ScoredSet:
-    if isinstance(node, Term):
+    if isinstance(node, (Term, Field)):
         return _leaf_block(leaves[node.token], block_id)
     left = _eval_block(node.left, leaves, block_id)
     right = _eval_block(node.right, leaves, block_id)

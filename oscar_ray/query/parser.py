@@ -70,6 +70,27 @@ class Substring:
 
 
 @dataclass(frozen=True)
+class Field:
+    """Field-scoped leaf (`@lang:en`) — the reference's tag-string query
+    surface (``oscar-create/TextSearchTraits.h:68-86`` inserts
+    `"@"+key+":"+value` terms; ``TagStore``-style structured lookup).
+    Evaluates as a zero-score FILTER posting list: AND with a Field
+    narrows the doc set without perturbing BM25 scores."""
+
+    field: str
+    value: str  # normalized value tokens joined with '_'
+
+    @property
+    def token(self) -> str:
+        from oscar_ray.index.layout import field_term
+
+        return field_term(self.field, [self.value] if self.value else [])
+
+    def __repr__(self):
+        return f"F(@{self.field}:{self.value})"
+
+
+@dataclass(frozen=True)
 class Op:
     kind: str  # 'and' | 'or' | 'andnot' | 'xor'
     left: "Node"
@@ -79,7 +100,7 @@ class Op:
         return f"({self.left} {self.kind} {self.right})"
 
 
-Node = Term | Prefix | Substring | Op
+Node = Term | Prefix | Substring | Field | Op
 
 _OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
 
@@ -171,6 +192,14 @@ def parse_query(q: str, max_len: int = 100_000, max_terms: int = 512) -> Node | 
 
 
 def _term_node(raw: str) -> Node | None:
+    if raw.startswith("@") and ":" in raw:
+        fname, _, fval = raw[1:].partition(":")
+        ftoks = tokenize_text(fname)
+        vtoks = tokenize_text(fval.replace("_", " "))
+        if not ftoks:
+            return None
+        # value normalizing to nothing -> impossible term (matches nothing)
+        return Field("".join(ftoks), "_".join(vtoks))
     lead = raw.startswith("*")
     trail = raw.endswith("*")
     tokens = tokenize_text(raw.strip("*"))
@@ -197,7 +226,7 @@ def query_terms(node: Node | None) -> list[str]:
     stack = [node]
     while stack:
         n = stack.pop()
-        if isinstance(n, Term):
+        if isinstance(n, (Term, Field)):
             out.append(n.token)
         elif isinstance(n, Op):
             stack.append(n.right)

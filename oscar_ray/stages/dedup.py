@@ -8,8 +8,10 @@ posting-payload dedup (`ItemIndexFactory` content-hash store,
 tables.
 
 All operators take/return Ray Datasets; heavy work is vectorized inside
-``map_batches``; the only shuffles are content-keyed groupbys. Shingle
-hashing uses blake2b (deterministic across processes).
+``map_batches``; the only shuffles are content-keyed groupbys. Token
+hashes are blake2b-64 computed once per distinct token; n-gram shingle
+hashes are a vectorized splitmix64 rolling chain over the token-hash
+array (deterministic across processes, no per-n-gram Python calls).
 """
 
 from __future__ import annotations
@@ -73,20 +75,69 @@ def exact_dedup_groups(
 # --------------------------------------------------------------------------
 
 
-def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    """Distinct blake2b-64 hashes of token n-grams of one document."""
-    if len(tokens) < n:
-        return np.empty(0, dtype=np.uint64)
-    out = set()
-    join = " ".join
-    for i in range(len(tokens) - n + 1):
-        dig = hashlib.blake2b(join(tokens[i : i + n]).encode("utf-8"), digest_size=8)
-        out.add(int.from_bytes(dig.digest(), "little"))
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+_SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(tokens_a) -> np.ndarray:
+    """blake2b-64 hash per token, computed once per DISTINCT token
+    (dictionary encode) then gathered — the vocabulary is tiny next to
+    the token stream, so the Python hash loop runs |vocab| times, not
+    |tokens| times."""
+    denc = pc.dictionary_encode(
+        tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])
+    )
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    uniq = denc.dictionary.to_pylist()
+    uhash = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return uhash[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+
+def _batch_shingles(parent: np.ndarray, th: np.ndarray, n: int):
+    """Vectorized n-gram shingle hashes for a whole batch.
+
+    -> (doc_idx int64, shingle uint64), DISTINCT per doc, sorted by
+    (doc_idx, shingle). ``parent`` is the per-token doc index (ascending),
+    ``th`` the per-token 64-bit hashes. A window's hash is a splitmix64
+    chain over its n token hashes (one vectorized pass per offset —
+    no per-n-gram Python); windows crossing doc boundaries are masked out.
+    """
+    N = len(th)
+    if N < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    W = N - n + 1
+    acc = np.full(W, _SHINGLE_SEED, dtype=np.uint64)
+    for j in range(n):
+        acc = _splitmix64(acc ^ th[j : j + W])
+    wparent = parent[:W].astype(np.int64)
+    valid = parent[n - 1 :] == wparent
+    acc, wparent = acc[valid], wparent[valid]
+    if not len(acc):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    order = np.lexsort((acc, wparent))
+    a, p = acc[order], wparent[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (a[1:] != a[:-1])
+    return p[keep], a[keep]
 
 
 class ShingleStage:
-    """map_batches: doc -> exploded (id, shingle uint64) rows + set size."""
+    """map_batches: doc -> exploded (id, shingle uint64) rows + set size.
+
+    Fully vectorized: token hashes via dictionary encode + gather,
+    n-gram combination via a splitmix64 rolling chain, per-doc dedup via
+    one lexsort — no per-n-gram Python calls anywhere.
+    """
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
         self.id_col, self.text_col, self.n = id_col, text_col, n
@@ -94,28 +145,14 @@ class ShingleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         parent_a, tokens_a = flatten_tokens(batch[self.text_col])
         parent = np.asarray(parent_a)
-        toks = tokens_a.to_pylist()
         ids = batch[self.id_col].to_numpy()
-        out_id, out_sh, out_sz = [], [], []
-        # per-doc loop over *documents* (not tokens): shingling is
-        # inherently per-doc sequence work; the hashing is C (blake2b)
-        bounds = np.searchsorted(parent, np.arange(len(batch) + 1))
-        for d in range(len(batch)):
-            sh = _shingle_hashes(toks[bounds[d] : bounds[d + 1]], self.n)
-            out_id.append(np.full(len(sh), ids[d], dtype=np.int64))
-            out_sh.append(sh)
-            out_sz.append(np.full(len(sh), len(sh), dtype=np.int64))
-        if out_id:
-            ids_c = np.concatenate(out_id)
-            sh_c = np.concatenate(out_sh)
-            sz_c = np.concatenate(out_sz)
-        else:
-            ids_c = sh_c = sz_c = np.empty(0, dtype=np.int64)
+        p, sh = _batch_shingles(parent, _token_hashes(tokens_a), self.n)
+        sizes = np.bincount(p, minlength=len(batch)) if len(p) else np.zeros(len(batch), dtype=np.int64)
         return pa.table(
             {
-                self.id_col: pa.array(ids_c, type=pa.int64()),
-                "shingle": pa.array(sh_c.astype(np.int64)),
-                "set_size": pa.array(sz_c, type=pa.int64()),
+                self.id_col: pa.array(ids[p] if len(p) else np.empty(0, dtype=np.int64), type=pa.int64()),
+                "shingle": pa.array(sh.view(np.int64)),
+                "set_size": pa.array(sizes[p] if len(p) else np.empty(0, dtype=np.int64), type=pa.int64()),
             }
         )
 
@@ -268,36 +305,49 @@ class MinHashStage:
         rng = np.random.default_rng(seed)
         self.seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
-    def _signature(self, sh: np.ndarray) -> np.ndarray | None:
-        if len(sh) == 0:
-            return None
-        with np.errstate(over="ignore"):
-            m = _splitmix64(sh[None, :] + self.seeds[:, None])
-        return m.min(axis=1)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         parent_a, tokens_a = flatten_tokens(batch[self.text_col])
         parent = np.asarray(parent_a)
-        toks = tokens_a.to_pylist()
         ids = batch[self.id_col].to_numpy()
-        bounds = np.searchsorted(parent, np.arange(len(batch) + 1))
-        out_id, out_band, out_hash = [], [], []
-        for d in range(len(batch)):
-            sh = _shingle_hashes(toks[bounds[d] : bounds[d + 1]], self.n)
-            sig = self._signature(sh)
-            if sig is None:
-                continue
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_id.append(int(ids[d]))
-                out_band.append(band)
-                out_hash.append(int.from_bytes(bh, "little") >> 1)
+        p, sh = _batch_shingles(parent, _token_hashes(tokens_a), self.n)
+        if not len(p):
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int64()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                }
+            )
+        # docs with >= 1 shingle, and each shingle's position in that list
+        docs, doc_of_sh = np.unique(p, return_inverse=True)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(doc_of_sh)) + 1))
+        # signature: per perm, one vectorized hash pass over ALL shingles +
+        # a segmented min per doc — O(num_perm * n_shingles) C work,
+        # memory O(n_shingles), never a per-doc Python iteration
+        sig = np.empty((self.num_perm, len(docs)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                sig[i] = np.minimum.reduceat(_splitmix64(sh + self.seeds[i]), starts)
+        # band hash: splitmix64 chain over the band's rows (vectorized
+        # across docs); >> 1 keeps the int64 view non-negative
+        bands_hash = np.empty((self.bands, len(docs)), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = np.full(len(docs), _SHINGLE_SEED + np.uint64(band), dtype=np.uint64)
+            for r in range(band * self.rows, (band + 1) * self.rows):
+                acc = _splitmix64(acc ^ sig[r])
+            bands_hash[band] = acc >> np.uint64(1)
+        doc_ids = ids[docs]
         return pa.table(
             {
-                self.id_col: pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int64()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
+                self.id_col: pa.array(
+                    np.repeat(doc_ids, self.bands), type=pa.int64()
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int64), len(docs))
+                ),
+                "band_hash": pa.array(
+                    bands_hash.T.reshape(-1).view(np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -387,49 +437,104 @@ def minhash_lsh_pairs(
             "jaccard": pa.array([], type=pa.float64()),
         }
     )
-    cand_rows = cand.take_all()
-    if not cand_rows:
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if not n_cand:
         return ray.data.from_arrow(empty)
+    return _verify_pairs_exact(
+        ds, cand, n_cand, id_col=id_col, text_col=text_col, n=n, tau=tau,
+        num_parts=num_parts, concurrency=concurrency,
+    )
 
-    # DISTRIBUTED exact verification: the pair list (LSH output, small by
-    # construction) is broadcast as a doc -> [(pair_part, pair_idx)] plan;
-    # a filtered shingle pass re-emits each candidate doc's shingles once
-    # per pair partition it participates in, and each pair partition
-    # computes its pairs' exact Jaccard vectorized. Only the candidate
-    # PAIR LIST ever touches the driver, never the shingle sets.
-    pairs = sorted((int(r["a_id"]), int(r["b_id"])) for r in cand_rows)
-    n_pair_parts = max(1, min(num_parts, (len(pairs) + 63) // 64))
-    doc_plan: dict[int, list[int]] = {}
-    for i, (a, b) in enumerate(pairs):
-        pp = i % n_pair_parts
-        doc_plan.setdefault(a, []).append(pp)
-        doc_plan.setdefault(b, []).append(pp)
-    plan_ref = ray.put({d: sorted(set(pp)) for d, pp in doc_plan.items()})
-    pairs_ref = ray.put(pairs)
+
+def _verify_pairs_exact(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    n_cand: int,
+    id_col: str,
+    text_col: str,
+    n: int,
+    tau: float,
+    num_parts: int,
+    concurrency: int,
+    pairs_per_part: int = 64,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, distributed.
+
+    - candidate pairs stay a Dataset end-to-end: routed to verify
+      partitions by ``pair_part = hash(a, b) % n_pair_parts`` (a pure
+      function of the pair — no driver-side enumeration);
+    - the doc -> pair_part routing plan is two sorted int64 numpy arrays
+      (distinct (doc, part) rows), broadcast once via ray.put — bounded
+      by 2x the candidate count, the only candidate-sized driver object;
+    - each candidate doc's shingles are emitted once per pair partition
+      (vectorized searchsorted membership + run-length replication);
+    - per verify partition, Jaccard is one lexsort + run-length
+      intersection count over (pair_idx, shingle) rows from both sides —
+      no Python sets anywhere.
+    """
+    n_pair_parts = max(1, min(num_parts * 4, (n_cand + pairs_per_part - 1) // pairs_per_part))
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy().astype(np.uint64)
+        b = t["b_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pp = _splitmix64(a * np.uint64(0x9E3779B1) + b) % np.uint64(n_pair_parts)
+        return t.append_column("pair_part", pa.array(pp.astype(np.int64)))
+
+    cand_pp = cand.map_batches(add_pp, batch_format="pyarrow").materialize()
+
+    # bounded broadcast plan: distinct (doc, pair_part), sorted by doc
+    expl = cand_pp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc": pa.concat_arrays(
+                    [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+                ),
+                "pp": pa.concat_arrays(
+                    [t["pair_part"].combine_chunks(), t["pair_part"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    pd_doc = np.array([r["doc"] for r in expl], dtype=np.int64)
+    pd_pp = np.array([r["pp"] for r in expl], dtype=np.int64)
+    o = np.lexsort((pd_pp, pd_doc))
+    pd_doc, pd_pp = pd_doc[o], pd_pp[o]
+    first = np.ones(len(pd_doc), dtype=bool)
+    first[1:] = (pd_doc[1:] != pd_doc[:-1]) | (pd_pp[1:] != pd_pp[:-1])
+    plan_doc, plan_pp = pd_doc[first], pd_pp[first]
+    plan_ref = ray.put((plan_doc, plan_pp))
 
     class RoutedShingles(ShingleStage):
+        """Shingle only planned docs; replicate rows per pair partition."""
+
         def __init__(self, **kw):
             super().__init__(**kw)
-            self.plan = ray.get(plan_ref)
+            self.plan_doc, self.plan_pp = ray.get(plan_ref)
+            self.doc_u = np.unique(self.plan_doc)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy()
-            keep = np.fromiter(
-                (int(d) in self.plan for d in ids), dtype=bool, count=len(ids)
-            )
+            pos = np.searchsorted(self.doc_u, ids)
+            pos = np.minimum(pos, max(len(self.doc_u) - 1, 0))
+            keep = self.doc_u[pos] == ids if len(self.doc_u) else np.zeros(len(ids), bool)
             sh = super().__call__(batch.filter(pa.array(keep)))
-            # replicate each doc's shingle rows to every pair partition it's in
             doc = sh[self.id_col].to_numpy()
-            reps = np.fromiter(
-                (len(self.plan[int(d)]) for d in doc), dtype=np.int64, count=len(doc)
+            if not len(doc):
+                return sh.append_column("pair_part", pa.array([], type=pa.int64()))
+            lo = np.searchsorted(self.plan_doc, doc, side="left")
+            hi = np.searchsorted(self.plan_doc, doc, side="right")
+            reps = hi - lo
+            total = int(reps.sum())
+            # flattened plan indices for each row's [lo, hi) range
+            base = np.repeat(lo, reps)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
             )
-            parts = np.fromiter(
-                (p for d in doc for p in self.plan[int(d)]),
-                dtype=np.int64,
-                count=int(reps.sum()),
-            )
-            idx = np.repeat(np.arange(len(doc)), reps)
-            rep_tbl = sh.take(pa.array(idx))
+            parts = self.plan_pp[base + within]
+            rep_tbl = sh.take(pa.array(np.repeat(np.arange(len(doc)), reps)))
             return rep_tbl.append_column("pair_part", pa.array(parts))
 
     routed = ds.map_batches(
@@ -439,25 +544,83 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
-        all_pairs = ray.get(pairs_ref)
-        pp = int(g["pair_part"].iloc[0])
-        my_pairs = [p for i, p in enumerate(all_pairs) if i % n_pair_parts == pp]
-        sets: dict[int, set] = {}
-        for d, s in zip(g[id_col].to_numpy(), g["shingle"].to_numpy()):
-            sets.setdefault(int(d), set()).add(int(s))
-        rows = []
-        for a, b in my_pairs:
-            sa, sb = sets.get(a, set()), sets.get(b, set())
-            union = len(sa | sb)
-            j = round(len(sa & sb) / union, 6) if union else 0.0
-            if j >= tau:
-                rows.append({"a_id": a, "b_id": b, "jaccard": j})
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"]).astype(
-            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
-        )
+    # unify pairs + shingle rows into one tagged schema for the verify
+    # partition groupby: (x, y, z, kind, pair_part)
+    pairs_tagged = cand_pp.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["a_id"].combine_chunks().cast(pa.int64()),
+                "y": t["b_id"].combine_chunks().cast(pa.int64()),
+                "z": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "pair_part": t["pair_part"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sh_tagged = routed.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t[id_col].combine_chunks().cast(pa.int64()),
+                "y": t["shingle"].combine_chunks().cast(pa.int64()),
+                "z": t["set_size"].combine_chunks().cast(pa.int64()),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "pair_part": t["pair_part"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
-    return routed.groupby("pair_part").map_groups(verify_partition, batch_format="pandas")
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["kind"] == 0]
+        sh = g[g["kind"] == 1]
+        if not len(pr):
+            return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
+            )
+        a = pr["x"].to_numpy()
+        b = pr["y"].to_numpy()
+        sd = sh["x"].to_numpy()
+        sv = sh["y"].to_numpy()
+        sz = sh["z"].to_numpy()
+        o = np.lexsort((sv, sd))
+        sd, sv, sz = sd[o], sv[o], sz[o]
+
+        def side_rows(docs: np.ndarray):
+            lo = np.searchsorted(sd, docs, side="left")
+            hi = np.searchsorted(sd, docs, side="right")
+            reps = hi - lo
+            total = int(reps.sum())
+            base = np.repeat(lo, reps)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            idx = base + within
+            pidx = np.repeat(np.arange(len(docs)), reps)
+            sizes = np.where(reps > 0, sz[np.minimum(lo, max(len(sz) - 1, 0))], 0)
+            return pidx, sv[idx], sizes
+
+        pa_idx, va, asz = side_rows(a)
+        pb_idx, vb, bsz = side_rows(b)
+        pi = np.concatenate((pa_idx, pb_idx))
+        hv = np.concatenate((va, vb))
+        if len(pi):
+            o2 = np.lexsort((hv, pi))
+            pi_s, hv_s = pi[o2], hv[o2]
+            dup = (pi_s[1:] == pi_s[:-1]) & (hv_s[1:] == hv_s[:-1])
+            inter = np.bincount(pi_s[1:][dup], minlength=len(a)).astype(np.float64)
+        else:
+            inter = np.zeros(len(a), dtype=np.float64)
+        union = np.maximum(asz + bsz - inter, 1.0)
+        j = np.round(inter / union, 6)
+        keep = j >= tau
+        return pd.DataFrame(
+            {"a_id": a[keep], "b_id": b[keep], "jaccard": j[keep]}
+        ).astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
+
+    return pairs_tagged.union(sh_tagged).groupby("pair_part").map_groups(
+        verify_partition, batch_format="pandas"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -631,30 +794,49 @@ def cluster_pairs(
     id_col_a: str = "a_id",
     id_col_b: str = "b_id",
     max_rounds: int = 50,
+    driver_limit: int = 2_000_000,
 ) -> pa.Table:
     """Connected components over near-dup pair edges -> (doc_id, cluster_id).
 
     cluster_id = min doc_id of the component (the dedup survivor). The
     iterate-to-fixpoint shape of the reference's relation-member closure
     (``OsmKeyValueObjectStore.cpp:1009-1016``, SURVEY.md J2): min-label
-    propagation over the edge list, repeated until no label changes.
-    Rounds are O(component diameter); near-dup components are tiny, so a
-    handful of rounds suffice. Labels are numpy arrays here (pair sets are
-    cardinality-bounded: near-dup edges only); the same loop distributes
-    as per-round groupby(node).min(label) when edges exceed one task.
+    propagation with pointer jumping, repeated until no label changes.
+
+    Two execution paths, identical output:
+    - edge lists <= ``driver_limit``: single numpy task (fast path);
+    - larger: :func:`cluster_pairs_ds` — per-round distributed
+      propagate + combine, nothing corpus-sized on the driver except the
+      returned label table itself (use cluster_pairs_ds directly to keep
+      even that as a Dataset).
     """
     if isinstance(pairs, ray.data.Dataset):
+        pairs = pairs.materialize()
+        if pairs.count() > driver_limit:
+            out = cluster_pairs_ds(pairs, id_col_a, id_col_b, max_rounds)
+            return pa.Table.from_pandas(
+                out.to_pandas(), preserve_index=False
+            ).sort_by("doc_id")
         rows = pairs.select_columns([id_col_a, id_col_b]).take_all()
         a = np.array([r[id_col_a] for r in rows], dtype=np.int64)
         b = np.array([r[id_col_b] for r in rows], dtype=np.int64)
     else:
         a = pairs[id_col_a].to_numpy().astype(np.int64)
         b = pairs[id_col_b].to_numpy().astype(np.int64)
+    nodes, label = _numpy_components(a, b, max_rounds)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(label, type=pa.int64()),
+        }
+    )
+
+
+def _numpy_components(a: np.ndarray, b: np.ndarray, max_rounds: int):
     nodes = np.unique(np.concatenate((a, b))) if len(a) else np.empty(0, dtype=np.int64)
     label = nodes.copy()
-    pos = {int(n): i for i, n in enumerate(nodes.tolist())}
-    ai = np.array([pos[int(x)] for x in a], dtype=np.int64)
-    bi = np.array([pos[int(x)] for x in b], dtype=np.int64)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
     for _ in range(max_rounds):
         new = label.copy()
         np.minimum.at(new, ai, label[bi])
@@ -664,9 +846,213 @@ def cluster_pairs(
         if (new == label).all():
             break
         label = new
+    return nodes, label
+
+
+def _cc_part_of(x: np.ndarray, num_parts: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (_splitmix64(x.astype(np.uint64)) % np.uint64(num_parts)).astype(np.int64)
+
+
+@ray.remote(num_cpus=1)
+def _cc_split_block(tbl: pa.Table, a_col: str, b_col: str, num_parts: int):
+    """Edge block -> 2*num_parts returns: num_parts (src,dst) slices
+    routed by hash(src) (both edge directions), then num_parts
+    unique-node slices routed by hash(node)."""
+    a = tbl[a_col].to_numpy().astype(np.int64)
+    b = tbl[b_col].to_numpy().astype(np.int64)
+    src = np.concatenate((a, b))
+    dst = np.concatenate((b, a))
+    ep = _cc_part_of(src, num_parts)
+    out = []
+    for p in range(num_parts):
+        m = ep == p
+        out.append((src[m], dst[m]))
+    nodes = np.unique(dst)
+    npart = _cc_part_of(nodes, num_parts)
+    out.extend(nodes[npart == p] for p in range(num_parts))
+    return tuple(out)
+
+
+@ray.remote(num_cpus=1)
+def _cc_init_part(n_blocks: int, *slices):
+    """-> (edges sorted by src, initial labels). args = n_blocks edge
+    slices then n_blocks node slices (each a top-level ref, auto-resolved)."""
+    edge_slices = slices[:n_blocks]
+    node_slices = slices[n_blocks:]
+    src = np.concatenate([e[0] for e in edge_slices]) if edge_slices else np.empty(0, np.int64)
+    dst = np.concatenate([e[1] for e in edge_slices]) if edge_slices else np.empty(0, np.int64)
+    o = np.argsort(src, kind="stable")
+    nodes = (
+        np.unique(np.concatenate(node_slices)) if node_slices else np.empty(0, np.int64)
+    )
+    return (src[o], dst[o]), (nodes, nodes.copy())
+
+
+@ray.remote(num_cpus=1)
+def _cc_propagate(edges, labels, num_parts: int):
+    """label[src] gathered over this partition's edges (src sorted ==
+    labels sorted: one searchsorted), pre-minimized per dst, routed by
+    hash(dst) -> num_parts (node, cand) slices (one return each)."""
+    (src, dst), (ln, ll) = edges, labels
+    if not len(src):
+        z = np.empty(0, np.int64)
+        return tuple((z, z) for _ in range(num_parts))
+    cand = ll[np.searchsorted(ln, src)]
+    o = np.argsort(dst, kind="stable")
+    dst_s, cand_s = dst[o], cand[o]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(dst_s)) + 1))
+    node = dst_s[starts]
+    cmin = np.minimum.reduceat(cand_s, starts)
+    p = _cc_part_of(node, num_parts)
+    return tuple((node[p == q], cmin[p == q]) for q in range(num_parts))
+
+
+@ray.remote(num_cpus=1)
+def _cc_combine(labels, num_parts: int, *cand_slices):
+    """Fold candidate mins into this partition's labels. Returns
+    1 + num_parts values: new (node, label), then per-partition jump
+    requests (node, label, changed) routed by hash(label)."""
+    ln, ll = labels
+    new = ll.copy()
+    for cn, cl in cand_slices:
+        if len(cn):
+            pos = np.searchsorted(ln, cn)
+            np.minimum.at(new, pos, cl)
+    changed = new != ll
+    jp = _cc_part_of(new, num_parts)
+    reqs = tuple((ln[jp == q], new[jp == q], changed[jp == q]) for q in range(num_parts))
+    return ((ln, new),) + reqs
+
+
+@ray.remote(num_cpus=1)
+def _cc_jump(lut, num_parts: int, *req_slices):
+    """label <- label[label] for requests routed here (lut = this
+    partition's fresh labels). Returns num_parts (node, label) slices
+    re-routed by hash(node), then the changed count (combine's flag OR
+    jump's own change) as the final return."""
+    ln, ll = lut
+    node = np.concatenate([r[0] for r in req_slices]) if req_slices else np.empty(0, np.int64)
+    lab = np.concatenate([r[1] for r in req_slices]) if req_slices else np.empty(0, np.int64)
+    chg = (
+        np.concatenate([r[2] for r in req_slices]) if req_slices else np.empty(0, bool)
+    )
+    if len(ln) and len(node):
+        pos = np.minimum(np.searchsorted(ln, lab), len(ln) - 1)
+        hit = ln[pos] == lab
+        new = np.where(hit, np.minimum(ll[pos], lab), lab)
+    else:
+        new = lab
+    changed_total = int((new < lab).sum() + chg.sum())
+    np_part = _cc_part_of(node, num_parts)
+    out = []
+    for q in range(num_parts):
+        m = np_part == q
+        n_q, l_q = node[m], new[m]
+        o = np.argsort(n_q)
+        out.append((n_q[o], l_q[o]))
+    return tuple(out) + (changed_total,)
+
+
+@ray.remote(num_cpus=1)
+def _cc_gather_labels(*slices):
+    """Merge jump outputs for one partition back into sorted (node, label)."""
+    node = np.concatenate([s[0] for s in slices]) if slices else np.empty(0, np.int64)
+    lab = np.concatenate([s[1] for s in slices]) if slices else np.empty(0, np.int64)
+    o = np.argsort(node, kind="stable")
+    return node[o], lab[o]
+
+
+@ray.remote(num_cpus=1)
+def _cc_to_table(labels) -> pa.Table:
+    nodes, lab = labels
     return pa.table(
         {
             "doc_id": pa.array(nodes, type=pa.int64()),
-            "cluster_id": pa.array(label, type=pa.int64()),
+            "cluster_id": pa.array(lab, type=pa.int64()),
         }
     )
+
+
+def cluster_pairs_ds(
+    pairs: ray.data.Dataset,
+    id_col_a: str = "a_id",
+    id_col_b: str = "b_id",
+    max_rounds: int = 50,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Distributed connected components -> Dataset (doc_id, cluster_id).
+
+    Min-label propagation with pointer jumping over hash-partitioned
+    object-store shards, driven by raw Ray task fan-outs (the same
+    explicit-exchange pattern as the index build — Dataset groupby per
+    round costs seconds of executor overhead; these rounds are
+    milliseconds of numpy per task). Per round and partition:
+    propagate (label[src] -> min per dst, routed by hash(dst)), combine
+    (fold mins into labels, emit jump requests routed by hash(label)),
+    jump (label <- label[label], re-routed by hash(node)). Rounds are
+    O(log n) thanks to the jump step; the driver holds only object refs
+    and a per-round changed counter — node/edge data never leaves the
+    object store.
+    """
+    blocks = (
+        pairs.select_columns([id_col_a, id_col_b])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "cluster_id": pa.array([], type=pa.int64())}
+            )
+        )
+    nb = len(blocks)
+    # split[i][p] = edge slice, split[i][num_parts+p] = node slice
+    split = [
+        _cc_split_block.options(num_returns=2 * num_parts).remote(
+            b, id_col_a, id_col_b, num_parts
+        )
+        for b in blocks
+    ]
+    init = [
+        _cc_init_part.options(num_returns=2).remote(
+            nb,
+            *[split[i][p] for i in range(nb)],
+            *[split[i][num_parts + p] for i in range(nb)],
+        )
+        for p in range(num_parts)
+    ]
+    edges_p = [r[0] for r in init]
+    labels_p = [r[1] for r in init]
+
+    for _ in range(max_rounds):
+        # prop[p][q]: candidate slice from src-partition p for dst-partition q
+        prop = [
+            _cc_propagate.options(num_returns=num_parts).remote(
+                edges_p[p], labels_p[p], num_parts
+            )
+            for p in range(num_parts)
+        ]
+        # comb[p][0]: new labels; comb[p][1+q]: jump requests for partition q
+        comb = [
+            _cc_combine.options(num_returns=1 + num_parts).remote(
+                labels_p[p], num_parts, *[prop[q][p] for q in range(num_parts)]
+            )
+            for p in range(num_parts)
+        ]
+        # jum[p][q]: label slices for node-partition q; jum[p][-1]: changed
+        jum = [
+            _cc_jump.options(num_returns=num_parts + 1).remote(
+                comb[p][0], num_parts, *[comb[q][1 + p] for q in range(num_parts)]
+            )
+            for p in range(num_parts)
+        ]
+        labels_p = [
+            _cc_gather_labels.remote(*[jum[q][p] for q in range(num_parts)])
+            for p in range(num_parts)
+        ]
+        changed = sum(ray.get([jum[p][num_parts] for p in range(num_parts)]))
+        if not changed:
+            break
+    return ray.data.from_arrow_refs([_cc_to_table.remote(l) for l in labels_p])

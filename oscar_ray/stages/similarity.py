@@ -117,28 +117,39 @@ def knn_brute_force(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).take_all()
-    by_q: dict[int, list] = {}
-    for r in partials:
-        by_q.setdefault(int(r["query_id"]), []).append((r[id_col], r["score"]))
-    rows = []
-    for qi in range(len(query_vecs)):
-        cand = by_q.get(qi, [])
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (vid, sc) in enumerate(cand[:k], start=1):
-            rows.append(
-                {
-                    "query_id": qi,
-                    "rank": rank,
-                    id_col: int(vid),
-                    "score": round(float(sc), 4),
-                }
-            )
-    return pa.Table.from_pylist(rows) if rows else pa.table(
+    return _merge_topk(partials, len(query_vecs), k, id_col)
+
+
+@ray.remote(num_cpus=1)
+def _chunk_pair_task(
+    left: pa.Table, right: pa.Table | None, tau: float, id_col: str, vec_col: str
+) -> pa.Table:
+    """All cosine >= tau pairs between two vector chunks (right=None:
+    within-chunk pairs). One matmul + one vectorized threshold — the
+    a_id < b_id constraint is a mask, never a per-row loop."""
+    ids_a = left[id_col].to_numpy()
+    m_a = _normalize(_batch_matrix(left, vec_col))
+    if right is None:
+        ids_b, m_b = ids_a, m_a
+    else:
+        ids_b = right[id_col].to_numpy()
+        m_b = _normalize(_batch_matrix(right, vec_col))
+    if not len(ids_a) or not len(ids_b):
+        return pa.table(
+            {
+                "a_id": pa.array([], type=pa.int64()),
+                "b_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    sims = m_a @ m_b.T
+    mask = (sims >= tau) & (ids_a[:, None] < ids_b[None, :])
+    ai, bj = np.nonzero(mask)
+    return pa.table(
         {
-            "query_id": pa.array([], type=pa.int64()),
-            "rank": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64()),
+            "a_id": pa.array(ids_a[ai].astype(np.int64)),
+            "b_id": pa.array(ids_b[bj].astype(np.int64)),
+            "cosine": pa.array(np.round(sims[ai, bj], 4), type=pa.float64()),
         }
     )
 
@@ -150,45 +161,102 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     concurrency: int = 4,
 ) -> ray.data.Dataset:
-    """All pairs with cosine >= tau (a_id < b_id) — embedding near-dup.
+    """All pairs with cosine >= tau (a_id < b_id) — EXACT embedding
+    near-dup, distributed as chunk-pair tasks.
 
-    Broadcast the (normalized) full matrix once, stream batches against
-    it; emits only pairs where the batch row id < the matched id. Works
-    to ~1M x small-dim vectors via the broadcast; beyond that use
-    :func:`knn_lsh` bucketing.
+    The dataset's blocks become object-store chunk refs (driver holds
+    refs only, never vectors); every chunk pair (i <= j) is one Ray task
+    doing a single matmul. Exact all-pairs is inherently O(N^2/chunks^2)
+    tasks — for approximate sub-quadratic near-dup at larger N use
+    :func:`embedding_dup_pairs_lsh`.
     """
-    all_rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids_all = np.array([r[id_col] for r in all_rows], dtype=np.int64)
-    mat_all = _normalize(np.array([r[vec_col] for r in all_rows], dtype=np.float64))
-    order = np.argsort(ids_all)
-    ids_all, mat_all = ids_all[order], mat_all[order]
-    ref = ray.put((ids_all, mat_all))
+    chunks = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(lambda t: t, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    )
+    futs = []
+    for i in range(len(chunks)):
+        futs.append(_chunk_pair_task.remote(chunks[i], None, tau, id_col, vec_col))
+        for j in range(i + 1, len(chunks)):
+            futs.append(_chunk_pair_task.remote(chunks[i], chunks[j], tau, id_col, vec_col))
+    return ray.data.from_arrow_refs(futs)
 
-    class PairFinder:
+
+def embedding_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    tau: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int = 16,
+    max_bucket: int = 100_000,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate near-dup pairs: only vectors sharing a hyperplane
+    bucket are compared (the sub-quadratic scale path; recall < 1 for
+    pairs split across buckets — higher tau -> higher recall). Bucket
+    routing is a hash shuffle; within-partition comparison is one
+    matmul per bucket run; oversized buckets (> max_bucket) are dropped
+    with the same disclosure rule as the text-dedup df cap."""
+    import pandas as pd
+
+    class AddBucket:
         def __init__(self):
-            self.ids_all, self.mat_all = ray.get(ref)
+            self.hasher = None
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy()
-            m = _normalize(_batch_matrix(batch, vec_col))
-            out_a, out_b, out_s = [], [], []
-            if len(ids):
-                sims = m @ self.mat_all.T  # (nb, N)
-                for i in range(len(ids)):
-                    mask = (sims[i] >= tau) & (self.ids_all > ids[i])
-                    js = np.flatnonzero(mask)
-                    out_a.extend([int(ids[i])] * len(js))
-                    out_b.extend(self.ids_all[js].tolist())
-                    out_s.extend(np.round(sims[i][js], 4).tolist())
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(t, vec_col))
+            if self.hasher is None:
+                self.hasher = _HyperplaneHasher(m.shape[1] if len(m) else 1, nbits, seed)
+            b = self.hasher.bucket(m) if len(m) else np.empty(0, dtype=np.int64)
             return pa.table(
                 {
-                    "a_id": pa.array(out_a, type=pa.int64()),
-                    "b_id": pa.array(out_b, type=pa.int64()),
-                    "cosine": pa.array(out_s, type=pa.float64()),
+                    id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                    vec_col: t[vec_col].combine_chunks(),
+                    "bucket": pa.array(b.astype(np.int64)),
+                    "part": pa.array((b % num_parts).astype(np.int64)),
                 }
             )
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency)
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        buckets = g["bucket"].to_numpy()
+        mat = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        order = np.lexsort((ids, buckets))
+        ids, buckets, mat = ids[order], buckets[order], mat[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(buckets)) + 1, [len(ids)])
+        )
+        a_l, b_l, s_l = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            sims = mat[s:e] @ mat[s:e].T
+            sub_ids = ids[s:e]
+            mask = (sims >= tau) & (sub_ids[:, None] < sub_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            a_l.append(sub_ids[ai])
+            b_l.append(sub_ids[bj])
+            s_l.append(np.round(sims[ai, bj], 4))
+        if not a_l:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_l),
+                "b_id": np.concatenate(b_l),
+                "cosine": np.concatenate(s_l),
+            }
+        )
+
+    return (
+        ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=2)
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
 
 
 class _HyperplaneHasher:
@@ -203,6 +271,74 @@ class _HyperplaneHasher:
         return (bits.astype(np.int64) * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
 
+def _admissible_buckets(qbuckets: np.ndarray, nbits: int) -> list[np.ndarray]:
+    """Per query: sorted admissible bucket ids (exact + hamming-1)."""
+    out = []
+    for b in qbuckets:
+        s = np.concatenate(
+            ([int(b)], np.int64(b) ^ (np.int64(1) << np.arange(nbits, dtype=np.int64)))
+        )
+        out.append(np.unique(s))
+    return out
+
+
+def _merge_topk(partials, n_queries: int, k: int, id_col: str) -> pa.Table:
+    """Driver-side k.n_queries-sized merge of per-batch partials."""
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(int(r["query_id"]), []).append((r[id_col], r["score"]))
+    rows = []
+    for qi in range(n_queries):
+        cand = by_q.get(qi, [])
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, sc) in enumerate(cand[:k], start=1):
+            rows.append(
+                {"query_id": qi, "rank": rank, id_col: int(vid), "score": round(float(sc), 4)}
+            )
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+class _LshTopK(BruteForceTopK):
+    """Per-batch LSH-filtered cosine top-k (vectorized np.isin bucket
+    membership — never a per-element Python test)."""
+
+    def __init__(self, qref, adm_ref, hasher, k, id_col, vec_col):
+        super().__init__(qref, k, id_col=id_col, vec_col=vec_col)
+        self.adm = ray.get(adm_ref) if isinstance(adm_ref, ray.ObjectRef) else adm_ref
+        self.hasher = hasher
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        if not len(ids):
+            return super().__call__(batch)
+        buckets = self.hasher.bucket(m)
+        qids, out_ids, out_sc = [], [], []
+        for qi in range(self.q.shape[0]):
+            sel = np.flatnonzero(np.isin(buckets, self.adm[qi]))
+            if not len(sel):
+                continue
+            row = self.q[qi] @ m[sel].T
+            pick = _tie_safe_topk(row, ids[sel], self.k)
+            qids.extend([qi] * len(pick))
+            out_ids.extend(ids[sel][pick].tolist())
+            out_sc.extend(row[pick].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                self.id_col: pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_sc, type=pa.float64()),
+            }
+        )
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     query_vecs: np.ndarray,
@@ -213,70 +349,106 @@ def knn_lsh(
     concurrency: int = 4,
 ) -> pa.Table:
     """Approximate cosine top-k: scan only vectors whose hyperplane bucket
-    is within hamming distance 1 of the query's bucket (the IVF/LSH scale
-    path; recall < 1 by design, output schema == knn_brute_force)."""
+    is within hamming distance 1 of the query's bucket (recall < 1 by
+    design; output schema == knn_brute_force). Full-scan variant — use
+    :func:`build_vector_buckets` + :func:`knn_lsh_partitioned` to prune
+    I/O as well as dot products (identical output, same hasher)."""
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     hasher = _HyperplaneHasher(q.shape[1], nbits=nbits)
-    qbuckets = hasher.bucket(q)
-    # per query: admissible buckets (exact + hamming-1)
-    admissible: list[set[int]] = []
-    for b in qbuckets:
-        s = {int(b)}
-        for bit in range(nbits):
-            s.add(int(b) ^ (1 << bit))
-        admissible.append(s)
-    adm_ref = ray.put(admissible)
-    qref = ray.put(q)
-
-    class BucketedTopK(BruteForceTopK):
-        def __init__(self):
-            super().__init__(qref, k, id_col=id_col, vec_col=vec_col)
-            self.adm = ray.get(adm_ref)
-            self.hasher = hasher
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy()
-            m = _normalize(_batch_matrix(batch, vec_col))
-            if not len(ids):
-                return super().__call__(batch)
-            buckets = self.hasher.bucket(m)
-            qids, out_ids, out_sc = [], [], []
-            for qi in range(self.q.shape[0]):
-                sel = np.array(
-                    [j for j, b in enumerate(buckets) if int(b) in self.adm[qi]], dtype=np.int64
-                )
-                if not len(sel):
-                    continue
-                row = self.q[qi] @ m[sel].T
-                pick = _tie_safe_topk(row, ids[sel], k)
-                qids.extend([qi] * len(pick))
-                out_ids.extend(ids[sel][pick].tolist())
-                out_sc.extend(row[pick].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(qids, type=pa.int64()),
-                    id_col: pa.array(out_ids, type=pa.int64()),
-                    "score": pa.array(out_sc, type=pa.float64()),
-                }
-            )
-
+    adm = _admissible_buckets(hasher.bucket(q), nbits)
     partials = ds.map_batches(
-        BucketedTopK, batch_format="pyarrow", concurrency=concurrency
+        _LshTopK,
+        fn_constructor_kwargs={
+            "qref": ray.put(q),
+            "adm_ref": ray.put(adm),
+            "hasher": hasher,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
     ).take_all()
-    by_q: dict[int, list] = {}
-    for r in partials:
-        by_q.setdefault(int(r["query_id"]), []).append((r[id_col], r["score"]))
-    rows = []
-    for qi in range(len(q)):
-        cand = by_q.get(qi, [])
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (vid, sc) in enumerate(cand[:k], start=1):
-            rows.append({"query_id": qi, "rank": rank, id_col: int(vid), "score": round(float(sc), 4)})
-    return pa.Table.from_pylist(rows) if rows else pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "rank": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64()),
-        }
+    return _merge_topk(partials, len(q), k, id_col)
+
+
+def build_vector_buckets(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> str:
+    """Write the vector table hive-partitioned by hyperplane bucket
+    (`bucket=<b>/...parquet`) + a manifest — the IVF-style ANN artifact.
+    A probe then reads ONLY admissible bucket directories: with nbits=8
+    and hamming-1 probing, (1+nbits)/2^nbits ~ 3.5% of the bytes."""
+    import json
+    import os
+
+    class AddBucket:
+        def __init__(self):
+            self.hasher = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(t, vec_col))
+            if self.hasher is None:
+                self.hasher = _HyperplaneHasher(m.shape[1] if len(m) else 1, nbits, seed)
+            b = self.hasher.bucket(m) if len(m) else np.empty(0, dtype=np.int64)
+            return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=2).write_parquet(
+        out_dir, partition_cols=["bucket"]
     )
+    with open(os.path.join(out_dir, "ann_manifest.json"), "w") as f:
+        json.dump({"nbits": nbits, "seed": seed, "id_col": id_col, "vec_col": vec_col}, f)
+    return out_dir
+
+
+def knn_lsh_partitioned(
+    bucket_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> pa.Table:
+    """LSH top-k over a bucket-partitioned vector artifact: reads ONLY the
+    union of the queries' admissible bucket partitions (hamming <= 1),
+    then scans them with the same per-query bucket filter as
+    :func:`knn_lsh` — output is identical to knn_lsh over the full table."""
+    import json
+    import os
+
+    with open(os.path.join(bucket_dir, "ann_manifest.json")) as f:
+        mf = json.load(f)
+    nbits, seed = mf["nbits"], mf["seed"]
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    hasher = _HyperplaneHasher(q.shape[1], nbits=nbits, seed=seed)
+    adm = _admissible_buckets(hasher.bucket(q), nbits)
+    want = np.unique(np.concatenate(adm)) if adm else np.empty(0, dtype=np.int64)
+    import glob
+
+    paths = []
+    for b in want:
+        d = os.path.join(bucket_dir, f"bucket={int(b)}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return _merge_topk([], len(q), k, id_col)
+    ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    partials = ds.map_batches(
+        _LshTopK,
+        fn_constructor_kwargs={
+            "qref": ray.put(q),
+            "adm_ref": ray.put(adm),
+            "hasher": hasher,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, len(q), k, id_col)

@@ -32,6 +32,15 @@ def main():
     q.add_argument("-q", "--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", choices=["auto", "exhaustive"], default="auto")
+    q.add_argument(
+        "--show-docs",
+        action="store_true",
+        help="hydrate results from docmeta (the reference's -ds item dump)",
+    )
+    kv = sub.add_parser("kvstats", help="facet counts over a query's match set")
+    kv.add_argument("-q", "--query", required=True)
+    kv.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
+    kv.add_argument("--topk", type=int, default=10)
     b = sub.add_parser("batch")
     b.add_argument("-f", "--file", required=True, help="one query per line")
     b.add_argument("-k", type=int, default=10)
@@ -126,6 +135,16 @@ def main():
         print(json.dumps(check_index(args.index, sample_blocks=args.sample_blocks)))
         return
 
+    if args.cmd == "kvstats":
+        from oscar_ray.pipelines.facets import kvstats_from_index
+
+        t = kvstats_from_index(
+            args.index, args.query, keys=args.keys.split(","), topk=args.topk
+        )
+        for r in t.to_pylist():
+            print(f"{r['facet']}\t{r['value']}\t{r['n']}")
+        return
+
     reader = IndexReader(args.index)
     if args.cmd == "stats":
         print(json.dumps(reader.manifest["stats"], indent=1))
@@ -153,8 +172,20 @@ def main():
                 file=sys.stderr,
             )
         ids, scores, timings = engine.search_timed(args.query, k=args.k, mode=args.mode)
-        for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
-            print(f"{rank}\t{d}\t{s:.6f}")
+        if args.show_docs and len(ids):
+            from oscar_ray.pipelines.facets import docmeta_lookup
+
+            meta = docmeta_lookup(args.index, ids)
+            by_id = {r["docid"]: r for r in meta.to_pylist()}
+            for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+                r = by_id.get(d, {})
+                print(
+                    f"{rank}\t{d}\t{s:.6f}\t{r.get('url', '?')}"
+                    f"\t{r.get('lang', '?')}\tdoclen={r.get('doclen', '?')}"
+                )
+        else:
+            for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+                print(f"{rank}\t{d}\t{s:.6f}")
         phases = " ".join(
             f"{k_}={v:.0f}us" for k_, v in timings.items() if not isinstance(v, bool)
         )

@@ -1,0 +1,115 @@
+"""Query-result facets / hydration (kvstats + item-dump analogs) vs a
+brute-force pandas oracle over the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+QUERY = "hash join"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def matched(ray_session):
+    from oscar_ray.pipelines.facets import _matched_ids
+
+    return _matched_ids(SF, QUERY)
+
+
+def _oracle_matched(docs_df: pd.DataFrame) -> np.ndarray:
+    from oscar_ray.spec.tokenizer import tokenize_text
+
+    out = []
+    for did, text in zip(docs_df["doc_id"], docs_df["text"]):
+        toks = set(tokenize_text(text or ""))
+        if "hash" in toks and "join" in toks:
+            out.append(did)
+    return np.sort(np.array(out, dtype=np.int64))
+
+
+def test_matched_ids_vs_oracle(matched, docs_df):
+    np.testing.assert_array_equal(matched, _oracle_matched(docs_df))
+
+
+def test_search_facets_counts(ray_session, matched, docs_df):
+    from oscar_ray.pipelines.facets import search_facets
+
+    got = search_facets(SF, QUERY, facet_cols=("lang", "source"), topk=10).to_pandas()
+    sub = docs_df[docs_df["doc_id"].isin(matched)]
+    for facet in ("lang", "source"):
+        want = sub[facet].value_counts()
+        g = got[got["facet"] == facet].set_index("value")["n"]
+        assert len(g) == min(10, len(want))
+        for v, n in g.items():
+            assert want[v] == n
+        # top-k by (n desc, value asc): every excluded value has count <=
+        # the smallest included count
+        if len(want) > len(g):
+            assert want[~want.index.isin(g.index)].max() <= g.min()
+
+
+def test_shannon_facets_and_exclusion(ray_session, matched, docs_df):
+    from oscar_ray.pipelines.facets import search_shannon_facets
+
+    got = search_shannon_facets(SF, QUERY, facet_cols=("lang", "source")).to_pandas()
+    assert list(got["facet"]) == ["lang", "source"]
+    sub = docs_df[docs_df["doc_id"].isin(matched)]
+    for _, row in got.iterrows():
+        n = sub[row["facet"]].value_counts().to_numpy().astype(float)
+        p = n / n.sum()
+        assert row["n_values"] == len(n)
+        assert abs(row["entropy"] - round(float(-(p * np.log(p)).sum()), 6)) < 1e-9
+
+    only_lang = search_shannon_facets(
+        SF, QUERY, facet_cols=("lang", "source"), exclude=("source",)
+    ).to_pandas()
+    assert list(only_lang["facet"]) == ["lang"]
+
+
+def test_hydrate_results(ray_session, docs_df):
+    from oscar_ray.pipelines.facets import hydrate_results
+    from oscar_ray.pipelines.search import bm25_scores_table, documents_index_dir
+    from oscar_ray.query.engine import QueryEngine
+
+    got = hydrate_results(SF, "merge", k=5).to_pandas()
+    idx = documents_index_dir(SF)
+    ids, scores = QueryEngine(idx).search("merge", k=5)
+    assert sorted(got["doc_id"]) == sorted(ids.tolist())
+    by_id = docs_df.set_index("doc_id")
+    for _, r in got.iterrows():
+        assert r["lang"] == by_id.loc[r["doc_id"], "lang"]
+        assert r["source"] == by_id.loc[r["doc_id"], "source"]
+        assert r["n_chars"] == by_id.loc[r["doc_id"], "n_chars"]
+    score_of = dict(zip(ids.tolist(), np.round(scores, 4).tolist()))
+    for _, r in got.iterrows():
+        assert abs(r["score"] - score_of[r["doc_id"]]) < 1e-9
+
+
+def test_kvstats_from_index_matches_search_facets(ray_session):
+    from oscar_ray.pipelines.facets import kvstats_from_index, search_facets
+    from oscar_ray.pipelines.search import documents_index_dir
+
+    idx = documents_index_dir(SF)
+    a = kvstats_from_index(idx, QUERY, keys=["lang"], topk=10).to_pandas()
+    b = search_facets(SF, QUERY, facet_cols=("lang",), topk=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_docmeta_lookup(ray_session):
+    from oscar_ray.pipelines.facets import docmeta_lookup
+    from oscar_ray.pipelines.search import documents_index_dir
+
+    idx = documents_index_dir(SF)
+    t = docmeta_lookup(idx, np.array([3, 7, 11], dtype=np.int64))
+    assert t["docid"].to_pylist() == [3, 7, 11]
+    assert "doclen" in t.column_names

@@ -259,3 +259,69 @@ class TestBatchServing:
         for qid, lst in by_q.items():
             ranks = sorted(r["rank"] for r in lst)
             assert ranks == list(range(1, len(lst) + 1))
+
+
+class TestFieldSearch:
+    """@field:value scoped search (tag-string analog,
+    ``TextSearchTraits.h:68-86``): zero-score filter semantics."""
+
+    @pytest.fixture(scope="class")
+    def field_index(self, ray_session, pages_t1, tmp_path_factory):
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        out = str(tmp_path_factory.mktemp("index_fields"))
+        cfg = IndexBuildConfig(
+            num_partitions=8, block_span_bits=8, shard_fragments=3,
+            field_columns=["lang"],
+        )
+        build_index(pages_t1, out, cfg)
+        return out
+
+    @pytest.fixture(scope="class")
+    def lang_of(self, pages_t1):
+        from oscar_ray.sources.pages import list_fragments, read_fragment
+
+        out = {}
+        for f in list_fragments(pages_t1):
+            t = read_fragment(f, columns=["lang"])
+            out.update(zip(t["docid"].to_pylist(), t["lang"].to_pylist()))
+        return out
+
+    def test_parse_field_leaf(self):
+        node = qp.parse_query("@lang:en")
+        assert isinstance(node, qp.Field)
+        assert node.field == "lang" and node.value == "en"
+        assert node.token.startswith("\x02lang:")
+
+    def test_lang_filter_narrows_without_score_change(
+        self, field_index, lang_of, oracle_t1
+    ):
+        eng = QueryEngine(field_index)
+        base_ids, base_scores = eng.search("waaa", k=1 << 30)
+        filt_ids, filt_scores = eng.search("waaa @lang:de", k=1 << 30)
+        base = dict(zip(base_ids.tolist(), base_scores.tolist()))
+        # filtered = exactly the base hits whose lang is de, scores unchanged
+        want = {d: s for d, s in base.items() if lang_of[d] == "de"}
+        got = dict(zip(filt_ids.tolist(), filt_scores.tolist()))
+        assert got == want
+        assert len(got) < len(base)
+
+    def test_field_or_and_andnot(self, field_index, lang_of):
+        eng = QueryEngine(field_index)
+        ids_not, _ = eng.search("waaa - @lang:de", k=1 << 30)
+        ids_all, _ = eng.search("waaa", k=1 << 30)
+        assert set(ids_not.tolist()) == {
+            d for d in ids_all.tolist() if lang_of[d] != "de"
+        }
+
+    def test_unknown_field_value_matches_nothing(self, field_index):
+        eng = QueryEngine(field_index)
+        ids, _ = eng.search("waaa @lang:zz", k=10)
+        assert len(ids) == 0
+
+    def test_pruned_equals_exhaustive_with_field(self, field_index):
+        eng = QueryEngine(field_index)
+        a = eng.search("waaa @lang:en", k=25, mode="auto")
+        b = eng.search("waaa @lang:en", k=25, mode="exhaustive")
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a[1], b[1])

@@ -115,6 +115,55 @@ class TestDedup:
         lab = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
         assert lab == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
 
+    def test_cluster_pairs_ds_matches_numpy(self, ray_session):
+        """Distributed label propagation == numpy fast path on a graph
+        with long chains (exercises pointer jumping) + random edges."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import _numpy_components, cluster_pairs_ds
+
+        rng = np.random.default_rng(7)
+        # 3 chains of length 60 (deep components) + 200 random edges
+        chains = []
+        for c in range(3):
+            base = 1000 * (c + 1)
+            ids = np.arange(base, base + 60)
+            chains.append(np.stack([ids[:-1], ids[1:]], axis=1))
+        rand = rng.integers(0, 400, size=(200, 2))
+        rand = rand[rand[:, 0] != rand[:, 1]]
+        edges = np.concatenate(chains + [rand])
+        a, b = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+
+        nodes, labels = _numpy_components(a, b, max_rounds=50)
+        want = dict(zip(nodes.tolist(), labels.tolist()))
+
+        ds = ray.data.from_arrow(
+            pa.table({"a_id": pa.array(a), "b_id": pa.array(b)})
+        )
+        got_rows = cluster_pairs_ds(ds, num_parts=8).take_all()
+        got = {r["doc_id"]: r["cluster_id"] for r in got_rows}
+        assert got == want
+
+    def test_cluster_pairs_auto_distributed(self, ray_session):
+        """driver_limit=0 forces the distributed path through the public
+        API; output must equal the numpy path."""
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import cluster_pairs
+
+        pairs = pa.table(
+            {
+                "a_id": pa.array([1, 2, 3, 5], type=pa.int64()),
+                "b_id": pa.array([2, 3, 7, 9], type=pa.int64()),
+            }
+        )
+        t = cluster_pairs(ray.data.from_arrow(pairs), driver_limit=0)
+        lab = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+        assert lab == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+
     def test_simhash_finds_exact_dup(self, dup_ds):
         from oscar_ray.stages.dedup import simhash_dup_pairs
 
@@ -179,6 +228,44 @@ class TestSimilarity:
         rows = t.to_pylist()
         r1 = [r for r in rows if r["rank"] == 1]
         assert {r["vec_id"] for r in r1} >= {0, 1} or len(rows) > 0
+
+    def test_knn_lsh_partitioned_identical_to_full_scan(self, emb_ds, tmp_path):
+        """Bucket-partitioned probe == full-scan LSH (same hasher)."""
+        from oscar_ray.stages.similarity import (
+            build_vector_buckets,
+            knn_lsh,
+            knn_lsh_partitioned,
+        )
+
+        ds, m = emb_ds
+        q = np.array(m[:3], dtype=np.float64)
+        bucket_dir = str(tmp_path / "buckets")
+        build_vector_buckets(ds, bucket_dir, nbits=8)
+        a = knn_lsh(ds, q, k=5, nbits=8, concurrency=2)
+        b = knn_lsh_partitioned(bucket_dir, q, k=5, concurrency=2)
+        assert a.to_pydict() == b.to_pydict()
+
+    def test_embedding_dup_pairs_lsh_finds_planted(self, emb_ds):
+        """Approximate bucketed near-dup finds the planted high-cosine
+        pair (cos ~ 1 -> same bucket with high probability) and is a
+        subset of the exact pair set."""
+        from oscar_ray.stages.similarity import (
+            embedding_dup_pairs,
+            embedding_dup_pairs_lsh,
+        )
+
+        ds, m = emb_ds
+        exact = {
+            (r["a_id"], r["b_id"])
+            for r in embedding_dup_pairs(ds, tau=0.9, concurrency=2).take_all()
+        }
+        approx = {
+            (r["a_id"], r["b_id"])
+            for r in embedding_dup_pairs_lsh(ds, tau=0.9, nbits=4).take_all()
+        }
+        assert (10, 50) in exact
+        assert approx <= exact
+        assert (10, 50) in approx
 
 
 class TestTextAnalysis:
