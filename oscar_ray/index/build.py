@@ -108,6 +108,10 @@ class IndexBuildConfig:
     # (tf=1), so `@col:value` query leaves evaluate as zero-score filter
     # posting lists. Tiny postings cost: one row per doc per field.
     field_columns: list = None  # e.g. ["lang"]; None/[] = off
+    # docid stream codec, the reference's selectable ItemIndex type
+    # (``oscarcreate.cpp:70-75``, index_eliasfano.json): 'varint'
+    # (delta-gap + LEB128, the default) or 'eliasfano'
+    docid_codec: str = "varint"
     # input_hint invariant: when True, stage A reads the html binary column
     # and derives text via the deterministic extractor (spec/extract.py);
     # if a text column also exists it is asserted byte-identical per row
@@ -410,9 +414,19 @@ class AssemblePartitionWorker:
             same_seg[seg_starts] = False
             if (np.diff(docid.astype(np.int64), prepend=docid[:1])[same_seg] <= 0).any():
                 raise AssertionError("posting docids not strictly ascending")
-            # single-pass vectorized encode of every segment at once
-            gaps = delta_encode_segmented(docid, seg_starts)
-            docs_b = varint_encode_segments(gaps, seg_starts, seg_ends)
+            if cfg.docid_codec == "eliasfano":
+                from oscar_ray.stages.codecs import ef_encode
+
+                # EF is per-segment (l varies per block); segments are
+                # block-capped so the per-call cost is bounded
+                docs_b = [
+                    ef_encode(docid[s:e].astype(np.uint64))
+                    for s, e in zip(seg_starts.tolist(), seg_ends.tolist())
+                ]
+            else:
+                # single-pass vectorized encode of every segment at once
+                gaps = delta_encode_segmented(docid, seg_starts)
+                docs_b = varint_encode_segments(gaps, seg_starts, seg_ends)
             tfs_b = varint_encode_segments(tf, seg_starts, seg_ends)
             dls_b = varint_encode_segments(dl, seg_starts, seg_ends)
             tfn = bm25_tf_norm(tf, dl, avgdl, params)
@@ -762,18 +776,42 @@ def _read_rank_column(frag: dict, column: str) -> np.ndarray:
     return t[column].to_numpy().astype(np.float64)
 
 
+#: above this many rows the rank pre-pass runs the distributed
+#: range-partition sort instead of the single-driver lexsort
+RANK_SORT_DRIVER_LIMIT = 20_000_000
+
+
+def _rank_desc_key(rank: np.ndarray) -> np.ndarray:
+    """Map float64 ranks to uint64 keys whose ASCENDING order equals
+    rank DESCENDING (IEEE sortable-bits trick; -0.0 canonicalized to 0.0
+    so the total order matches float comparison; NaN rejected)."""
+    r = np.asarray(rank, dtype=np.float64)
+    if np.isnan(r).any():
+        raise ValueError("rank_column contains NaN")
+    r = np.where(r == 0.0, 0.0, r)  # collapse -0.0
+    u = r.view(np.uint64)
+    asc = np.where(r >= 0, u ^ np.uint64(1 << 63), ~u)
+    return ~asc  # descending
+
+
 def _assign_rank_docids(frags, cfg: IndexBuildConfig, out_dir: str) -> None:
     """Pre-pass for rank_column mode: global sort by (rank desc, input
     position asc) -> docid = sort position; per-fragment remap files.
 
-    The applySort analog. The sort runs driver-side over one float per
-    row (fine to ~10^9 docs on one node); at 10^12 replace with a
-    distributed ``ds.sort`` producing the same remap files — the remap
-    CONTRACT (remap/frag-N.parquet, column 'docid' aligned to fragment
-    rows) is what stage A depends on, not the sort's location.
+    The applySort analog (``OsmKeyValueObjectStore.cpp:1339-1399``).
+    Small inputs sort driver-side (one float per row); above
+    RANK_SORT_DRIVER_LIMIT the distributed range-partition sort runs
+    instead — both produce the SAME remap artifacts (the remap CONTRACT,
+    remap/frag-N.parquet column 'docid' aligned to fragment rows, is
+    what stage A depends on, not the sort's location; equality tested).
     """
     marker = layout.marker_path(out_dir, "rankmap", 0)
     if layout.read_marker(marker) is not None:
+        return
+    total = sum(f.num_rows for f in frags)
+    if total > RANK_SORT_DRIVER_LIMIT:
+        _assign_rank_docids_distributed(frags, cfg, out_dir)
+        layout.write_marker(marker, {"rows": int(total), "mode": "distributed"})
         return
     ranks = ray.get(
         [_read_rank_column.remote(f.to_dict(), cfg.rank_column) for f in frags]
@@ -790,7 +828,147 @@ def _assign_rank_docids(frags, cfg: IndexBuildConfig, out_dir: str) -> None:
             os.path.join(out_dir, "remap", f"frag-{f.base_docid}.parquet"),
             **_PARQUET_WRITE_OPTS,
         )
-    layout.write_marker(marker, {"rows": int(len(flat))})
+    layout.write_marker(marker, {"rows": int(len(flat)), "mode": "driver"})
+
+
+@ray.remote(num_cpus=1)
+def _rank_sample_task(frag: dict, column: str, stride: int):
+    r = pq.ParquetFile(frag["path"]).read_row_group(
+        frag["row_group"], columns=[column]
+    )[column].to_numpy().astype(np.float64)
+    return len(r), _rank_desc_key(r)[::stride].copy()
+
+
+@ray.remote(num_cpus=1)
+def _rank_bucket_task(
+    frag: dict, column: str, bounds: np.ndarray, out_dir: str
+) -> np.ndarray:
+    """Assign this fragment's rows to key-range buckets; spill (key, pos)
+    per bucket; return per-bucket counts."""
+    base = int(frag["base_docid"])
+    r = pq.ParquetFile(frag["path"]).read_row_group(
+        frag["row_group"], columns=[column]
+    )[column].to_numpy().astype(np.float64)
+    key = _rank_desc_key(r)
+    pos = base + np.arange(len(r), dtype=np.int64)
+    bucket = np.searchsorted(bounds, key, side="right")
+    counts = np.bincount(bucket, minlength=len(bounds) + 1).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    key, pos, bucket = key[order], pos[order], bucket[order]
+    cuts = np.concatenate(([0], np.flatnonzero(np.diff(bucket)) + 1, [len(bucket)]))
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        b = int(bucket[s])
+        d = os.path.join(out_dir, "tmp", "ranksort", f"bucket-{b:05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"key": pa.array(key[s:e].view(np.int64)), "pos": pa.array(pos[s:e])}
+            ),
+            os.path.join(d, f"frag-{base}.parquet"),
+            **_SPILL_WRITE_OPTS,
+        )
+    return counts
+
+
+@ray.remote(num_cpus=1)
+def _rank_sort_bucket_task(
+    out_dir: str, bucket: int, offset: int, frag_bases: np.ndarray
+) -> int:
+    """Sort one bucket by (key asc == rank desc, pos asc), assign docids
+    from the bucket's global offset, spill (pos, docid) per fragment."""
+    d = os.path.join(out_dir, "tmp", "ranksort", f"bucket-{bucket:05d}")
+    if not os.path.isdir(d):
+        return 0
+    files = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+    t = pa.concat_tables(pq.read_table(f) for f in files)
+    key = t["key"].to_numpy().view(np.uint64)
+    pos = t["pos"].to_numpy()
+    order = np.lexsort((pos, key))
+    pos = pos[order]
+    docid = offset + np.arange(len(pos), dtype=np.int64)
+    fidx = np.searchsorted(frag_bases, pos, side="right") - 1
+    o2 = np.argsort(fidx, kind="stable")
+    pos, docid, fidx = pos[o2], docid[o2], fidx[o2]
+    cuts = np.concatenate(([0], np.flatnonzero(np.diff(fidx)) + 1, [len(fidx)]))
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        fb = int(frag_bases[fidx[s]])
+        pd_dir = os.path.join(out_dir, "tmp", "ranksort", "parts", f"frag-{fb}")
+        os.makedirs(pd_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"pos": pa.array(pos[s:e]), "docid": pa.array(docid[s:e])}),
+            os.path.join(pd_dir, f"bucket-{bucket:05d}.parquet"),
+            **_SPILL_WRITE_OPTS,
+        )
+    return len(pos)
+
+
+@ray.remote(num_cpus=1)
+def _rank_emit_frag_task(out_dir: str, base: int, num_rows: int) -> int:
+    """Gather a fragment's (pos, docid) parts, write the remap artifact
+    (byte-identical contract to the driver path)."""
+    pd_dir = os.path.join(out_dir, "tmp", "ranksort", "parts", f"frag-{base}")
+    files = (
+        sorted(os.path.join(pd_dir, f) for f in os.listdir(pd_dir))
+        if os.path.isdir(pd_dir)
+        else []
+    )
+    t = pa.concat_tables(pq.read_table(f) for f in files)
+    pos = t["pos"].to_numpy()
+    docid = t["docid"].to_numpy()
+    assert len(pos) == num_rows, (base, len(pos), num_rows)
+    seg = np.empty(num_rows, dtype=np.int64)
+    seg[pos - base] = docid
+    os.makedirs(os.path.join(out_dir, "remap"), exist_ok=True)
+    pq.write_table(
+        pa.table({"docid": pa.array(seg)}),
+        os.path.join(out_dir, "remap", f"frag-{base}.parquet"),
+        **_PARQUET_WRITE_OPTS,
+    )
+    return num_rows
+
+
+def _assign_rank_docids_distributed(
+    frags, cfg: IndexBuildConfig, out_dir: str, num_buckets: int = 64
+) -> None:
+    """Distributed applySort: sample -> key-range boundaries (chosen at
+    DISTINCT key values so equal ranks share a bucket and the in-bucket
+    (key, pos) sort reproduces the driver path's tie order exactly) ->
+    per-fragment bucket spill -> per-bucket sort + docid assignment from
+    exact prefix-sum offsets -> per-fragment remap emit. Nothing
+    corpus-sized on the driver (samples + bucket counts only)."""
+    stride = max(1, sum(f.num_rows for f in frags) // (num_buckets * 4096) or 1)
+    samples = ray.get(
+        [_rank_sample_task.remote(f.to_dict(), cfg.rank_column, stride) for f in frags]
+    )
+    keys = np.sort(np.concatenate([s[1] for s in samples]))
+    distinct = np.unique(keys)
+    if len(distinct) > 1:
+        qpos = np.linspace(0, len(distinct) - 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(distinct[qpos.astype(np.int64)])
+    else:
+        bounds = np.empty(0, dtype=np.uint64)
+    counts = ray.get(
+        [
+            _rank_bucket_task.remote(f.to_dict(), cfg.rank_column, bounds, out_dir)
+            for f in frags
+        ]
+    )
+    total_counts = np.sum(np.stack(counts), axis=0)
+    offsets = np.concatenate(([0], np.cumsum(total_counts)[:-1]))
+    frag_bases = np.array(sorted(f.base_docid for f in frags), dtype=np.int64)
+    ray.get(
+        [
+            _rank_sort_bucket_task.remote(out_dir, b, int(offsets[b]), frag_bases)
+            for b in range(len(bounds) + 1)
+        ]
+    )
+    ray.get(
+        [
+            _rank_emit_frag_task.remote(out_dir, f.base_docid, f.num_rows)
+            for f in frags
+        ]
+    )
+    shutil.rmtree(os.path.join(out_dir, "tmp", "ranksort"), ignore_errors=True)
 
 
 @ray.remote(num_cpus=1)

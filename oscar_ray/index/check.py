@@ -100,7 +100,11 @@ def check_index(index_dir: str, sample_blocks: int | None = None) -> dict:
                 continue
             blk = t["block_id"][i].as_py()
             ids, tfs, dls = decode_postings(
-                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py(), count=cnt
+                t["docs"][i].as_py(),
+                t["tfs"][i].as_py(),
+                t["dls"][i].as_py(),
+                count=cnt,
+                codec=reader.docid_codec,
             )
             sids = ids.astype(np.int64)
             if len(sids) > 1 and not (np.diff(sids) > 0).all():

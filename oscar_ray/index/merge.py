@@ -81,13 +81,22 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
                 "block_id",
                 pa.array(t["block_id"].to_numpy() + (off >> span_bits)),
             )
+            if cfg.docid_codec == "eliasfano":
+                # EF streams have no splice-able absolute head: decode,
+                # shift, re-encode per block (blocks are span-capped)
+                from oscar_ray.stages.codecs import ef_decode, ef_encode
+
+                counts = t["doc_count"].to_numpy()
+                shifted = [
+                    ef_encode(ef_decode(b, int(c)) + np.uint64(off))
+                    for b, c in zip(t["docs"].to_pylist(), counts)
+                ]
+            else:
+                shifted = [_shift_docs_payload(b, off) for b in t["docs"].to_pylist()]
             t = t.set_column(
                 t.schema.get_field_index("docs"),
                 "docs",
-                pa.array(
-                    [_shift_docs_payload(b, off) for b in t["docs"].to_pylist()],
-                    type=pa.binary(),
-                ),
+                pa.array(shifted, type=pa.binary()),
             )
         tables.append(t)
     merged = pa.concat_tables(tables) if tables else None
@@ -165,7 +174,7 @@ def merge_indexes(in_dirs: list[str], out_dir: str) -> dict:
     for m in manifests[1:]:
         c = dict(m["config"])
         for key in ("num_partitions", "block_span_bits", "k1", "b", "index_suffixes",
-                    "min_suffix_len"):
+                    "min_suffix_len", "docid_codec", "field_columns"):
             if c.get(key) != cfg0.get(key):
                 raise ValueError(f"config mismatch on {key}: {c.get(key)} != {cfg0.get(key)}")
     cfg = IndexBuildConfig(**cfg0)

@@ -37,11 +37,16 @@ class TermPostings:
     _docs: list[bytes]
     _tfs: list[bytes]
     _dls: list[bytes]
+    codec: str = "varint"  # docid stream codec (manifest config)
 
     def decode_block(self, i: int):
         """-> (docids, tfs, doclens) uint64 arrays for block index i."""
         return decode_postings(
-            self._docs[i], self._tfs[i], self._dls[i], count=int(self.doc_counts[i])
+            self._docs[i],
+            self._tfs[i],
+            self._dls[i],
+            count=int(self.doc_counts[i]),
+            codec=self.codec,
         )
 
     def decode_all(self):
@@ -93,6 +98,7 @@ class IndexReader:
         cfg = self.manifest["config"]
         self.num_partitions = cfg["num_partitions"]
         self.block_span_bits = cfg["block_span_bits"]
+        self.docid_codec = cfg.get("docid_codec", "varint")
         self.params = BM25Params(k1=cfg["k1"], b=cfg["b"])
         stats = self.manifest["stats"]
         self.n_docs = stats["n_docs"]
@@ -184,6 +190,7 @@ class IndexReader:
                 _docs=t["docs"].to_pylist(),
                 _tfs=t["tfs"].to_pylist(),
                 _dls=t["dls"].to_pylist(),
+                codec=self.docid_codec,
             )
         if len(self._postings_cache) > 4096 and not getattr(self, "_cache_pinned", False):
             self._postings_cache.clear()
@@ -223,11 +230,47 @@ class IndexReader:
                         _docs=sl["docs"].to_pylist(),
                         _tfs=sl["tfs"].to_pylist(),
                         _dls=sl["dls"].to_pylist(),
+                        codec=self.docid_codec,
                     )
                     n += 1
                     start = i
         # preloaded caches must not be evicted by the LRU-ish clear
         self._cache_pinned = True
+        return n
+
+    def drop_caches(self, page_cache: bool = False) -> int:
+        """The reference's `mdrop` work item
+        (``oscar-cmd/Workfunctions.cpp:781-820``): evict this reader's
+        in-process state (postings cache, dictionaries, file handles,
+        row-group stats) so the next query measures a true cold path
+        without a process restart. ``page_cache=True`` additionally asks
+        the kernel to drop the OS page cache for every index artifact
+        via posix_fadvise(DONTNEED) — the drop_caches-protocol analog
+        (``Benchmark.cpp:117-123``) that needs no root. Returns the
+        number of files fadvise'd."""
+        self._postings_cache.clear()
+        self._dicts.clear()
+        self._files.clear()
+        self._rg_stats.clear()
+        if hasattr(self, "_sorted_terms"):
+            self._sorted_terms.clear()
+        self._cache_pinned = False
+        n = 0
+        if page_cache and hasattr(os, "posix_fadvise"):
+            for root, _dirs, files in os.walk(self.index_dir):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        try:
+                            fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                            try:
+                                os.posix_fadvise(
+                                    fd, 0, 0, os.POSIX_FADV_DONTNEED
+                                )
+                                n += 1
+                            finally:
+                                os.close(fd)
+                        except OSError:
+                            pass
         return n
 
     def _read_term_rows(self, part: int, term: str):

@@ -140,6 +140,76 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+# --------------------------------------------------------------------------
+# Elias-Fano (optional docid codec — the reference's `eliasfano`
+# ItemIndex type, config ``data/configs/oscar-create/index_eliasfano.json``)
+# --------------------------------------------------------------------------
+
+
+def ef_encode(ids: np.ndarray) -> bytes:
+    """Elias-Fano encode a strictly-ascending uint64 sequence.
+
+    Layout: [u8 l][low bits, n*l bits packed LSB-first][high bitvector,
+    unary-gap coded: bit (high[i] + i) set]. Count is external (the
+    posting row's doc_count), like the varint streams. Vectorized:
+    one packbits for lows, one scatter for highs.
+    """
+    v = np.ascontiguousarray(ids, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    u = int(v[-1]) + 1
+    l = max(0, (u // n).bit_length() - 1)  # floor(log2(u/n)) for u>=n
+    low_bytes = b""
+    if l:
+        low = v & np.uint64((1 << l) - 1)
+        # bit matrix (n, l) LSB-first -> packbits(bitorder='little')
+        bits = ((low[:, None] >> np.arange(l, dtype=np.uint64)[None, :]) & 1).astype(
+            np.uint8
+        )
+        low_bytes = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    high = (v >> np.uint64(l)).astype(np.int64) + np.arange(n, dtype=np.int64)
+    nbits = int(high[-1]) + 1
+    hv = np.zeros((nbits + 7) // 8 * 8, dtype=np.uint8)
+    hv[high] = 1
+    high_bytes = np.packbits(hv, bitorder="little").tobytes()
+    return bytes([l]) + low_bytes + high_bytes
+
+
+def ef_decode(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of ef_encode (count = number of values)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    l = int(raw[0])
+    low_nbytes = (count * l + 7) // 8
+    low = np.zeros(count, dtype=np.uint64)
+    if l:
+        bits = np.unpackbits(raw[1 : 1 + low_nbytes], bitorder="little")[: count * l]
+        m = bits.reshape(count, l).astype(np.uint64)
+        low = (m << np.arange(l, dtype=np.uint64)[None, :]).sum(axis=1)
+    hbits = np.unpackbits(raw[1 + low_nbytes :], bitorder="little")
+    pos = np.flatnonzero(hbits)[:count].astype(np.int64)
+    high = (pos - np.arange(count, dtype=np.int64)).astype(np.uint64)
+    return (high << np.uint64(l)) | low
+
+
+def encode_docid_stream(docids: np.ndarray, codec: str) -> bytes:
+    """Encode one block's strictly-ascending docids with the configured
+    codec ('varint' = delta-gap + LEB128, 'eliasfano')."""
+    if codec == "eliasfano":
+        return ef_encode(docids)
+    return varint_encode(delta_encode(np.asarray(docids, dtype=np.uint64)))
+
+
+def decode_docid_stream(buf: bytes, count: int | None, codec: str) -> np.ndarray:
+    if codec == "eliasfano":
+        if count is None:
+            raise ValueError("eliasfano decode requires count")
+        return ef_decode(buf, count)
+    return delta_decode(varint_decode(buf, count))
+
+
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray):
     """Encode one posting block -> (docs_bytes, tfs_bytes, dls_bytes).
 
@@ -156,9 +226,11 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray):
     )
 
 
-def decode_postings(docs_bytes, tfs_bytes, dls_bytes, count: int | None = None):
+def decode_postings(
+    docs_bytes, tfs_bytes, dls_bytes, count: int | None = None, codec: str = "varint"
+):
     """Decode one posting block -> (docids, tfs, doclens) uint64 arrays."""
-    docids = delta_decode(varint_decode(docs_bytes, count))
+    docids = decode_docid_stream(docs_bytes, count, codec)
     tfs = varint_decode(tfs_bytes, count)
     dls = varint_decode(dls_bytes, count)
     return docids, tfs, dls

@@ -37,6 +37,12 @@ def main():
         action="store_true",
         help="hydrate results from docmeta (the reference's -ds item dump)",
     )
+    q.add_argument(
+        "--cold",
+        action="store_true",
+        help="drop reader + OS page caches first (mdrop / drop_caches analog)",
+    )
+    sub.add_parser("mdrop", help="evict OS page cache for the index artifacts")
     kv = sub.add_parser("kvstats", help="facet counts over a query's match set")
     kv.add_argument("-q", "--query", required=True)
     kv.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
@@ -146,6 +152,10 @@ def main():
         return
 
     reader = IndexReader(args.index)
+    if args.cmd == "mdrop":
+        n = reader.drop_caches(page_cache=True)
+        print(json.dumps({"fadvised_files": n}))
+        return
     if args.cmd == "stats":
         print(json.dumps(reader.manifest["stats"], indent=1))
         print(json.dumps({"vocabulary": reader.vocabulary_size()}))
@@ -162,6 +172,9 @@ def main():
             for i in range(min(args.head, len(ids))):
                 print(f"docid={ids[i]} tf={tfs[i]} doclen={dls[i]}")
     elif args.cmd == "query":
+        if args.cold:
+            n = reader.drop_caches(page_cache=True)
+            print(f"# cold: dropped caches ({n} files fadvised)", file=sys.stderr)
         engine = QueryEngine(args.index, reader, parallel_fetch=True)
         if any(tok.startswith("*") for tok in args.query.split()) and not (
             reader.manifest["config"].get("index_suffixes")

@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--block-span-bits", type=int, help="docids per block = 2^bits")
     ap.add_argument("--id-column", help="use an existing unique int64 id column")
     ap.add_argument("--no-dedup", action="store_true", help="skip exact URL dedup")
+    ap.add_argument(
+        "--codec",
+        choices=["varint", "eliasfano"],
+        help="docid stream codec (ItemIndex-type analog; default varint)",
+    )
+    ap.add_argument(
+        "--fields", help="comma-separated columns to index as @field: filter terms"
+    )
     args = ap.parse_args()
 
     import ray
@@ -62,6 +70,10 @@ def main():
         fields["url_column"] = fields.get("url_column")
     if args.no_dedup:
         fields["dedup_urls"] = False
+    if args.codec:
+        fields["docid_codec"] = args.codec
+    if args.fields:
+        fields["field_columns"] = args.fields.split(",")
     cfg = IndexBuildConfig(**fields)
 
     manifest = build_index(args.input, args.out, cfg, resume=not args.no_resume)

@@ -284,3 +284,84 @@ class TestDeterminismAndResume:
 
         ids, _ = QueryEngine(out, reader).search("alpha", k=10)
         assert sorted(ids.tolist()) == [10, 30]
+
+
+class TestDistributedRankSort:
+    """_assign_rank_docids_distributed produces byte-identical remap
+    artifacts to the driver-side lexsort (the remap CONTRACT)."""
+
+    def test_remap_identical_to_driver_path(self, ray_session, tmp_path):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        from oscar_ray.index.build import (
+            IndexBuildConfig,
+            _assign_rank_docids,
+            _assign_rank_docids_distributed,
+        )
+        from oscar_ray.sources.pages import list_fragments
+
+        rng = np.random.default_rng(3)
+        src = str(tmp_path / "ranked")
+        os.makedirs(src)
+        n_per = 700
+        for fi in range(3):
+            ranks = rng.choice(
+                [-2.5, -1.0, 0.0, 0.5, 3.25, 7.0, 7.0, 100.0], size=n_per
+            )  # heavy ties + negatives + zeros
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": [f"u{fi}-{i}" for i in range(n_per)],
+                        "text": ["x"] * n_per,
+                        "rank": pa.array(ranks, type=pa.float64()),
+                    }
+                ),
+                os.path.join(src, f"part-{fi}.parquet"),
+                row_group_size=350,
+            )
+        frags = list_fragments(src)
+        cfg = IndexBuildConfig(rank_column="rank", lang_column=None, dedup_urls=False)
+
+        out_a = str(tmp_path / "driver")
+        os.makedirs(out_a)
+        _assign_rank_docids(frags, cfg, out_a)  # small -> driver path
+        out_b = str(tmp_path / "dist")
+        os.makedirs(out_b)
+        _assign_rank_docids_distributed(frags, cfg, out_b, num_buckets=7)
+
+        for f in sorted(os.listdir(os.path.join(out_a, "remap"))):
+            ha = hashlib.md5(
+                open(os.path.join(out_a, "remap", f), "rb").read()
+            ).hexdigest()
+            hb = hashlib.md5(
+                open(os.path.join(out_b, "remap", f), "rb").read()
+            ).hexdigest()
+            assert ha == hb, f
+
+
+class TestEliasFanoCodec:
+    """docid_codec='eliasfano' (the reference's selectable ItemIndex
+    type): identical query results + structural checkers green."""
+
+    def test_ef_index_parity_and_check(self, ray_session, pages_t1, tmp_path):
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.index.check import check_index
+        from oscar_ray.query.engine import QueryEngine
+
+        out_v = str(tmp_path / "idx_varint")
+        out_e = str(tmp_path / "idx_ef")
+        base = dict(num_partitions=4, block_span_bits=8, shard_fragments=3)
+        build_index(pages_t1, out_v, IndexBuildConfig(**base))
+        build_index(
+            pages_t1, out_e, IndexBuildConfig(**base, docid_codec="eliasfano")
+        )
+        check_index(out_e)
+        ev, ee = QueryEngine(out_v), QueryEngine(out_e)
+        for q in ["waaa", "waaa wbaa", "waaa + wbab", "wa* - wbaa", "(waaa + wbaa) ^ wcaa"]:
+            iv, sv = ev.search(q, k=50)
+            ie, se = ee.search(q, k=50)
+            assert iv.tolist() == ie.tolist(), q
+            np.testing.assert_allclose(sv, se)

@@ -44,6 +44,26 @@ def test_delta_roundtrip(vals):
     assert (delta_decode(delta_encode(ids)) == ids).all()
 
 
+@given(st.sets(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_eliasfano_roundtrip(ids_set):
+    from oscar_ray.stages.codecs import ef_decode, ef_encode
+
+    ids = np.array(sorted(ids_set), dtype=np.uint64)
+    assert (ef_decode(ef_encode(ids), len(ids)) == ids).all()
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_docid_stream_codecs_agree(ids_set):
+    from oscar_ray.stages.codecs import decode_docid_stream, encode_docid_stream
+
+    ids = np.array(sorted(ids_set), dtype=np.uint64)
+    for codec in ("varint", "eliasfano"):
+        buf = encode_docid_stream(ids, codec)
+        assert (decode_docid_stream(buf, len(ids), codec) == ids).all()
+
+
 id_sets = st.sets(st.integers(min_value=0, max_value=500), max_size=80)
 
 

@@ -325,3 +325,21 @@ class TestFieldSearch:
         b = eng.search("waaa @lang:en", k=25, mode="exhaustive")
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_allclose(a[1], b[1])
+
+
+def test_drop_caches_cold_equals_warm(built_index_t1):
+    """mdrop analog: after drop_caches the engine reopens everything and
+    answers identically."""
+    from oscar_ray.index.reader import IndexReader
+
+    index_dir, _ = built_index_t1
+    reader = IndexReader(index_dir)
+    eng = QueryEngine(index_dir, reader)
+    warm_ids, warm_sc = eng.search("waaa + wbaa", k=20)
+    assert len(reader._postings_cache) > 0
+    n = reader.drop_caches(page_cache=True)
+    assert n > 0
+    assert len(reader._postings_cache) == 0 and len(reader._files) == 0
+    cold_ids, cold_sc = eng.search("waaa + wbaa", k=20)
+    np.testing.assert_array_equal(warm_ids, cold_ids)
+    np.testing.assert_allclose(warm_sc, cold_sc)
