@@ -372,31 +372,87 @@ def _emb_dup_pairs(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def _mm_image_features(sf_dir: str):
-    """Multimodal plumbing demo: treat the html-free documents text bytes as
-    an opaque media column, run the (stubbed) image feature stage."""
+def _mm_media_ds(sf_dir: str, kind: str):
+    """documents doc_ids -> deterministic synthetic media payloads
+    (REAL PPM/WAV/RVID bytes, decoded for real by the stages)."""
     import os
 
     import pyarrow as pa
     import ray.data
 
-    from oscar_ray.stages.multimodal import ImageFeatureStage
-
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
     def to_media(t: pa.Table) -> pa.Table:
-        payload = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]
+        from oscar_ray.sources.synth import generate_ppm, generate_rvid, generate_wav
+
+        gen = {"ppm": generate_ppm, "wav": generate_wav, "rvid": generate_rvid}[kind]
+        payload = [gen(int(d)) for d in t["doc_id"].to_pylist()]
         return pa.table(
             {"doc_id": t["doc_id"], "media": pa.array(payload, type=pa.binary())}
         )
 
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def _mm_image_features(sf_dir: str):
+    """Image pipeline with a REAL (library-free) decoder: deterministic
+    PPM payloads per doc -> decode -> pixel-stat + thumbnail features."""
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
     return (
-        ds.map_batches(to_media, batch_format="pyarrow")
+        _mm_media_ds(sf_dir, "ppm")
         .map_batches(
             ImageFeatureStage,
-            fn_constructor_kwargs={"decoder": "fake", "dim": 16},
+            fn_constructor_kwargs={"decoder": "ppm", "dim": 16},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_audio_features(sf_dir: str):
+    """Audio pipeline with a REAL decoder: PCM16 WAV payloads -> RIFF
+    parse -> duration/RMS/ZCR/spectral-centroid features."""
+    from oscar_ray.stages.multimodal import AudioFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "wav")
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_video_frames(sf_dir: str):
+    """Video pipeline with a REAL frame sampler: raw-RGB container ->
+    evenly-spaced frames re-encoded as PPM -> per-frame image features."""
+    from oscar_ray.stages.multimodal import FrameSampleStage, ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "rvid")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"decoder": "rvid", "n_frames": 3},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+        )
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={
+                "decoder": "ppm",
+                "dim": 8,
+                "media_col": "frame",
+                "passthrough_cols": ("frame_index",),
+            },
             batch_format="pyarrow",
             batch_size=256,
             concurrency=2,
@@ -441,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "emb_dup_pairs": _emb_dup_pairs,
         "mm_image_features": _mm_image_features,
+        "mm_audio_features": _mm_audio_features,
+        "mm_video_frames": _mm_video_frames,
     }
 
 

@@ -107,21 +107,42 @@ def customer_order_join(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def top_parts_by_size(sf_dir: str) -> ray.data.Dataset:
-    """Distributed sort + limit (O1/O4 analog): top-100 parts by
-    (p_size desc, p_partkey asc)."""
+def top_parts_by_size(sf_dir: str, k: int = 100) -> pa.Table:
+    """Top-k (O1/O4 analog): top-100 parts by (p_size desc, p_partkey asc).
+
+    Per-block PARTIAL top-k inside map_batches, then a k*n_blocks-sized
+    driver merge — no range-partition sort shuffle (a full distributed
+    sort moves every row to rank 100 of them; the partial-merge shape
+    moves k rows per block)."""
+    import numpy as np
+
     ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
 
-    def negkey(t: pa.Table) -> pa.Table:
-        return t.append_column("neg_size", pc.negate(t["p_size"]))
+    def partial_topk(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy()
+        key = t["p_partkey"].to_numpy()
+        n = len(size)
+        if n > k:
+            thresh = np.partition(size, n - k)[n - k]
+            cand = np.flatnonzero(size >= thresh)  # tie-safe
+        else:
+            cand = np.arange(n)
+        order = np.lexsort((key[cand], -size[cand]))[:k]
+        sel = cand[order]
+        return t.select(["p_partkey", "p_size"]).take(pa.array(sel))
 
-    out = (
-        ds.map_batches(negkey, batch_format="pyarrow")
-        .sort(["neg_size", "p_partkey"])
-        .limit(100)
-        .select_columns(["p_partkey", "p_size"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(partials).sort_values(
+        ["p_size", "p_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "p_partkey": pa.array(df["p_partkey"].to_numpy()),
+            "p_size": pa.array(df["p_size"].to_numpy()),
+        }
     )
-    return out
 
 
 def order_status_facets(sf_dir: str) -> ray.data.Dataset:

@@ -132,3 +132,46 @@ def write_pages(
         paths.append(path)
         start += n
     return paths
+
+
+def generate_ppm(doc_id: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic P6 image per doc: seeded gradient + noise (real
+    pixels for the library-free PPM decode path)."""
+    import numpy as np
+
+    from oscar_ray.stages.multimodal import encode_ppm
+
+    rng = np.random.default_rng(doc_id * 2654435761 % (2**32))
+    gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+    gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
+    base = (gx + gy) / 2
+    noise = rng.integers(0, 64, size=(h, w, 3)).astype(np.float64)
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return encode_ppm(img)
+
+
+def generate_wav(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
+    """Deterministic PCM16 WAV per doc: a sine whose frequency derives
+    from the doc id (+ a quieter octave)."""
+    import numpy as np
+
+    from oscar_ray.stages.multimodal import encode_wav
+
+    freq = 200.0 + (doc_id * 37) % 1800
+    t = np.arange(int(seconds * rate)) / rate
+    mono = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(4 * np.pi * freq * t)
+    return encode_wav(mono[:, None], rate)
+
+
+def generate_rvid(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic raw-RGB video per doc: brightness ramp over frames."""
+    import numpy as np
+
+    from oscar_ray.stages.multimodal import encode_rvid
+
+    rng = np.random.default_rng((doc_id + 7) * 40503 % (2**32))
+    base = rng.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
+    frames = np.stack(
+        [np.clip(base.astype(np.int64) + 20 * f, 0, 255).astype(np.uint8) for f in range(n_frames)]
+    )
+    return encode_rvid(frames)

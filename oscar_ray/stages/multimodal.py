@@ -1,4 +1,4 @@
-"""Multimodal (image/audio/video) column stages — Ray plumbing real, codecs stubbed.
+"""Multimodal (image/audio/video) column stages.
 
 Media rides as opaque ``binary`` columns with typed metadata, exactly how
 ``html: binary`` rides in the pages schema. Decode / feature-extract /
@@ -7,28 +7,200 @@ state loads once per actor, batches stay small because payload rows are
 large (set ``batch_size`` accordingly and keep ``batch_format="pyarrow"``
 — binary columns do not survive pandas round-trips cleanly).
 
-The image/audio libraries are not in this container, so the codec calls
-are STUBBED: ``decoder="fake"`` produces deterministic pseudo-features
-from the payload bytes (so schemas/plumbing are testable end-to-end);
-``decoder="real"`` raises NotImplementedError where Pillow/ffmpeg would
-be invoked.
+Codec support is tiered by what this container can actually do:
+
+- **real, library-free decoders** (pure numpy/struct, fully implemented
+  and tested): PPM/PGM images (``decode_ppm``), RIFF/WAV PCM16 audio
+  (``decode_wav``), and a raw-RGB frame container (``RVID``,
+  ``decode_rvid_header``) — decode, nearest-neighbor resize, feature
+  extraction and frame sampling all operate on real pixels/samples;
+- ``decoder="fake"``: deterministic pseudo-features from payload bytes
+  (plumbing/schema testing for arbitrary payloads);
+- ``decoder="real"``: the Pillow/libjpeg/ffmpeg path for compressed
+  formats — NotImplementedError in this container (libs absent), with
+  the actor-state shape (load codec once in ``__init__``) kept real.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+# --------------------------------------------------------------------------
+# library-free codecs
+# --------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) / PGM (P5) -> uint8 array (h, w, c).
+
+    Full header grammar: magic, whitespace/comments, width, height,
+    maxval (<= 255 supported). Raises ValueError on malformed input.
+    """
+    if not payload or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a P5/P6 netpbm payload")
+    channels = 3 if payload[1:2] == b"6" else 1
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape(h, w, channels)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 1|3) -> P5/P6 bytes (inverse of decode_ppm)."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure-numpy index grids (no loops)."""
+    h, w, _ = img.shape
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ri[:, None], ci[None, :], :]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 -> (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate). Walks the chunk list (fmt before data)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // n_channels * n_channels
+    return (
+        samples[:n].reshape(-1, n_channels).astype(np.float64) / 32768.0,
+        sample_rate,
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float in [-1,1] -> PCM16 WAV bytes."""
+    s = np.clip(samples, -1.0, 1.0)
+    pcm = (s * 32767.0).astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, n_ch,
+        sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+RVID_MAGIC = b"RVID"
+
+
+def encode_rvid(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) uint8 -> raw-RGB video container bytes."""
+    n, h, w, _ = frames.shape
+    return RVID_MAGIC + struct.pack("<III", w, h, n) + frames.tobytes()
+
+
+def decode_rvid_header(payload: bytes) -> tuple[int, int, int]:
+    """-> (width, height, n_frames); frame i is a fixed-stride slice."""
+    if payload[:4] != RVID_MAGIC or len(payload) < 16:
+        raise ValueError("not an RVID payload")
+    return struct.unpack_from("<III", payload, 4)
+
+
+def rvid_frame(payload: bytes, i: int) -> np.ndarray:
+    """Decode frame i -> uint8 (h, w, 3) without touching other frames."""
+    w, h, n = decode_rvid_header(payload)
+    if not 0 <= i < n:
+        raise IndexError(i)
+    stride = w * h * 3
+    off = 16 + i * stride
+    return np.frombuffer(payload, dtype=np.uint8, count=stride, offset=off).reshape(
+        h, w, 3
+    )
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Real feature vector from pixels: per-channel mean/std + a
+    grayscale thumbnail, padded/truncated to ``dim`` float32s."""
+    gray = img.astype(np.float32).mean(axis=2)
+    stats = []
+    for c in range(img.shape[2]):
+        ch = img[:, :, c].astype(np.float32)
+        stats.extend([ch.mean() / 255.0, ch.std() / 255.0])
+    side = max(1, int(np.sqrt(max(dim - len(stats), 1))))
+    thumb = resize_nearest(gray[:, :, None].astype(np.uint8), side, side)[:, :, 0]
+    feat = np.concatenate(
+        [np.asarray(stats, dtype=np.float32), thumb.reshape(-1).astype(np.float32) / 255.0]
+    )
+    if len(feat) < dim:
+        feat = np.pad(feat, (0, dim - len(feat)))
+    return feat[:dim]
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Real audio features: duration, RMS, zero-crossing rate, spectral
+    centroid (rfft) — all numpy, mono-mixed."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    if n:
+        spec = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+        centroid = float((spec * freqs).sum() / max(spec.sum(), 1e-12))
+    else:
+        centroid = 0.0
+    return {
+        "duration_s": round(n / sample_rate, 6) if sample_rate else 0.0,
+        "rms": round(rms, 6),
+        "zcr": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 3),
+        "sample_rate": sample_rate,
+        "n_channels": samples.shape[1],
+    }
 
 
 class ImageFeatureStage:
     """Actor-pool stage: binary image -> fixed-dim feature vector.
 
     Output schema: (id, feature: list<float32>[dim], width, height).
-    ``decoder="fake"``: deterministic features = normalized bytes of
-    blake2b(payload) expanded to ``dim``; width/height parsed as fake
-    constants. ``decoder="real"``: NotImplementedError (no Pillow here).
+    Decoders: ``"ppm"`` — REAL decode of P5/P6 netpbm payloads (pixel
+    stats + grayscale thumbnail features, true width/height);
+    ``"fake"`` — deterministic digest features for arbitrary payloads;
+    ``"real"`` — the Pillow/libjpeg path, NotImplementedError here.
     """
 
     def __init__(
@@ -37,47 +209,116 @@ class ImageFeatureStage:
         media_col: str = "media",
         dim: int = 64,
         decoder: str = "fake",
+        passthrough_cols: tuple = (),
     ):
         self.id_col, self.media_col, self.dim = id_col, media_col, dim
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "real", "ppm"):
             raise ValueError(decoder)
         self.decoder = decoder
-        # real path would load the model/codec ONCE here (per actor):
-        # self.model = load_feature_extractor(...)
+        self.passthrough_cols = list(passthrough_cols)
+        # a compressed-format path would load the codec/model ONCE here
+        # (per actor): self.model = load_feature_extractor(...)
 
-    def _features(self, payload: bytes) -> np.ndarray:
+    def _features(self, payload: bytes) -> tuple[np.ndarray, int, int]:
         if self.decoder == "real":
             raise NotImplementedError(
                 "real image decode requires Pillow/libjpeg (not in this container)"
             )
+        if self.decoder == "ppm":
+            img = decode_ppm(payload)
+            return image_features(img, self.dim), img.shape[1], img.shape[0]
         # deterministic fake: stretch a 32-byte digest to dim floats in [0,1)
         dig = hashlib.blake2b(payload or b"", digest_size=32).digest()
         reps = (self.dim * 4 + len(dig) - 1) // len(dig)
         raw = (dig * reps)[: self.dim * 4]
         return (
-            np.frombuffer(raw, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
+            np.frombuffer(raw, dtype=np.uint32).astype(np.float32) / np.float32(2**32),
+            0,
+            0,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(p) for p in batch[self.media_col].to_pylist()]
+        feats, ws, hs = [], [], []
+        for p in batch[self.media_col].to_pylist():
+            f, w, h = self._features(p)
+            feats.append(f.tolist())
+            ws.append(w)
+            hs.append(h)
+        cols = {
+            self.id_col: batch[self.id_col].cast(pa.int64()),
+            **{c: batch[c] for c in self.passthrough_cols},
+            "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+        }
+        return pa.table(cols)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: PPM/PGM payload -> resized PPM/PGM payload
+    (REAL pixels, nearest-neighbor). Output: (id, media, width, height)."""
+
+    def __init__(
+        self,
+        out_w: int,
+        out_h: int,
+        id_col: str = "doc_id",
+        media_col: str = "media",
+    ):
+        self.out_w, self.out_h = out_w, out_h
+        self.id_col, self.media_col = id_col, media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch[self.media_col].to_pylist():
+            img = decode_ppm(p)
+            out.append(encode_ppm(resize_nearest(img, self.out_h, self.out_w)))
+        n = len(out)
         return pa.table(
             {
                 self.id_col: batch[self.id_col].cast(pa.int64()),
-                "feature": pa.array(
-                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
-                ),
-                "width": pa.array([0] * len(batch), type=pa.int32()),
-                "height": pa.array([0] * len(batch), type=pa.int32()),
+                "media": pa.array(out, type=pa.binary()),
+                "width": pa.array([self.out_w] * n, type=pa.int32()),
+                "height": pa.array([self.out_h] * n, type=pa.int32()),
             }
         )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: WAV PCM16 payload -> REAL audio features.
+
+    Output: (id, duration_s, rms, zcr, spectral_centroid_hz,
+    sample_rate, n_channels). decoder="real" (mp3/ogg via ffmpeg) is
+    NotImplementedError in this container.
+    """
+
+    def __init__(
+        self, id_col: str = "doc_id", media_col: str = "media", decoder: str = "wav"
+    ):
+        if decoder not in ("wav", "real"):
+            raise ValueError(decoder)
+        self.id_col, self.media_col, self.decoder = id_col, media_col, decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("compressed audio requires ffmpeg")
+        rows = []
+        for i, p in enumerate(batch[self.media_col].to_pylist()):
+            samples, rate = decode_wav(p)
+            f = audio_features(samples, rate)
+            f[self.id_col] = batch[self.id_col][i].as_py()
+            rows.append(f)
+        return pa.Table.from_pylist(rows)
 
 
 class FrameSampleStage:
     """Actor-pool stage: binary video -> N sampled frame payloads (flat rows).
 
-    Output: (id, frame_index, frame: binary). Fake decoder slices the
-    payload deterministically; real decoder would shell to ffmpeg once
-    per actor-held handle.
+    Output: (id, frame_index, frame: binary). Decoders: ``"rvid"`` —
+    REAL frame extraction from the raw-RGB container (evenly-spaced
+    frame indices, each emitted as a standalone PPM payload);
+    ``"fake"`` — deterministic byte slices; ``"real"`` — ffmpeg path,
+    NotImplementedError here.
     """
 
     def __init__(
@@ -87,6 +328,8 @@ class FrameSampleStage:
         n_frames: int = 4,
         decoder: str = "fake",
     ):
+        if decoder not in ("fake", "real", "rvid"):
+            raise ValueError(decoder)
         self.id_col, self.media_col, self.n_frames = id_col, media_col, n_frames
         self.decoder = decoder
 
@@ -96,6 +339,19 @@ class FrameSampleStage:
         ids, fidx, frames = [], [], []
         for i, payload in enumerate(batch[self.media_col].to_pylist()):
             payload = payload or b""
+            if self.decoder == "rvid":
+                _w, _h, n_avail = decode_rvid_header(payload)
+                take = min(self.n_frames, n_avail)
+                picks = (
+                    np.linspace(0, n_avail - 1, take).astype(np.int64)
+                    if take
+                    else np.empty(0, np.int64)
+                )
+                for f, src in enumerate(picks.tolist()):
+                    ids.append(batch[self.id_col][i].as_py())
+                    fidx.append(f)
+                    frames.append(encode_ppm(rvid_frame(payload, src)))
+                continue
             step = max(1, len(payload) // self.n_frames)
             for f in range(self.n_frames):
                 ids.append(batch[self.id_col][i].as_py())
