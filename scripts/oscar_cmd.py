@@ -43,6 +43,21 @@ def main():
         help="drop reader + OS page caches first (mdrop / drop_caches analog)",
     )
     sub.add_parser("mdrop", help="evict OS page cache for the index artifacts")
+    bm = sub.add_parser(
+        "bench",
+        help="per-query phase timing stats over a query file (--benchmark analog)",
+    )
+    bm.add_argument("-f", "--file", required=True, help="one query per line")
+    bm.add_argument("-k", type=int, default=10)
+    bm.add_argument(
+        "--cold", action="store_true", help="drop caches before EVERY query (cc=true)"
+    )
+    bm.add_argument("--runs", type=int, default=2, help="warm runs per query (last counts)")
+    gq = sub.add_parser(
+        "gen-queries", help="emit a seeded stratified query set from the dictionary"
+    )
+    gq.add_argument("-n", type=int, default=100)
+    gq.add_argument("--seed", type=int, default=42)
     kv = sub.add_parser("kvstats", help="facet counts over a query's match set")
     kv.add_argument("-q", "--query", required=True)
     kv.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
@@ -155,6 +170,60 @@ def main():
     if args.cmd == "mdrop":
         n = reader.drop_caches(page_cache=True)
         print(json.dumps({"fadvised_files": n}))
+        return
+    if args.cmd == "bench":
+        # the reference's --benchmark loop (``oscar-cmd/Benchmark.cpp:98-332``):
+        # per query, optional cold protocol (drop_caches analog) then
+        # `runs` warm evaluations with the LAST counting; prints per-phase
+        # total/min/max/mean/median microseconds
+        import numpy as np
+
+        from oscar_ray.query.engine import QueryEngine
+
+        engine = QueryEngine(args.index, reader)
+        with open(args.file) as f:
+            queries = [line.rstrip("\n") for line in f if line.strip()]
+        phases: dict[str, list] = {"parse_us": [], "expand_us": [], "eval_us": [], "total_us": []}
+        n_results = []
+        for q in queries:
+            if args.cold:
+                reader.drop_caches(page_cache=True)
+                engine = QueryEngine(args.index, reader)
+            runs = 1 if args.cold else max(1, args.runs)
+            for _ in range(runs):
+                ids, _sc, t = engine.search_timed(q, k=args.k)
+            for key in ("parse_us", "expand_us", "eval_us"):
+                phases[key].append(t[key])
+            phases["total_us"].append(t["parse_us"] + t["expand_us"] + t["eval_us"])
+            n_results.append(len(ids))
+        stats = {}
+        for key, vals in phases.items():
+            a = np.array(vals) if vals else np.zeros(1)
+            stats[key] = {
+                "total": round(float(a.sum()), 1),
+                "min": round(float(a.min()), 1),
+                "max": round(float(a.max()), 1),
+                "mean": round(float(a.mean()), 1),
+                "median": round(float(np.median(a)), 1),
+            }
+        print(json.dumps({
+            "queries": len(queries),
+            "mode": "cold" if args.cold else f"warm(last of {args.runs})",
+            "result_rows": int(sum(n_results)),
+            "phases_us": stats,
+            "qps": round(len(queries) / max(sum(phases["total_us"]) / 1e6, 1e-9), 1),
+        }))
+        return
+    if args.cmd == "gen-queries":
+        from oscar_ray.sources.queryset import generate_queries
+
+        dfs: dict[str, int] = {}
+        for part in range(reader.num_partitions):
+            for term, (df, _cf) in reader._part_dict(part).items():
+                if not term.startswith(("\x01", "\x02")):
+                    dfs[term] = df
+        for q in generate_queries(dfs, n_queries=args.n, seed=args.seed):
+            print(q["query"])
         return
     if args.cmd == "stats":
         print(json.dumps(reader.manifest["stats"], indent=1))
