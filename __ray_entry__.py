@@ -356,6 +356,25 @@ def _ann_lsh_topk(sf_dir: str):
     return knn_lsh_partitioned(bucket_dir, _queries_embeddings(sf_dir), k=ANN_K)
 
 
+def _ann_ivf_topk(sf_dir: str):
+    """IVF ANN: distributed spherical k-means centroids + cluster-
+    partitioned vectors; probes the nprobe nearest clusters' partitions
+    only (rows-only check; nprobe=all == brute force is pytest-verified)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+    from oscar_ray.stages.similarity import ivf_build, ivf_search
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint(list_fragments(src))
+    ivf_dir = f"/tmp/oscar_ray_cache/ivf-{fp}"
+    if not os.path.exists(os.path.join(ivf_dir, "ivf_manifest.json")):
+        ivf_build(ray.data.read_parquet(src), ivf_dir, n_clusters=8, n_iter=5)
+    return ivf_search(ivf_dir, _queries_embeddings(sf_dir), k=ANN_K, nprobe=3)
+
+
 def _emb_dup_pairs(sf_dir: str):
     import os
 
@@ -495,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "emb_dup_pairs": _emb_dup_pairs,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,

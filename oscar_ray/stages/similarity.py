@@ -259,6 +259,215 @@ def embedding_dup_pairs_lsh(
     )
 
 
+# --------------------------------------------------------------------------
+# distributed spherical k-means + IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+
+class _KMeansAssignPartial:
+    """map_batches: per-batch partial (cluster, count, sum-vector) rows —
+    the mergeable-aggregate shape: driver combine is k x dim, never
+    corpus-sized."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.c = c  # (k, dim), normalized
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        if not len(m):
+            return pa.table(
+                {
+                    "cluster": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        assign = np.argmax(m @ self.c.T, axis=1)
+        clusters, inv = np.unique(assign, return_inverse=True)
+        sums = np.zeros((len(clusters), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(clusters))
+        return pa.table(
+            {
+                "cluster": pa.array(clusters.astype(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array([r.tolist() for r in sums], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def _deterministic_seed_vectors(
+    ds: ray.data.Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """k seed vectors chosen by smallest splitmix64(vec_id) — a seeded,
+    order-independent sample computed as per-batch partial top-k."""
+    from oscar_ray.stages.dedup import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64(ids + np.uint64(0xC0FFEE))
+        keep = np.argsort(h)[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[keep].view(np.int64)),
+                vec_col: t[vec_col].take(pa.array(keep)),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: np.uint64(np.int64(r["h"])))
+    return _normalize(
+        np.array([r[vec_col] for r in rows[:k]], dtype=np.float64)
+    )
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> np.ndarray:
+    """Distributed spherical k-means -> (k, dim) normalized centroids.
+
+    Per iteration: broadcast centroids (ray.put once), one streaming
+    pass of per-batch partial sums, a k x dim driver combine. Fully
+    deterministic (seeded order-independent init, argmax ties to the
+    lowest cluster id). Empty clusters keep their previous centroid.
+    """
+    centroids = _deterministic_seed_vectors(ds, k, id_col, vec_col)
+    for _ in range(n_iter):
+        partials = ds.map_batches(
+            _KMeansAssignPartial,
+            fn_constructor_kwargs={"centroids_ref": ray.put(centroids), "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for r in partials:
+            sums[int(r["cluster"])] += np.asarray(r["vsum"])
+            counts[int(r["cluster"])] += r["n"]
+        new = centroids.copy()
+        nz = counts > 0
+        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        if np.allclose(new, centroids, atol=1e-9):
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> str:
+    """Build an IVF artifact: k-means centroids + the vector table
+    hive-partitioned by nearest-centroid cluster (`cluster=<c>/`).
+    A probe reads only the nprobe nearest clusters' directories."""
+    import json
+    import os
+
+    centroids = kmeans_fit(ds, n_clusters, n_iter, id_col, vec_col, concurrency)
+    cref = ray.put(centroids)
+
+    class AddCluster:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(t, vec_col))
+            a = np.argmax(m @ self.c.T, axis=1) if len(m) else np.empty(0, np.int64)
+            return t.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    ds.map_batches(AddCluster, batch_format="pyarrow", concurrency=concurrency).write_parquet(
+        out_dir, partition_cols=["cluster"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    with open(os.path.join(out_dir, "ivf_manifest.json"), "w") as f:
+        json.dump(
+            {"n_clusters": int(n_clusters), "id_col": id_col, "vec_col": vec_col}, f
+        )
+    return out_dir
+
+
+def ivf_search(
+    ivf_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> pa.Table:
+    """IVF probe: per query the nprobe nearest centroids' partitions are
+    read and brute-force scored; with nprobe == n_clusters the result is
+    EXACTLY knn_brute_force (tested). Output schema == knn_brute_force."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    sims = q @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    # per query: nprobe nearest clusters (ties to lower id via stable sort)
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    # per query admissible cluster sets, vectorized membership at scan time
+    adm = [np.sort(p) for p in probe]
+    want = np.unique(probe.reshape(-1))
+    paths = []
+    for c in want:
+        d = os.path.join(ivf_dir, f"cluster={int(c)}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return _merge_topk([], len(q), k, id_col)
+    ds = ray.data.read_parquet(paths, columns=[id_col, vec_col, "cluster"])
+    qref = ray.put(q)
+    adm_ref = ray.put(adm)
+
+    class ProbeTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(qref, k, id_col=id_col, vec_col=vec_col)
+            self.adm = ray.get(adm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy()
+            # hive partition values materialize as strings
+            clusters = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, self.vec_col))
+            qids, out_ids, out_sc = [], [], []
+            for qi in range(self.q.shape[0]):
+                sel = np.flatnonzero(np.isin(clusters, self.adm[qi]))
+                if not len(sel):
+                    continue
+                row = self.q[qi] @ m[sel].T
+                pick = _tie_safe_topk(row, ids[sel], self.k)
+                qids.extend([qi] * len(pick))
+                out_ids.extend(ids[sel][pick].tolist())
+                out_sc.extend(row[pick].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(qids, type=pa.int64()),
+                    self.id_col: pa.array(out_ids, type=pa.int64()),
+                    "score": pa.array(out_sc, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        ProbeTopK, batch_format="pyarrow", concurrency=concurrency
+    ).take_all()
+    return _merge_topk(partials, len(q), k, id_col)
+
+
 class _HyperplaneHasher:
     """Random-hyperplane LSH: vector -> nbits-bit bucket signature."""
 

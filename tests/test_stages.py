@@ -515,3 +515,65 @@ class TestRealMediaCodecs:
         for r in rows:
             img = decode_ppm(r["frame"])  # frames re-encode as valid PPM
             assert img.shape == (12, 16, 3)
+
+
+class TestIVF:
+    """Distributed spherical k-means + IVF probe."""
+
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        m = rng.standard_normal((80, 16))
+        m[50] = m[10] * 1.5 + rng.standard_normal(16) * 0.01
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(80), type=pa.int64()),
+                        "embedding": pa.array(
+                            [row.tolist() for row in m], type=pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            ),
+            m,
+        )
+
+    def test_ivf_full_probe_equals_brute_force(self, emb_ds, tmp_path):
+        from oscar_ray.stages.similarity import ivf_build, ivf_search, knn_brute_force
+
+        ds, m = emb_ds
+        q = np.array(m[:3], dtype=np.float64)
+        ivf_dir = str(tmp_path / "ivf")
+        ivf_build(ds, ivf_dir, n_clusters=4, n_iter=5)
+        exact = knn_brute_force(ds, q, k=5, concurrency=2)
+        full = ivf_search(ivf_dir, q, k=5, nprobe=4)
+        assert exact.to_pydict() == full.to_pydict()
+
+    def test_ivf_partial_probe_recall(self, emb_ds, tmp_path):
+        from oscar_ray.stages.similarity import ivf_build, ivf_search, knn_brute_force
+
+        ds, m = emb_ds
+        q = np.array(m[:3], dtype=np.float64)
+        ivf_dir = str(tmp_path / "ivf2")
+        ivf_build(ds, ivf_dir, n_clusters=8, n_iter=5)
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in knn_brute_force(ds, q, k=5, concurrency=2).to_pylist()
+        }
+        got = ivf_search(ivf_dir, q, k=5, nprobe=3).to_pylist()
+        hits = {(r["query_id"], r["vec_id"]) for r in got}
+        # each query's own vector sits in its probed cluster -> rank 1
+        r1 = {r["vec_id"] for r in got if r["rank"] == 1}
+        assert r1 == {0, 1, 2}
+        assert len(hits & exact) / len(exact) > 0.5  # reasonable recall
+
+    def test_kmeans_deterministic(self, emb_ds):
+        from oscar_ray.stages.similarity import kmeans_fit
+
+        ds, _ = emb_ds
+        c1 = kmeans_fit(ds, k=4, n_iter=3)
+        c2 = kmeans_fit(ds, k=4, n_iter=3)
+        np.testing.assert_array_equal(c1, c2)
