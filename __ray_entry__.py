@@ -180,6 +180,18 @@ def _rel_events_window(sf_dir: str):
     return events_window_counts(sf_dir)
 
 
+def _rel_events_sliding(sf_dir: str):
+    from oscar_ray.pipelines.relational import events_sliding_window
+
+    return events_sliding_window(sf_dir)
+
+
+def _rel_events_asof(sf_dir: str):
+    from oscar_ray.pipelines.relational import events_asof_join
+
+    return events_asof_join(sf_dir)
+
+
 def _rel_events_json(sf_dir: str):
     from oscar_ray.pipelines.relational import events_json_stats
 
@@ -501,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_setops": _rel_customer_setops,
         "rel_facet_entropy": _rel_facet_entropy,
         "rel_events_window": _rel_events_window,
+        "rel_events_sliding": _rel_events_sliding,
+        "rel_events_asof": _rel_events_asof,
         "rel_events_json": _rel_events_json,
         "emb_label_centroids": _emb_label_centroids,
         "dedup_exact": _dedup_exact,
@@ -774,6 +788,23 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2 ORDER BY k, hour_bucket
+        """,
+        "rel_events_sliding": """
+            -- 1h windows sliding by 30min: event at slot s lands in the
+            -- windows starting at slots s and s-1
+            SELECT event_type AS k,
+                   (epoch_us(ts) // 1800000000 - t.d)::BIGINT AS win30,
+                   count(*)::BIGINT AS n
+            FROM events, unnest([0, 1]) AS t(d)
+            GROUP BY 1, 2 ORDER BY k, win30
+        """,
+        "rel_events_asof": """
+            SELECT a.event_id, b.event_id AS prev_event_id,
+                   (epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+            ORDER BY a.event_id
         """,
         "rel_events_json": """
             SELECT event_type,

@@ -369,3 +369,86 @@ def events_window_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort(["k", "hour_bucket"])
     )
+
+
+def events_sliding_window(sf_dir: str) -> pa.Table:
+    """SLIDING window counts (1h window, 30min slide): each event lands
+    in exactly two windows — a flat_map-shaped window-assignment
+    `map_batches` then per-batch partial counts with a (small,
+    window-cardinality-sized) driver combine. The windowed-aggregate
+    custom operator from the brief, expressed without any shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        slot = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_800_000_000, type=pa.int64()))
+        s = slot.to_numpy() if not hasattr(slot, "combine_chunks") else slot.combine_chunks().to_numpy()
+        k = t["event_type"].to_numpy(zero_copy_only=False)
+        # window start slots: slot and slot-1 (each window spans 2 slots)
+        ks = np.concatenate((k, k))
+        ws = np.concatenate((s, s - 1))
+        df = pd.DataFrame({"k": ks, "win30": ws})
+        agg = df.groupby(["k", "win30"], as_index=False).size()
+        return pa.table(
+            {
+                "k": pa.array(agg["k"], type=pa.string()),
+                "win30": pa.array(agg["win30"].astype(np.int64)),
+                "n": pa.array(agg["size"].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(assign, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    agg = (
+        pd.DataFrame(partials)
+        .groupby(["k", "win30"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["k", "win30"])
+    )
+    return pa.table(
+        {
+            "k": pa.array(agg["k"], type=pa.string()),
+            "win30": pa.array(agg["win30"].to_numpy()),
+            "n": pa.array(agg["n"].to_numpy()),
+        }
+    )
+
+
+def events_asof_join(sf_dir: str) -> pa.Table:
+    """ASOF join demo: each purchase event joined to the user's latest
+    click at-or-before it (the time-series custom join from the brief;
+    DuckDB ASOF JOIN is the oracle). -> (event_id, prev_event_id, gap_us)."""
+    from oscar_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def split(kind: str):
+        return ev.filter(expr=f"event_type == '{kind}'")
+
+    joined = asof_join(
+        split("purchase"),
+        split("click"),
+        key="user_id",
+        ts="ts",
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+        num_parts=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t["ts"].cast(pa.int64()), t["prev_ts"].cast(pa.int64()))
+        return pa.table(
+            {
+                "event_id": t["event_id"].combine_chunks().cast(pa.int64()),
+                "prev_event_id": t["prev_event_id"].combine_chunks().cast(pa.int64()),
+                "gap_us": gap,
+            }
+        )
+
+    return pa.Table.from_pandas(
+        joined.map_batches(finish, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    ).sort_by("event_id")

@@ -577,3 +577,55 @@ class TestIVF:
         c1 = kmeans_fit(ds, k=4, n_iter=3)
         c2 = kmeans_fit(ds, k=4, n_iter=3)
         np.testing.assert_array_equal(c1, c2)
+
+
+class TestAsofJoin:
+    def test_asof_vs_pandas_merge_asof(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.joins import asof_join
+
+        rng = np.random.default_rng(13)
+        n_l, n_r = 300, 200
+        left = pd.DataFrame(
+            {
+                "uid": rng.integers(0, 20, n_l),
+                "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+                "lv": np.arange(n_l),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "uid": rng.integers(0, 20, n_r),
+                "ts": pd.to_datetime(np.unique(rng.integers(0, 10**6, n_r)), unit="s")[
+                    : n_r
+                ],
+                "rv": np.arange(n_r) + 1000,
+            }
+        )
+        right = right.head(len(right))
+        got = (
+            asof_join(
+                ray.data.from_arrow(pa.Table.from_pandas(left)),
+                ray.data.from_arrow(pa.Table.from_pandas(right)),
+                key="uid",
+                ts="ts",
+                left_cols=["lv"],
+                right_cols=["rv"],
+                num_parts=4,
+            )
+            .to_pandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="uid",
+            direction="backward",
+        ).dropna(subset=["rv"]).sort_values("lv").reset_index(drop=True)
+        assert got["lv"].tolist() == want["lv"].tolist()
+        assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
