@@ -314,6 +314,19 @@ def _text_langid(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).sort("doc_id")
 
 
+def _text_repetition(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import doc_repetition_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(doc_repetition_stats, batch_format="pyarrow").sort("doc_id")
+
+
 def _text_fingerprint(sf_dir: str):
     import os
 
@@ -525,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
+        "text_repetition": _text_repetition,
         "text_fingerprint": _text_fingerprint,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -856,6 +870,27 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum(length(term))::DOUBLE / count(*)) * 1e6)::BIGINT
                        AS mean_token_len_micro
             FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_repetition": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+                FROM tokarr, unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+                WHERE len(arr) >= {NGRAM_N}
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   count(DISTINCT shingle)::BIGINT AS n_distinct_ngrams,
+                   floor((1 - count(DISTINCT shingle)::DOUBLE / count(*)) * 1e6)::BIGINT
+                       AS dup_frac_micro
+            FROM sh GROUP BY doc_id ORDER BY doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

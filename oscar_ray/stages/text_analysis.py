@@ -202,3 +202,54 @@ def doc_fingerprint(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
             "fingerprint": pa.array(fps.view(np.int64)),
         }
     )
+
+
+def doc_repetition_stats(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> pa.Table:
+    """Within-doc repetition signals (Gopher/RefinedWeb-style quality
+    filters): per doc with >= n tokens, the total and distinct token
+    n-gram counts and the duplicate fraction (micro-units, floor —
+    exact-integer ratio in float64 so any engine computes the same bits).
+
+    Vectorized: token hashes + one rolling splitmix64 chain per batch
+    (shared machinery with the dedup shinglers), one lexsort for the
+    distinct count — no per-doc Python.
+    """
+    from oscar_ray.stages.dedup import _token_hashes, _SHINGLE_SEED, _splitmix64
+
+    parent_a, tokens_a = flatten_tokens(batch[text_col])
+    parent = np.asarray(parent_a).astype(np.int64)
+    ids = batch[id_col].to_numpy()
+    nb = len(batch)
+    th = _token_hashes(tokens_a)
+    N = len(th)
+    n_total = np.zeros(nb, dtype=np.int64)
+    n_distinct = np.zeros(nb, dtype=np.int64)
+    if N >= n:
+        W = N - n + 1
+        acc = np.full(W, _SHINGLE_SEED, dtype=np.uint64)
+        for j in range(n):
+            acc = _splitmix64(acc ^ th[j : j + W])
+        wparent = parent[:W]
+        valid = parent[n - 1 :] == wparent
+        acc, wparent = acc[valid], wparent[valid]
+        n_total = np.bincount(wparent, minlength=nb).astype(np.int64)
+        if len(acc):
+            order = np.lexsort((acc, wparent))
+            a_s, p_s = acc[order], wparent[order]
+            first = np.ones(len(a_s), dtype=bool)
+            first[1:] = (p_s[1:] != p_s[:-1]) | (a_s[1:] != a_s[:-1])
+            n_distinct = np.bincount(p_s[first], minlength=nb).astype(np.int64)
+    keep = n_total > 0
+    dup_frac_micro = np.floor(
+        (1.0 - n_distinct[keep] / n_total[keep]) * 1e6
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "n_ngrams": pa.array(n_total[keep]),
+            "n_distinct_ngrams": pa.array(n_distinct[keep]),
+            "dup_frac_micro": pa.array(dup_frac_micro),
+        }
+    )
