@@ -43,14 +43,36 @@ def main():
     )
 
     print("=== text analysis (map_batches) ===")
-    ds = docs.map_batches(doc_token_stats, batch_format="pyarrow")
-    ds.materialize()
+    ds = docs.map_batches(doc_token_stats, batch_format="pyarrow").materialize()
     print(ds.stats())
 
     print("\n=== ngram jaccard (shingle -> partition groupbys) ===")
-    pairs = ngram_jaccard_pairs(docs, tau=0.2)
-    pairs.materialize()
+    pairs = ngram_jaccard_pairs(docs, tau=0.2).materialize()
     print(pairs.stats())
+
+    print("\n=== minhash + distributed verify ===")
+    from oscar_ray.stages.dedup import minhash_lsh_pairs
+
+    mh = minhash_lsh_pairs(docs, tau=0.2).materialize()
+    print(mh.stats())
+
+    print("\n=== asof join (hash route + per-partition merge) ===")
+    from oscar_ray.pipelines.relational import events_asof_join
+
+    events_asof_join(sf_dir)  # pa.Table result; stats printed below via last ds
+    from oscar_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    j = asof_join(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'click'"),
+        key="user_id", ts="ts", left_cols=["event_id"], right_cols=["event_id"],
+    )
+    j = j.materialize()
+    print(j.stats())
 
     ray.shutdown()
 
