@@ -109,8 +109,9 @@ class IndexBuildConfig:
     # posting lists. Tiny postings cost: one row per doc per field.
     field_columns: list = None  # e.g. ["lang"]; None/[] = off
     # docid stream codec, the reference's selectable ItemIndex type
-    # (``oscarcreate.cpp:70-75``, index_eliasfano.json): 'varint'
-    # (delta-gap + LEB128, the default) or 'eliasfano'
+    # (``oscarcreate.cpp:70-75``, index_rlede/eliasfano.json): 'varint'
+    # (delta-gap + LEB128, the default), 'rlede' (RLE over gaps, the
+    # reference's default type) or 'eliasfano'
     docid_codec: str = "varint"
     # input_hint invariant: when True, stage A reads the html binary column
     # and derives text via the deterministic extractor (spec/extract.py);
@@ -414,13 +415,13 @@ class AssemblePartitionWorker:
             same_seg[seg_starts] = False
             if (np.diff(docid.astype(np.int64), prepend=docid[:1])[same_seg] <= 0).any():
                 raise AssertionError("posting docids not strictly ascending")
-            if cfg.docid_codec == "eliasfano":
-                from oscar_ray.stages.codecs import ef_encode
+            if cfg.docid_codec in ("eliasfano", "rlede"):
+                from oscar_ray.stages.codecs import encode_docid_stream
 
-                # EF is per-segment (l varies per block); segments are
-                # block-capped so the per-call cost is bounded
+                # per-segment encode (EF's l / rlede's runs vary per
+                # block); segments are block-capped so the cost is bounded
                 docs_b = [
-                    ef_encode(docid[s:e].astype(np.uint64))
+                    encode_docid_stream(docid[s:e].astype(np.uint64), cfg.docid_codec)
                     for s, e in zip(seg_starts.tolist(), seg_ends.tolist())
                 ]
             else:

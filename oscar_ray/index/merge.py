@@ -81,14 +81,21 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
                 "block_id",
                 pa.array(t["block_id"].to_numpy() + (off >> span_bits)),
             )
-            if cfg.docid_codec == "eliasfano":
-                # EF streams have no splice-able absolute head: decode,
+            if cfg.docid_codec in ("eliasfano", "rlede"):
+                # these streams have no splice-able absolute head: decode,
                 # shift, re-encode per block (blocks are span-capped)
-                from oscar_ray.stages.codecs import ef_decode, ef_encode
+                from oscar_ray.stages.codecs import (
+                    decode_docid_stream,
+                    encode_docid_stream,
+                )
 
                 counts = t["doc_count"].to_numpy()
                 shifted = [
-                    ef_encode(ef_decode(b, int(c)) + np.uint64(off))
+                    encode_docid_stream(
+                        decode_docid_stream(b, int(c), cfg.docid_codec)
+                        + np.uint64(off),
+                        cfg.docid_codec,
+                    )
                     for b, c in zip(t["docs"].to_pylist(), counts)
                 ]
             else:

@@ -194,19 +194,54 @@ def ef_decode(buf: bytes, count: int) -> np.ndarray:
     return (high << np.uint64(l)) | low
 
 
+# --------------------------------------------------------------------------
+# RLE-on-gaps ("rlede" — the reference's DEFAULT ItemIndex type,
+# ``data/configs/oscar-create/index_rlede.json``): delta-gap the docids,
+# then run-length encode repeated gaps as (gap, run) varint pairs.
+# Dense posting lists (runs of gap==1) collapse dramatically.
+# --------------------------------------------------------------------------
+
+
+def rlede_encode(ids: np.ndarray) -> bytes:
+    """Strictly-ascending uint64 ids -> (gap, run_length) varint pairs."""
+    gaps = delta_encode(np.ascontiguousarray(ids, dtype=np.uint64))
+    if gaps.size == 0:
+        return b""
+    change = np.concatenate(([0], np.flatnonzero(np.diff(gaps)) + 1))
+    runs = np.diff(np.concatenate((change, [gaps.size]))).astype(np.uint64)
+    vals = gaps[change]
+    inter = np.empty(2 * len(vals), dtype=np.uint64)
+    inter[0::2] = vals
+    inter[1::2] = runs
+    return varint_encode(inter)
+
+
+def rlede_decode(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of rlede_encode (count = number of ids)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    flat = varint_decode(buf)
+    gaps = np.repeat(flat[0::2], flat[1::2].astype(np.int64))
+    if len(gaps) != count:
+        raise ValueError(f"rlede stream decodes {len(gaps)} ids, expected {count}")
+    return delta_decode(gaps)
+
+
 def encode_docid_stream(docids: np.ndarray, codec: str) -> bytes:
     """Encode one block's strictly-ascending docids with the configured
-    codec ('varint' = delta-gap + LEB128, 'eliasfano')."""
+    codec ('varint' = delta-gap + LEB128, 'rlede', 'eliasfano')."""
     if codec == "eliasfano":
         return ef_encode(docids)
+    if codec == "rlede":
+        return rlede_encode(docids)
     return varint_encode(delta_encode(np.asarray(docids, dtype=np.uint64)))
 
 
 def decode_docid_stream(buf: bytes, count: int | None, codec: str) -> np.ndarray:
-    if codec == "eliasfano":
+    if codec in ("eliasfano", "rlede"):
         if count is None:
-            raise ValueError("eliasfano decode requires count")
-        return ef_decode(buf, count)
+            raise ValueError(f"{codec} decode requires count")
+        return ef_decode(buf, count) if codec == "eliasfano" else rlede_decode(buf, count)
     return delta_decode(varint_decode(buf, count))
 
 

@@ -346,18 +346,17 @@ class TestEliasFanoCodec:
     """docid_codec='eliasfano' (the reference's selectable ItemIndex
     type): identical query results + structural checkers green."""
 
-    def test_ef_index_parity_and_check(self, ray_session, pages_t1, tmp_path):
+    @pytest.mark.parametrize("codec", ["rlede", "eliasfano"])
+    def test_codec_index_parity_and_check(self, ray_session, pages_t1, tmp_path, codec):
         from oscar_ray.index.build import IndexBuildConfig, build_index
         from oscar_ray.index.check import check_index
         from oscar_ray.query.engine import QueryEngine
 
         out_v = str(tmp_path / "idx_varint")
-        out_e = str(tmp_path / "idx_ef")
+        out_e = str(tmp_path / f"idx_{codec}")
         base = dict(num_partitions=4, block_span_bits=8, shard_fragments=3)
         build_index(pages_t1, out_v, IndexBuildConfig(**base))
-        build_index(
-            pages_t1, out_e, IndexBuildConfig(**base, docid_codec="eliasfano")
-        )
+        build_index(pages_t1, out_e, IndexBuildConfig(**base, docid_codec=codec))
         check_index(out_e)
         ev, ee = QueryEngine(out_v), QueryEngine(out_e)
         for q in ["waaa", "waaa wbaa", "waaa + wbab", "wa* - wbaa", "(waaa + wbaa) ^ wcaa"]:

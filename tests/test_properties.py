@@ -59,9 +59,21 @@ def test_docid_stream_codecs_agree(ids_set):
     from oscar_ray.stages.codecs import decode_docid_stream, encode_docid_stream
 
     ids = np.array(sorted(ids_set), dtype=np.uint64)
-    for codec in ("varint", "eliasfano"):
+    for codec in ("varint", "rlede", "eliasfano"):
         buf = encode_docid_stream(ids, codec)
         assert (decode_docid_stream(buf, len(ids), codec) == ids).all()
+
+
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=0, max_value=2**30))
+@settings(max_examples=100, deadline=None)
+def test_rlede_dense_runs(n, base):
+    """Dense runs (gap==1 everywhere) collapse to a few bytes."""
+    from oscar_ray.stages.codecs import rlede_decode, rlede_encode
+
+    ids = np.arange(base, base + n, dtype=np.uint64)
+    buf = rlede_encode(ids)
+    assert len(buf) <= 22  # (base,1)+(1,n-1) pairs of varints
+    assert (rlede_decode(buf, n) == ids).all()
 
 
 id_sets = st.sets(st.integers(min_value=0, max_value=500), max_size=80)
