@@ -314,6 +314,49 @@ def _text_langid(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).sort("doc_id")
 
 
+def _text_topk_terms(sf_dir: str):
+    """Exact top-20 terms by collection frequency (heavy hitters over the
+    token stream; mergeable per-batch partial counts)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.sketches import topk_frequent_terms
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return topk_frequent_terms(ds, k=20)
+
+
+def _text_cms_counts(sf_dir: str):
+    """Count-Min-sketch term-count estimates for the corpus vocabulary
+    (mergeable per-batch sketches; estimates upper-bound exact cf —
+    rows-only check, bounds pytest-verified)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.pipelines.search import term_stats_table
+    from oscar_ray.stages.sketches import cms_term_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    cms = cms_term_counts(ds)
+    stats = term_stats_table(sf_dir)
+    terms = stats["term"].to_pylist()
+    est = cms.estimate(terms)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "cf_true": stats["cf"],
+            "cf_est": pa.array(est, type=pa.int64()),
+        }
+    ).sort_by("term")
+
+
 def _text_repetition(sf_dir: str):
     import os
 
@@ -539,6 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_repetition": _text_repetition,
+        "text_topk_terms": _text_topk_terms,
+        "text_cms_counts": _text_cms_counts,
         "text_fingerprint": _text_fingerprint,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -870,6 +915,11 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum(length(term))::DOUBLE / count(*)) * 1e6)::BIGINT
                        AS mean_token_len_micro
             FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_topk_terms": f"""
+            WITH {_TOK_CTE}
+            SELECT term, count(*)::BIGINT AS cf FROM tok
+            GROUP BY term ORDER BY cf DESC, term LIMIT 20
         """,
         "text_repetition": f"""
             WITH tokarr AS (

@@ -1,0 +1,158 @@
+"""Streaming-style sketches over the token stream.
+
+The "novel sketch" custom-operator row from the brief (cf. the top-k
+frequent-term-query literature): both operators are MERGEABLE per-batch
+summaries — the distributed shape is map_batches partials + an
+associative combine, never a per-term shuffle.
+
+- :func:`cms_term_counts`: Count-Min sketch of term frequencies.
+  Per-batch partial sketches are plain int64 matrices; sum of sketches
+  == sketch of the union (exactly mergeable), so the combine is a
+  tree-reduce of dense arrays. Estimates overcount only (min over
+  depth rows bounds the error by eps * total_count w.h.p.).
+- :func:`topk_frequent_terms`: EXACT global top-k by collection
+  frequency — per-batch exact counts pruned to a safe margin, combined
+  driver-side (vocabulary-sized state; route by term hash when the
+  vocabulary itself outgrows one node).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from oscar_ray.spec.tokenizer import flatten_tokens
+
+_CMS_SEED = 0x5EED5EED
+
+
+def _cms_hash(term_hashes: np.ndarray, row: int, width: int) -> np.ndarray:
+    from oscar_ray.stages.dedup import _splitmix64
+
+    with np.errstate(over="ignore"):
+        return (
+            _splitmix64(term_hashes + np.uint64(_CMS_SEED + 0x9E37 * row))
+            % np.uint64(width)
+        ).astype(np.int64)
+
+
+class CMSketchStage:
+    """map_batches: text batch -> ONE row holding this batch's partial
+    Count-Min sketch (depth x width int64, flattened)."""
+
+    def __init__(self, text_col: str = "text", width: int = 16384, depth: int = 4):
+        self.text_col, self.width, self.depth = text_col, width, depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from oscar_ray.stages.dedup import _token_hashes
+
+        _parent, tokens_a = flatten_tokens(batch[self.text_col])
+        th = _token_hashes(tokens_a)
+        sketch = np.zeros((self.depth, self.width), dtype=np.int64)
+        if len(th):
+            # exact per-distinct-term counts first (one unique), then one
+            # scatter-add per depth row — C work proportional to vocab
+            uniq, counts = np.unique(th, return_counts=True)
+            for r in range(self.depth):
+                np.add.at(sketch[r], _cms_hash(uniq, r, self.width), counts)
+        return pa.table(
+            {
+                "sketch": pa.array([sketch.reshape(-1)], type=pa.list_(pa.int64())),
+                "n_tokens": pa.array([int(len(th))], type=pa.int64()),
+            }
+        )
+
+
+class CountMinSketch:
+    """Queryable merged sketch."""
+
+    def __init__(self, matrix: np.ndarray, width: int, depth: int, total: int):
+        self.matrix, self.width, self.depth, self.total = matrix, width, depth, total
+
+    def estimate(self, terms: list[str]) -> np.ndarray:
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+                )
+                for t in terms
+            ),
+            dtype=np.uint64,
+            count=len(terms),
+        )
+        est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            est = np.minimum(est, self.matrix[r][_cms_hash(hs, r, self.width)])
+        return est
+
+
+def cms_term_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    width: int = 16384,
+    depth: int = 4,
+    concurrency: int = 2,
+) -> CountMinSketch:
+    """Build the merged Count-Min sketch of the corpus's term counts."""
+    partials = ds.map_batches(
+        CMSketchStage,
+        fn_constructor_kwargs={"text_col": text_col, "width": width, "depth": depth},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()  # one dense row per input block; tree-reduce at scale
+    matrix = np.zeros(depth * width, dtype=np.int64)
+    total = 0
+    for r in partials:
+        matrix += np.asarray(r["sketch"], dtype=np.int64)
+        total += int(r["n_tokens"])
+    return CountMinSketch(matrix.reshape(depth, width), width, depth, total)
+
+
+def topk_frequent_terms(
+    ds: ray.data.Dataset, k: int = 20, text_col: str = "text", concurrency: int = 2
+) -> pa.Table:
+    """EXACT top-k terms by collection frequency -> (term, cf),
+    (cf desc, term asc). Per-batch exact counts (no pruning — partial
+    counts of the same term across batches must all reach the combine;
+    vocabulary-sized, which is tiny next to the token stream)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _parent, tokens_a = flatten_tokens(batch[text_col])
+        import pyarrow.compute as pc
+
+        denc = pc.dictionary_encode(
+            tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])
+        )
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        counts = np.bincount(codes, minlength=len(denc.dictionary))
+        return pa.table(
+            {
+                "term": denc.dictionary,
+                "cf": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency).take_all()
+    if not rows:
+        return pa.table({"term": pa.array([], type=pa.string()), "cf": pa.array([], type=pa.int64())})
+    df = (
+        pd.DataFrame(rows)
+        .groupby("term", as_index=False)
+        .agg(cf=("cf", "sum"))
+        .sort_values(["cf", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return pa.table(
+        {
+            "term": pa.array(df["term"], type=pa.string()),
+            "cf": pa.array(df["cf"].to_numpy().astype(np.int64)),
+        }
+    )

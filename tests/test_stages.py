@@ -629,3 +629,32 @@ class TestAsofJoin:
         ).dropna(subset=["rv"]).sort_values("lv").reset_index(drop=True)
         assert got["lv"].tolist() == want["lv"].tolist()
         assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
+
+
+class TestSketches:
+    def test_topk_frequent_exact(self, dup_ds):
+        from collections import Counter
+
+        from oscar_ray.stages.sketches import topk_frequent_terms
+
+        got = topk_frequent_terms(dup_ds, k=10).to_pylist()
+        texts = _corpus_with_dups()["text"].to_pylist()
+        c = Counter(t for txt in texts for t in tokenize_text(txt))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [(r["term"], r["cf"]) for r in got] == want
+
+    def test_cms_bounds(self, dup_ds):
+        from collections import Counter
+
+        from oscar_ray.stages.sketches import cms_term_counts
+
+        cms = cms_term_counts(dup_ds, width=4096, depth=4)
+        texts = _corpus_with_dups()["text"].to_pylist()
+        c = Counter(t for txt in texts for t in tokenize_text(txt))
+        terms = sorted(c)
+        est = cms.estimate(terms)
+        true = np.array([c[t] for t in terms])
+        assert (est >= true).all()  # CMS never undercounts
+        # at this load factor collisions are rare: most estimates exact
+        assert (est == true).mean() > 0.95
+        assert cms.total == int(true.sum())
