@@ -156,3 +156,61 @@ def topk_frequent_terms(
             "cf": pa.array(df["cf"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# -- HyperLogLog distinct counting ------------------------------------------
+
+_HLL_SEED = np.uint64(0x48499)
+
+
+class HLLStage:
+    """map_batches: text batch -> one row with this batch's partial HLL
+    register array (distinct-TERM estimation; registers merge by max)."""
+
+    def __init__(self, text_col: str = "text", p: int = 12):
+        assert p >= 11, "p >= 11 keeps the rank computation float-exact"
+        self.text_col, self.p = text_col, p
+        self.m = 1 << p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from oscar_ray.stages.dedup import _splitmix64, _token_hashes
+
+        _parent, tokens_a = flatten_tokens(batch[self.text_col])
+        th = _token_hashes(tokens_a)
+        regs = np.zeros(self.m, dtype=np.int64)
+        if len(th):
+            with np.errstate(over="ignore"):
+                h = _splitmix64(th + _HLL_SEED)
+            idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+            low_bits = 64 - self.p
+            v = h & np.uint64((1 << low_bits) - 1)
+            # rank = leading zeros of the low (64-p)-bit field + 1;
+            # frexp's exponent is v's exact bit_length for v < 2^53
+            # (guaranteed when p >= 11; asserted in __init__)
+            fl = np.frexp(v.astype(np.float64))[1]  # 0 when v == 0
+            rank = (low_bits - fl + 1).astype(np.int64)
+            np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs], type=pa.list_(pa.int64()))})
+
+
+def hll_distinct_terms(
+    ds: ray.data.Dataset, text_col: str = "text", p: int = 12, concurrency: int = 2
+) -> float:
+    """Estimated number of DISTINCT terms in the corpus (HyperLogLog,
+    registers merged by elementwise max — exactly mergeable)."""
+    partials = ds.map_batches(
+        HLLStage,
+        fn_constructor_kwargs={"text_col": text_col, "p": p},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    for r in partials:
+        regs = np.maximum(regs, np.asarray(r["regs"], dtype=np.int64))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range correction
+        est = m * np.log(m / zeros)
+    return float(est)

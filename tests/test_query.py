@@ -343,3 +343,51 @@ def test_drop_caches_cold_equals_warm(built_index_t1):
     cold_ids, cold_sc = eng.search("waaa + wbaa", k=20)
     np.testing.assert_array_equal(warm_ids, cold_ids)
     np.testing.assert_allclose(warm_sc, cold_sc)
+
+
+class TestFieldSearchFuzz:
+    """Random set-op trees including @lang: leaves: pruned == exhaustive
+    == brute-force semantics (filtering the plain-tree result by lang)."""
+
+    def test_random_trees_with_field_leaves(self, pages_t1, tmp_path_factory, ray_session):
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.sources.pages import list_fragments, read_fragment
+
+        out = str(tmp_path_factory.mktemp("idx_fieldfuzz"))
+        build_index(
+            pages_t1, out,
+            IndexBuildConfig(num_partitions=8, block_span_bits=8,
+                             shard_fragments=3, field_columns=["lang"]),
+        )
+        lang_of = {}
+        for f in list_fragments(pages_t1):
+            t = read_fragment(f, columns=["lang"])
+            lang_of.update(zip(t["docid"].to_pylist(), t["lang"].to_pylist()))
+        eng = QueryEngine(out)
+        rng = np.random.default_rng(17)
+        terms = ["waaa", "wbaa", "wbab", "wcaa", "wa", "wzz"]
+        ops = ["+", "-", "^", " "]
+        n_nonempty = 0
+        for _ in range(60):
+            a, b = rng.choice(terms, size=2, replace=True)
+            op = ops[rng.integers(0, 4)]
+            lang = ["en", "de", "und"][rng.integers(0, 3)]
+            base_q = f"{a} {op} {b}" if op != " " else f"{a} {b}"
+            fq = f"({base_q}) @lang:{lang}"
+            p_ids, p_sc = eng.search(fq, k=1 << 30, mode="auto")
+            e_ids, e_sc = eng.search(fq, k=1 << 30, mode="exhaustive")
+            assert p_ids.tolist() == e_ids.tolist(), fq
+            np.testing.assert_allclose(p_sc, e_sc)
+            # semantics: base result filtered by lang, scores unchanged
+            b_ids, b_sc = eng.search(base_q, k=1 << 30)
+            want = {
+                int(d): s
+                for d, s in zip(b_ids.tolist(), b_sc.tolist())
+                if lang_of[int(d)] == lang
+            }
+            got = dict(zip(p_ids.tolist(), p_sc.tolist()))
+            assert got.keys() == want.keys(), fq
+            for d in want:
+                assert abs(got[d] - want[d]) < 1e-12
+            n_nonempty += bool(len(p_ids))
+        assert n_nonempty > 20

@@ -658,3 +658,24 @@ class TestSketches:
         # at this load factor collisions are rare: most estimates exact
         assert (est == true).mean() > 0.95
         assert cms.total == int(true.sum())
+
+    def test_hll_distinct_estimate(self, ray_session):
+        """HLL estimate within ~5% of the true distinct-term count on a
+        10k-distinct synthetic corpus (p=12 -> ~1.6% std error)."""
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.sketches import hll_distinct_terms
+
+        rng = np.random.default_rng(3)
+        vocab = [f"tok{i:05d}" for i in range(10_000)]
+        docs = [
+            " ".join(vocab[j] for j in rng.integers(0, 10_000, size=80))
+            for _ in range(2_000)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(docs, type=pa.string())})
+        )
+        true = len({t for d in docs for t in d.split()})
+        est = hll_distinct_terms(ds, p=12)
+        assert abs(est - true) / true < 0.05, (est, true)
