@@ -357,6 +357,30 @@ def _text_cms_counts(sf_dir: str):
     ).sort_by("term")
 
 
+def _text_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-term estimate next to the exact count
+    (max-mergeable registers; deterministic, so rows-only-stable)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.pipelines.search import term_stats_table
+    from oscar_ray.stages.sketches import hll_distinct_terms
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    est = hll_distinct_terms(ds, p=12)
+    exact = term_stats_table(sf_dir).num_rows
+    return pa.table(
+        {
+            "distinct_exact": pa.array([exact], type=pa.int64()),
+            "distinct_hll": pa.array([int(round(est))], type=pa.int64()),
+        }
+    )
+
+
 def _text_repetition(sf_dir: str):
     import os
 
@@ -584,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _text_repetition,
         "text_topk_terms": _text_topk_terms,
         "text_cms_counts": _text_cms_counts,
+        "text_hll_distinct": _text_hll_distinct,
         "text_fingerprint": _text_fingerprint,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
