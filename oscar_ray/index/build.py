@@ -225,7 +225,7 @@ class TokenizeShardWorker:
             )
         if cfg.field_columns:
             urow, ucode, tf, terms_py = _append_field_pairs(
-                tbl, cfg.field_columns, urow, ucode, tf, terms_py
+                tbl, cfg.field_columns, urow, ucode, tf, terms_py, doclen_per_row
             )
 
         # partition of each unique term in this shard's dictionary
@@ -717,12 +717,15 @@ def _append_field_pairs(
     ucode: np.ndarray,
     tf: np.ndarray,
     terms_py: list[str],
+    doclen_per_row: np.ndarray,
 ):
     """Append one (row, FIELD_MARKER+col+":"+norm(value), tf=1) pair per
     doc per field column. Values are normalized with the pinned tokenizer
     (tokens joined '_'); the marker-term vocabulary is field-cardinality
     sized, so normalization runs once per DISTINCT value (dictionary
-    encode), never per row."""
+    encode), never per row. Zero-token docs get NO field terms — every
+    posting keeps the doclen >= tf invariant (C5), and a field filter
+    can never surface a doc no text query could ever match."""
     from oscar_ray.index.layout import field_term
     from oscar_ray.spec.tokenizer import tokenize_text
 
@@ -749,7 +752,7 @@ def _append_field_pairs(
                 terms_py.append(t)
             term_code_of.append(c)
         tco = np.asarray(term_code_of, dtype=np.int64)
-        valid = ~pd_isnull_np(codes)
+        valid = ~pd_isnull_np(codes) & (doclen_per_row > 0)
         rows = np.flatnonzero(valid)
         mapped = tco[codes[valid].astype(np.int64)]
         ok = mapped >= 0

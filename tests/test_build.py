@@ -364,3 +364,42 @@ class TestEliasFanoCodec:
             ie, se = ee.search(q, k=50)
             assert iv.tolist() == ie.tolist(), q
             np.testing.assert_allclose(sv, se)
+
+
+class TestConfigFuzz:
+    """Random config combinations (partitions x span x codec x fields x
+    suffixes x dedup) all build, pass the structural checkers, and answer
+    queries identically in pruned and exhaustive mode."""
+
+    def test_random_configs(self, ray_session, pages_t1, tmp_path):
+        import numpy as np
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.index.check import check_index
+        from oscar_ray.query.engine import QueryEngine
+
+        rng = np.random.default_rng(23)
+        for trial in range(6):
+            cfg = IndexBuildConfig(
+                num_partitions=int(rng.integers(1, 12)),
+                block_span_bits=int(rng.integers(4, 14)),
+                shard_fragments=int(rng.integers(1, 5)),
+                docid_codec=["varint", "rlede", "eliasfano"][int(rng.integers(0, 3))],
+                field_columns=[None, ["lang"]][int(rng.integers(0, 2))],
+                index_suffixes=bool(rng.integers(0, 2)),
+                dedup_urls=bool(rng.integers(0, 2)),
+            )
+            out = str(tmp_path / f"fuzz{trial}")
+            build_index(pages_t1, out, cfg)
+            check_index(out, sample_blocks=50)
+            eng = QueryEngine(out)
+            queries = ["waaa", "waaa + wbab", "waaa - wbaa", "(waaa wbaa) ^ wcaa"]
+            if cfg.field_columns:
+                queries.append("waaa @lang:en")
+            if cfg.index_suffixes:
+                queries.append("*aaa*")
+            for q in queries:
+                a_ids, a_sc = eng.search(q, k=30, mode="auto")
+                b_ids, b_sc = eng.search(q, k=30, mode="exhaustive")
+                assert a_ids.tolist() == b_ids.tolist(), (trial, q)
+                np.testing.assert_allclose(a_sc, b_sc)
