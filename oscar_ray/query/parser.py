@@ -194,12 +194,16 @@ def parse_query(q: str, max_len: int = 100_000, max_terms: int = 512) -> Node | 
 def _term_node(raw: str) -> Node | None:
     if raw.startswith("@") and ":" in raw:
         fname, _, fval = raw[1:].partition(":")
-        ftoks = tokenize_text(fname)
         vtoks = tokenize_text(fval.replace("_", " "))
-        if not ftoks:
+        if not fname:
             return None
+        # field name stays VERBATIM: the build side keys marker terms by
+        # the raw column name (build.py _append_field_pairs), so the query
+        # side must not re-normalize it — a tokenized name would silently
+        # miss any column that isn't a single plain lowercase token
+        # (e.g. "page_rank" -> "pagerank" != the indexed "page_rank")
         # value normalizing to nothing -> impossible term (matches nothing)
-        return Field("".join(ftoks), "_".join(vtoks))
+        return Field(fname, "_".join(vtoks))
     lead = raw.startswith("*")
     trail = raw.endswith("*")
     tokens = tokenize_text(raw.strip("*"))

@@ -597,7 +597,14 @@ def _verify_pairs_exact(
             )
             idx = base + within
             pidx = np.repeat(np.arange(len(docs)), reps)
-            sizes = np.where(reps > 0, sz[np.minimum(lo, max(len(sz) - 1, 0))], 0)
+            # guard: a candidate doc with ZERO shingle rows in this
+            # partition (possible if the pair dataset drifts from the
+            # shingle dataset) must read as set_size 0, not index into
+            # an empty sz array
+            sizes = np.zeros(len(docs), dtype=np.int64)
+            m = reps > 0
+            if m.any():
+                sizes[m] = sz[lo[m]]
             return pidx, sv[idx], sizes
 
         pa_idx, va, asz = side_rows(a)

@@ -206,10 +206,21 @@ def embedding_dup_pairs_lsh(
             self.hasher = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                # same empty-batch guard as build_vector_buckets: never
+                # latch the hasher's dim off an empty batch
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        vec_col: t[vec_col].combine_chunks(),
+                        "bucket": pa.array([], type=pa.int64()),
+                        "part": pa.array([], type=pa.int64()),
+                    }
+                )
             m = _normalize(_batch_matrix(t, vec_col))
             if self.hasher is None:
-                self.hasher = _HyperplaneHasher(m.shape[1] if len(m) else 1, nbits, seed)
-            b = self.hasher.bucket(m) if len(m) else np.empty(0, dtype=np.int64)
+                self.hasher = _HyperplaneHasher(m.shape[1], nbits, seed)
+            b = self.hasher.bucket(m)
             return pa.table(
                 {
                     id_col: t[id_col].combine_chunks().cast(pa.int64()),
@@ -601,10 +612,14 @@ def build_vector_buckets(
             self.hasher = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                # never latch the hasher off an empty batch: its dim would
+                # pin to a bogus value and crash the next real batch
+                return t.append_column("bucket", pa.array([], type=pa.int64()))
             m = _normalize(_batch_matrix(t, vec_col))
             if self.hasher is None:
-                self.hasher = _HyperplaneHasher(m.shape[1] if len(m) else 1, nbits, seed)
-            b = self.hasher.bucket(m) if len(m) else np.empty(0, dtype=np.int64)
+                self.hasher = _HyperplaneHasher(m.shape[1], nbits, seed)
+            b = self.hasher.bucket(m)
             return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
     ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=2).write_parquet(

@@ -11,9 +11,14 @@ associative combine, never a per-term shuffle.
   tree-reduce of dense arrays. Estimates overcount only (min over
   depth rows bounds the error by eps * total_count w.h.p.).
 - :func:`topk_frequent_terms`: EXACT global top-k by collection
-  frequency — per-batch exact counts pruned to a safe margin, combined
-  driver-side (vocabulary-sized state; route by term hash when the
-  vocabulary itself outgrows one node).
+  frequency — per-batch exact partial counts routed by hash(term) % P
+  (every occurrence of a term reaches ONE partition), per-partition
+  vectorized combine + partial top-k, tiny (P * k)-row driver merge.
+  The driver never holds vocabulary-sized state.
+
+Combines are TREE-REDUCED as Ray tasks (both sketches are associative
+by construction: CMS merges by +, HLL by elementwise max), so the
+driver receives O(1) rows regardless of input block count.
 """
 
 from __future__ import annotations
@@ -30,6 +35,29 @@ import ray.data
 from oscar_ray.spec.tokenizer import flatten_tokens
 
 _CMS_SEED = 0x5EED5EED
+
+
+def _tree_reduce_tables(ds: ray.data.Dataset, merge_fn, fanin: int = 8) -> pa.Table | None:
+    """Tree-reduce a Dataset of mergeable rows down to ONE small table.
+
+    ``merge_fn(list[pa.Table]) -> pa.Table`` must be associative and
+    tolerate empty input tables. Executes the dataset to block refs, then
+    ladders ``fanin``-way merge tasks (depth log_fanin(blocks)); the
+    driver holds only refs + the final merged table — never a linear
+    scan over per-block rows. Returns None for an empty dataset.
+    """
+    merge_task = ray.remote(num_cpus=1)(
+        lambda *tables: merge_fn([t for t in tables if t is not None and t.num_rows])
+    )
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return None
+    while len(refs) > 1:
+        refs = [
+            merge_task.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
+        ]
+    out = ray.get(refs[0])
+    return out if out is not None and out.num_rows else None
 
 
 def _cms_hash(term_hashes: np.ndarray, row: int, width: int) -> np.ndarray:
@@ -92,6 +120,23 @@ class CountMinSketch:
         return est
 
 
+def _merge_cms_tables(tables: list[pa.Table]) -> pa.Table:
+    """Associative CMS merge: elementwise + over sketch rows (any count)."""
+    mats, total = [], 0
+    for t in tables:
+        col = t["sketch"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        mats.append(flat.reshape(t.num_rows, -1).sum(axis=0))
+        total += int(pa.compute.sum(t["n_tokens"]).as_py() or 0)
+    merged = np.sum(mats, axis=0) if mats else np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "sketch": pa.array([merged.tolist()], type=pa.list_(pa.int64())),
+            "n_tokens": pa.array([total], type=pa.int64()),
+        }
+    )
+
+
 def cms_term_counts(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -99,33 +144,49 @@ def cms_term_counts(
     depth: int = 4,
     concurrency: int = 2,
 ) -> CountMinSketch:
-    """Build the merged Count-Min sketch of the corpus's term counts."""
+    """Build the merged Count-Min sketch of the corpus's term counts.
+
+    One dense partial row per input block; the combine is a tree of
+    fanin-way + reductions as Ray tasks — the driver receives one row.
+    """
     partials = ds.map_batches(
         CMSketchStage,
         fn_constructor_kwargs={"text_col": text_col, "width": width, "depth": depth},
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).take_all()  # one dense row per input block; tree-reduce at scale
-    matrix = np.zeros(depth * width, dtype=np.int64)
-    total = 0
-    for r in partials:
-        matrix += np.asarray(r["sketch"], dtype=np.int64)
-        total += int(r["n_tokens"])
-    return CountMinSketch(matrix.reshape(depth, width), width, depth, total)
+    )
+    merged = _tree_reduce_tables(partials, _merge_cms_tables)
+    if merged is None:
+        return CountMinSketch(np.zeros((depth, width), dtype=np.int64), width, depth, 0)
+    matrix = np.asarray(merged["sketch"][0].as_py(), dtype=np.int64)
+    return CountMinSketch(
+        matrix.reshape(depth, width), width, depth, int(merged["n_tokens"][0].as_py())
+    )
 
 
 def topk_frequent_terms(
-    ds: ray.data.Dataset, k: int = 20, text_col: str = "text", concurrency: int = 2
+    ds: ray.data.Dataset,
+    k: int = 20,
+    text_col: str = "text",
+    concurrency: int = 2,
+    num_parts: int = 16,
 ) -> pa.Table:
     """EXACT top-k terms by collection frequency -> (term, cf),
-    (cf desc, term asc). Per-batch exact counts (no pruning — partial
-    counts of the same term across batches must all reach the combine;
-    vocabulary-sized, which is tiny next to the token stream)."""
+    (cf desc, term asc).
+
+    Scale shape (the KVStats::topk discipline, the A5 analog): per-batch
+    exact partial counts carry ``part = hash(term) % P``, so EVERY
+    occurrence of a term lands in exactly one partition of the groupby
+    exchange; each partition combines vectorized (arrow groupby) and
+    emits only its local top-k — exact, because the global top-k is a
+    subset of the union of per-partition top-k's when partitions own
+    whole terms. The driver merges P * k rows, never vocabulary-sized
+    state.
+    """
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         _parent, tokens_a = flatten_tokens(batch[text_col])
-        import pyarrow.compute as pc
-
         denc = pc.dictionary_encode(
             tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])
         )
@@ -133,23 +194,51 @@ def topk_frequent_terms(
             denc = denc.combine_chunks()
         codes = np.asarray(denc.indices, dtype=np.int64)
         counts = np.bincount(codes, minlength=len(denc.dictionary))
+        # partition per DISTINCT term (vocab-sized loop, same policy as
+        # _token_hashes): blake2b-64 of the term, mod P
+        uniq = denc.dictionary.to_pylist()
+        parts = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+                )
+                % num_parts
+                for t in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
         return pa.table(
             {
                 "term": denc.dictionary,
                 "cf": pa.array(counts.astype(np.int64)),
+                "part": pa.array(parts),
             }
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency).take_all()
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g[["term", "cf"]], preserve_index=False)
+        agg = t.group_by("term").aggregate([("cf", "sum")])
+        cf = agg["cf_sum"].to_numpy()
+        terms = agg["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -cf))[:k]
+        return pd.DataFrame(
+            {"term": terms[order], "cf": cf[order].astype(np.int64)}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .take_all()
+    )  # <= P * k rows
     if not rows:
-        return pa.table({"term": pa.array([], type=pa.string()), "cf": pa.array([], type=pa.int64())})
-    df = (
-        pd.DataFrame(rows)
-        .groupby("term", as_index=False)
-        .agg(cf=("cf", "sum"))
-        .sort_values(["cf", "term"], ascending=[False, True], kind="mergesort")
-        .head(k)
-    )
+        return pa.table(
+            {"term": pa.array([], type=pa.string()), "cf": pa.array([], type=pa.int64())}
+        )
+    df = pd.DataFrame(rows).sort_values(
+        ["cf", "term"], ascending=[False, True], kind="mergesort"
+    ).head(k)
     return pa.table(
         {
             "term": pa.array(df["term"], type=pa.string()),
@@ -193,21 +282,38 @@ class HLLStage:
         return pa.table({"regs": pa.array([regs], type=pa.list_(pa.int64()))})
 
 
+def _merge_hll_tables(tables: list[pa.Table]) -> pa.Table:
+    """Associative HLL merge: elementwise max over register rows."""
+    regs = None
+    for t in tables:
+        col = t["regs"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = flat.reshape(t.num_rows, -1).max(axis=0)
+        regs = m if regs is None else np.maximum(regs, m)
+    if regs is None:
+        regs = np.empty(0, dtype=np.int64)
+    return pa.table({"regs": pa.array([regs.tolist()], type=pa.list_(pa.int64()))})
+
+
 def hll_distinct_terms(
     ds: ray.data.Dataset, text_col: str = "text", p: int = 12, concurrency: int = 2
 ) -> float:
     """Estimated number of DISTINCT terms in the corpus (HyperLogLog,
-    registers merged by elementwise max — exactly mergeable)."""
+    registers merged by elementwise max — exactly mergeable; the combine
+    is a tree of Ray tasks, so the driver receives one register row)."""
     partials = ds.map_batches(
         HLLStage,
         fn_constructor_kwargs={"text_col": text_col, "p": p},
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).take_all()
+    )
+    merged = _tree_reduce_tables(partials, _merge_hll_tables)
     m = 1 << p
-    regs = np.zeros(m, dtype=np.int64)
-    for r in partials:
-        regs = np.maximum(regs, np.asarray(r["regs"], dtype=np.int64))
+    regs = (
+        np.asarray(merged["regs"][0].as_py(), dtype=np.int64)
+        if merged is not None
+        else np.zeros(m, dtype=np.int64)
+    )
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int((regs == 0).sum())

@@ -326,6 +326,45 @@ class TestFieldSearch:
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_allclose(a[1], b[1])
 
+    def test_field_name_verbatim_both_sides(self, ray_session, tmp_path):
+        """A column whose name is NOT a single plain token (underscore)
+        must be queryable: the parser keeps field names verbatim because
+        the build side keys marker terms by the raw column name."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": ["a", "b", "c"],
+                    "text": ["alpha beta", "alpha gamma", "beta gamma"],
+                    "sub_lang": ["en", "de", "en"],
+                }
+            ),
+            os.path.join(src, "p.parquet"),
+        )
+        out = str(tmp_path / "idx")
+        build_index(
+            src,
+            out,
+            IndexBuildConfig(
+                num_partitions=2, lang_column=None, field_columns=["sub_lang"]
+            ),
+        )
+        node = qp.parse_query("@sub_lang:en")
+        assert isinstance(node, qp.Field) and node.field == "sub_lang"
+        eng = QueryEngine(out)
+        ids, _ = eng.search("alpha @sub_lang:en", k=10)
+        assert ids.tolist() == [0]
+        ids, _ = eng.search("gamma @sub_lang:de", k=10)
+        assert ids.tolist() == [1]
+
 
 def test_drop_caches_cold_equals_warm(built_index_t1):
     """mdrop analog: after drop_caches the engine reopens everything and
