@@ -4,7 +4,8 @@
 BM25 serving) on sf0.001. ``queries()`` exposes one callable per
 implemented operator family (SURVEY.md §2); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL where the op is SQL-expressible (non-SQL ops —
-LSH/simhash/langid/fingerprint/quality — are rows-only checked).
+LSH/simhash internals, sketches, approximate ANN, multimodal — are
+rows-only checked).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -32,6 +33,8 @@ COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
 TOKEN_SPLIT_SQL = "[^a-z0-9]+"  # spec tokenizer == this for ascii-lower corpora
+FP_MOD_SQL = (1 << 61) - 1  # == oscar_ray.stages.text_analysis.FP_MOD
+FP_BASE_SQL = 1_000_003  # == oscar_ray.stages.text_analysis.FP_BASE
 
 
 def entry() -> Any:
@@ -661,6 +664,14 @@ scores AS (
 )"""
 
 
+def _sql_stoplist(lang: str) -> str:
+    """The pinned stopword list as a SQL IN-list (single source of truth:
+    oscar_ray.stages.text_analysis._LANG_STOPWORDS)."""
+    from oscar_ray.stages.text_analysis import _LANG_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+
+
 def _ngram_pairs_sql() -> str:
     """Exact token-3-gram Jaccard pairs (shared by two oracle entries)."""
     return f"""
@@ -966,6 +977,102 @@ def oracle_sql() -> dict[str, str]:
                    floor((1 - count(DISTINCT shingle)::DOUBLE / count(*)) * 1e6)::BIGINT
                        AS dup_frac_micro
             FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_quality": f"""
+            WITH {_TOK_CTE},
+            st AS (
+                SELECT doc_id,
+                       count(*)::DOUBLE AS n,
+                       sum(CASE WHEN term IN ({_sql_stoplist('en')})
+                           THEN 1 ELSE 0 END)::DOUBLE AS hits,
+                       count(DISTINCT term)::DOUBLE AS u,
+                       sum(length(term))::DOUBLE AS sl
+                FROM tok GROUP BY doc_id
+            ),
+            -- identical float64 op order as the Ray stage: a/b ratios,
+            -- *5, -2, /8, four 0.25-weighted clipped terms summed l-to-r
+            q AS (
+                SELECT doc_id,
+                       n::BIGINT AS n_tokens,
+                       floor((hits / n) * 1e6)::BIGINT AS stopword_ratio_micro,
+                       floor((u / n) * 1e6)::BIGINT AS unique_ratio_micro,
+                       floor((sl / n) * 1e6)::BIGINT AS mean_token_len_micro,
+                       floor((
+                           0.25 * least(n / 256.0, 1.0)
+                           + 0.25 * least(u / n, 1.0)
+                           + 0.25 * least((hits / n) * 5.0, 1.0)
+                           + 0.25 * least(greatest(((sl / n) - 2.0) / 8.0, 0.0), 1.0)
+                       ) * 1e6)::BIGINT AS quality_score_micro
+                FROM st
+            )
+            SELECT d.doc_id,
+                   coalesce(q.n_tokens, 0) AS n_tokens,
+                   coalesce(q.stopword_ratio_micro, 0) AS stopword_ratio_micro,
+                   coalesce(q.unique_ratio_micro, 0) AS unique_ratio_micro,
+                   coalesce(q.mean_token_len_micro, 0) AS mean_token_len_micro,
+                   coalesce(q.quality_score_micro, 0) AS quality_score_micro
+            FROM documents d LEFT JOIN q USING (doc_id) ORDER BY d.doc_id
+        """,
+        "text_langid": f"""
+            WITH {_TOK_CTE},
+            st AS (
+                SELECT doc_id,
+                       count(*)::DOUBLE AS n,
+                       sum(CASE WHEN term IN ({_sql_stoplist('de')})
+                           THEN 1 ELSE 0 END)::DOUBLE AS hits_de,
+                       sum(CASE WHEN term IN ({_sql_stoplist('en')})
+                           THEN 1 ELSE 0 END)::DOUBLE AS hits_en
+                FROM tok GROUP BY doc_id
+            ),
+            -- argmax over langs sorted asc ('de' first) -> de wins ties
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN hits_de / n >= hits_en / n
+                            THEN 'de' ELSE 'en' END AS best,
+                       CASE WHEN hits_de / n >= hits_en / n
+                            THEN hits_de / n ELSE hits_en / n END AS conf
+                FROM st
+            )
+            SELECT d.doc_id,
+                   coalesce(
+                       CASE WHEN r.conf < 0.03 THEN 'und' ELSE r.best END,
+                       'und') AS pred_lang,
+                   coalesce(floor(r.conf * 1e6)::BIGINT, 0) AS confidence_micro
+            FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id
+        """,
+        "text_fingerprint": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            maxn AS (SELECT coalesce(max(len(arr)), 0) AS m FROM tokarr),
+            pw AS (
+                WITH RECURSIVE rec(e, v) AS (
+                    SELECT 0, 1::HUGEINT
+                    UNION ALL
+                    SELECT e + 1, (v * {FP_BASE_SQL}) % {FP_MOD_SQL}
+                    FROM rec WHERE e < (SELECT m FROM maxn)
+                ) SELECT * FROM rec
+            ),
+            tokpos AS (
+                SELECT doc_id, arr[i] AS term, i, len(arr) AS n
+                FROM tokarr, unnest(range(1, len(arr) + 1)) AS t(i)
+            ),
+            -- token hash = md5 lower 64 bits (little-endian) mod 2^61-1;
+            -- fp = sum(hash_i * BASE^(n-1-i)) mod 2^61-1, per-term mod
+            -- keeps every intermediate inside HUGEINT
+            fp AS (
+                SELECT doc_id,
+                       (sum(((md5_number_lower(term)::HUGEINT % {FP_MOD_SQL})
+                             * pw.v) % {FP_MOD_SQL}) % {FP_MOD_SQL})::BIGINT AS f
+                FROM tokpos JOIN pw ON pw.e = tokpos.n - tokpos.i
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(fp.f, 0) AS fingerprint
+            FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

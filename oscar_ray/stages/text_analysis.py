@@ -25,8 +25,32 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
     ),
 }
 
-FP_MOD = np.uint64((1 << 61) - 1)
-FP_BASE = np.uint64(1_000_003)
+#: fingerprint modulus: the Mersenne prime 2^61 - 1 (values fit BIGINT,
+#: so the DuckDB oracle computes the identical hash in HUGEINT arithmetic)
+FP_MOD = (1 << 61) - 1
+FP_BASE = 1_000_003
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized (a * b) mod (2^61 - 1) for a, b < 2^61 without 128-bit
+    ints: split both operands 31/30, reduce the cross terms with
+    2^61 ≡ 1 (mod p). All intermediates fit uint64 (max < 2^63)."""
+    p = np.uint64(FP_MOD)
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1 = a >> np.uint64(31)
+    a0 = a & np.uint64((1 << 31) - 1)
+    b1 = b >> np.uint64(31)
+    b0 = b & np.uint64((1 << 31) - 1)
+    with np.errstate(over="ignore"):
+        t1 = a1 * b1  # * 2^62 == * 2 (mod p)
+        t2 = a1 * b0 + a0 * b1  # * 2^31; < 2^62
+        m1 = t2 >> np.uint64(30)
+        m0 = t2 & np.uint64((1 << 30) - 1)
+        s = np.uint64(2) * t1 + m1 + (m0 << np.uint64(31)) + a0 * b0
+    s = (s >> np.uint64(61)) + (s & p)
+    s = (s >> np.uint64(61)) + (s & p)
+    return np.where(s >= p, s - p, s)
 
 
 def doc_token_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -106,14 +130,24 @@ class QualityScorer:
             + 0.25 * np.clip(stop_ratio * 5.0, 0, 1)
             + 0.25 * np.clip((mean_len - 2.0) / 8.0, 0, 1)
         )
+        # micro-int outputs (floor(x * 1e6)): every input is an
+        # exact-integer ratio/difference in float64, so the DuckDB oracle
+        # (identical op order: a/b, *5, -2, /8, 0.25-weighted sum) computes
+        # the same bits and the same floor — hash-stable across engines
         return pa.table(
             {
                 id_col: batch[id_col].cast(pa.int64()),
                 "n_tokens": pa.array(n_tokens.astype(np.int64)),
-                "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
-                "unique_ratio": pa.array(np.round(uniq_ratio, 6)),
-                "mean_token_len": pa.array(np.round(mean_len, 6)),
-                "quality_score": pa.array(np.round(score, 6)),
+                "stopword_ratio_micro": pa.array(
+                    np.floor(stop_ratio * 1e6).astype(np.int64)
+                ),
+                "unique_ratio_micro": pa.array(
+                    np.floor(uniq_ratio * 1e6).astype(np.int64)
+                ),
+                "mean_token_len_micro": pa.array(
+                    np.floor(mean_len * 1e6).astype(np.int64)
+                ),
+                "quality_score_micro": pa.array(np.floor(score * 1e6).astype(np.int64)),
             }
         )
 
@@ -149,11 +183,15 @@ class LangId:
         best_ratio = ratios[best, np.arange(n)]
         pred = np.array(langs, dtype=object)[best]
         pred[best_ratio < self.min_ratio] = "und"
+        # confidence as floor(ratio * 1e6): the ratio is an exact-integer
+        # quotient in float64, so the SQL oracle reproduces it bit-exactly
         return pa.table(
             {
                 self.id_col: batch[self.id_col].cast(pa.int64()),
                 "pred_lang": pa.array(pred, type=pa.string()),
-                "confidence": pa.array(np.round(best_ratio, 6), type=pa.float64()),
+                "confidence_micro": pa.array(
+                    np.floor(best_ratio * 1e6).astype(np.int64)
+                ),
             }
         )
 
@@ -161,13 +199,16 @@ class LangId:
 def doc_fingerprint(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Rolling polynomial hash over the token stream -> (id, fingerprint).
 
-    fp(doc) = sum_i token_hash_i * BASE^(n_doc-1-i)  (mod 2^64), with
-    token_hash = crc32 of the token. Order-sensitive (unlike a bag-of-words
-    hash), deterministic across processes, fully vectorized: powers of
-    BASE come from a wrap-around cumprod, the per-doc sum from a
-    wrap-around scatter-add.
+    fp(doc) = sum_i token_hash_i * BASE^(n_doc-1-i)  mod (2^61 - 1), with
+    token_hash = lower-64 bits of md5(token) (little-endian, DuckDB's
+    ``md5_number_lower``) reduced mod 2^61-1. Order-sensitive (unlike a
+    bag-of-words hash), fits BIGINT, and a DuckDB recursive-CTE oracle
+    reproduces it exactly. Vectorized: md5 once per DISTINCT token,
+    powers from one sequential modmul chain (max-doc-length long), the
+    per-token products via branch-free 61-bit modular multiply, per-doc
+    sums via overflow-safe hi/lo split scatter-adds.
     """
-    import zlib
+    import hashlib
 
     parent_a, tokens_a = flatten_tokens(batch[text_col])
     parent = np.asarray(parent_a).astype(np.int64)
@@ -177,7 +218,11 @@ def doc_fingerprint(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
     fps = np.zeros(n, dtype=np.uint64)
     if len(codes):
         uniq_hash = np.fromiter(
-            (zlib.crc32(t.encode()) for t in denc.dictionary.to_pylist()),
+            (
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+                % FP_MOD
+                for t in denc.dictionary.to_pylist()
+            ),
             dtype=np.uint64,
             count=len(denc.dictionary),
         )
@@ -188,18 +233,28 @@ def doc_fingerprint(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
         idx = np.arange(len(parent), dtype=np.int64)
         pos_from_end = ends[parent] - 1 - idx
         max_pow = int(pos_from_end.max()) + 1
-        powers = np.ones(max_pow, dtype=np.uint64)
-        if max_pow > 1:
-            powers[1:] = FP_BASE
-            with np.errstate(over="ignore"):
-                powers = np.cumprod(powers)  # wraps mod 2^64 by design
-        with np.errstate(over="ignore"):
-            contrib = tok_hash * powers[pos_from_end]
-        np.add.at(fps, parent, contrib)  # wrap-add mod 2^64
+        pw, v = [], 1
+        for _ in range(max_pow):
+            pw.append(v)
+            v = (v * FP_BASE) % FP_MOD
+        powers = np.asarray(pw, dtype=np.uint64)
+        contrib = _mulmod61(tok_hash, powers[pos_from_end])
+        # per-doc sum without uint64 overflow: split each (< 2^61)
+        # contribution into 32-bit halves, sum halves exactly, recombine
+        # mod p (hi * 2^32 mod p via the same 61-bit modmul)
+        acc_hi = np.zeros(n, dtype=np.uint64)
+        acc_lo = np.zeros(n, dtype=np.uint64)
+        np.add.at(acc_hi, parent, contrib >> np.uint64(32))
+        np.add.at(acc_lo, parent, contrib & np.uint64(0xFFFFFFFF))
+        p = np.uint64(FP_MOD)
+        fps = (
+            _mulmod61(acc_hi % p, np.full(n, (1 << 32) % FP_MOD, dtype=np.uint64))
+            + acc_lo % p
+        ) % p
     return pa.table(
         {
             id_col: batch[id_col].cast(pa.int64()),
-            "fingerprint": pa.array(fps.view(np.int64)),
+            "fingerprint": pa.array(fps.astype(np.int64)),
         }
     )
 

@@ -337,8 +337,8 @@ class TestTextAnalysis:
                 QualityScorer, batch_format="pyarrow", concurrency=1
             ).take_all()
         }
-        assert rows[0]["stopword_ratio"] > rows[2]["stopword_ratio"]
-        assert 0.0 <= rows[0]["quality_score"] <= 1.0
+        assert rows[0]["stopword_ratio_micro"] > rows[2]["stopword_ratio_micro"]
+        assert 0 <= rows[0]["quality_score_micro"] <= 1_000_000
 
 
 class TestMultimodal:
