@@ -14,12 +14,19 @@ The reference's most-used interactive features after search itself:
   ``LiveCompleter.cpp:29-35``) — here: join top-k (docid, score) back
   to the documents table columns.
 
-Distributed shape (scales to 10^12 docs): the matched-id set is a query
-result (bounded: one sorted int64 array), broadcast ONCE via ray.put;
-the documents table is streamed through ``map_batches`` with a
-vectorized ``searchsorted`` membership test and per-batch PARTIAL facet
-counts; only facet-cardinality-sized partials reach the driver. No
-shuffle, no full-table materialization.
+Distributed shape (scales to 10^12 docs): the match set is NEVER
+materialized on the driver. Posting blocks are docid-range aligned
+(block_id = docid >> block_span_bits), so the set-op tree evaluates
+independently per block: Ray tasks each own a contiguous block range,
+evaluate the query over just their range, and return one sorted
+id-array object each — the driver holds only (docid_lo, docid_hi, ref)
+triples. The documents table then streams through ``map_batches``; each
+counter batch fetches ONLY the match-range refs overlapping its own
+docid span (per-actor LRU) and does a vectorized ``searchsorted``
+membership test, emitting facet-cardinality-sized partial counts. No
+shuffle, no full-table materialization, no corpus-sized driver array
+(the reference's lazily-flattened result-index discipline,
+``oscar-cmd/Workfunctions.cpp:146-169``).
 """
 
 from __future__ import annotations
@@ -35,7 +42,11 @@ import ray.data
 
 
 def _matched_ids(sf_dir: str, query: str, suffixes: bool = False) -> np.ndarray:
-    """Full BM25 match set for a query, sorted ascending int64."""
+    """Full BM25 match set for a query, sorted ascending int64.
+
+    Driver-sized: use only for small/selective queries or CLI display —
+    the streamed path is :func:`matched_id_plan` + :class:`_FacetCounter`.
+    """
     from oscar_ray.pipelines.search import documents_index_dir
     from oscar_ray.query.engine import QueryEngine
 
@@ -44,24 +55,123 @@ def _matched_ids(sf_dir: str, query: str, suffixes: bool = False) -> np.ndarray:
     return np.sort(ids.astype(np.int64))
 
 
+@ray.remote
+def _matched_range_task(index_dir: str, query: str, blk_lo: int, blk_hi: int):
+    """Evaluate the full set-op match set restricted to blocks in
+    [blk_lo, blk_hi) -> sorted int64 docids. Each task opens the index
+    itself (no driver-side postings fetch); the read amplification is
+    num_tasks x the QUERY TERMS' postings — bounded, parallel, and never
+    corpus-sized."""
+    from oscar_ray.query.engine import (
+        QueryEngine,
+        _block_bounds,
+        _collect_leaves,
+        _eval_block,
+        expand_prefixes,
+    )
+    from oscar_ray.query.parser import QueryParseError, parse_query
+
+    empty = np.empty(0, dtype=np.int64)
+    eng = QueryEngine(index_dir)
+    try:
+        node = parse_query(query)
+    except QueryParseError:
+        return empty
+    if node is None:
+        return empty
+    node = expand_prefixes(node, eng.reader)
+    leaves = _collect_leaves(node, eng.reader)
+    blocks = _block_bounds(node, leaves)
+    out = []
+    for b in sorted(blocks):
+        if blk_lo <= b < blk_hi:
+            ids, _ = _eval_block(node, leaves, b)
+            if len(ids):
+                out.append(np.asarray(ids, dtype=np.int64))
+    return np.concatenate(out) if out else empty
+
+
+def matched_id_plan(
+    index_dir: str, query: str, num_tasks: int = 8
+) -> list[tuple[int, int, "ray.ObjectRef"]]:
+    """Distributed match-set plan: (docid_lo, docid_hi_exclusive, ref)
+    per contiguous block range; each ref resolves to that range's sorted
+    matched ids. Ranges partition the docid space, so the arrays are
+    globally disjoint and a consumer only fetches ranges it overlaps."""
+    import json
+
+    from oscar_ray.index import layout
+
+    with open(layout.manifest_path(index_dir)) as f:
+        manifest = json.load(f)
+    bits = manifest["config"]["block_span_bits"]
+    n_docs = manifest["stats"]["n_docs"]
+    n_blocks = max((max(n_docs - 1, 0) >> bits) + 1, 1)
+    num_tasks = max(1, min(num_tasks, n_blocks))
+    bounds = np.linspace(0, n_blocks, num_tasks + 1).astype(np.int64)
+    plan = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        ref = _matched_range_task.remote(index_dir, query, int(lo), int(hi))
+        plan.append((int(lo) << bits, int(hi) << bits, ref))
+    return plan
+
+
 class _FacetCounter:
     """map_batches: per-batch partial (facet, value, n) counts over the
-    docs whose id is in the broadcast matched set."""
+    docs whose id is in the distributed match plan.
 
-    def __init__(self, matched_ref, facet_cols: list[str], id_col: str = "doc_id"):
-        self.matched = (
-            ray.get(matched_ref) if isinstance(matched_ref, ray.ObjectRef) else matched_ref
-        )
+    The plan is a list of (docid_lo, docid_hi, ref) with disjoint ranges;
+    a batch fetches only the refs its own docid span overlaps (per-actor
+    cache, ``max_cached`` ranges) — an actor's resident match state is a
+    few ranges, never the full match set.
+    """
+
+    def __init__(
+        self,
+        plan: list[tuple[int, int, "ray.ObjectRef"]],
+        facet_cols: list[str],
+        id_col: str = "doc_id",
+        max_cached: int = 16,
+    ):
+        self.plan = sorted(plan, key=lambda e: e[0])
+        self.los = np.asarray([e[0] for e in self.plan], dtype=np.int64)
+        self.his = np.asarray([e[1] for e in self.plan], dtype=np.int64)
         self.facet_cols = facet_cols
         self.id_col = id_col
+        self.max_cached = max_cached
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _range_ids(self, i: int) -> np.ndarray:
+        hit = self._cache.get(i)
+        if hit is None:
+            if len(self._cache) >= self.max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            hit = ray.get(self.plan[i][2])
+            self._cache[i] = hit
+        return hit
+
+    def _membership(self, ids: np.ndarray) -> np.ndarray:
+        keep = np.zeros(len(ids), dtype=bool)
+        if not len(ids) or not len(self.plan):
+            return keep
+        lo, hi = int(ids.min()), int(ids.max())
+        first = int(np.searchsorted(self.his, lo, side="right"))
+        for i in range(first, len(self.plan)):
+            if self.los[i] > hi:
+                break
+            m = self._range_ids(i)
+            if not len(m):
+                continue
+            pos = np.searchsorted(m, ids)
+            pos = np.minimum(pos, len(m) - 1)
+            keep |= m[pos] == ids
+        return keep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
-        pos = np.searchsorted(self.matched, ids)
-        pos = np.minimum(pos, max(len(self.matched) - 1, 0))
-        keep = (
-            self.matched[pos] == ids if len(self.matched) else np.zeros(len(ids), bool)
-        )
+        keep = self._membership(ids)
         facets, values, ns = [], [], []
         for col in self.facet_cols:
             vals = batch[col].to_numpy(zero_copy_only=False)[keep]
@@ -83,15 +193,25 @@ def _facet_counts(
     query: str,
     facet_cols: list[str],
     concurrency: int = 2,
+    num_match_tasks: int = 8,
 ) -> pd.DataFrame:
-    """(facet, value, n) totals over the matched docs — the shared core."""
-    matched_ref = ray.put(_matched_ids(sf_dir, query))
+    """(facet, value, n) totals over the matched docs — the shared core.
+
+    Streamed end-to-end: the match set lives as per-range object refs
+    (see :func:`matched_id_plan`), the documents table streams through
+    the counter, and only facet-cardinality-sized partials reach the
+    driver.
+    """
+    from oscar_ray.pipelines.search import documents_index_dir
+
+    idx = documents_index_dir(sf_dir)
+    plan = matched_id_plan(idx, query, num_tasks=num_match_tasks)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"] + facet_cols
     )
     partials = ds.map_batches(
         _FacetCounter,
-        fn_constructor_kwargs={"matched_ref": matched_ref, "facet_cols": facet_cols},
+        fn_constructor_kwargs={"plan": plan, "facet_cols": facet_cols},
         batch_format="pyarrow",
         concurrency=concurrency,
     ).take_all()  # facet-cardinality-sized, not corpus-sized

@@ -39,6 +39,76 @@ def test_matched_ids_vs_oracle(matched, docs_df):
     np.testing.assert_array_equal(matched, _oracle_matched(docs_df))
 
 
+@pytest.mark.parametrize("num_tasks", [1, 3, 8])
+def test_matched_id_plan_equals_full_set(ray_session, matched, num_tasks):
+    """The distributed per-block-range match plan unions to exactly the
+    driver-side full match set, for any task count; ranges are disjoint
+    and each ref's ids lie inside its advertised range."""
+    import ray
+
+    from oscar_ray.pipelines.facets import matched_id_plan
+    from oscar_ray.pipelines.search import documents_index_dir
+
+    idx = documents_index_dir(SF)
+    plan = matched_id_plan(idx, QUERY, num_tasks=num_tasks)
+    parts = []
+    for lo, hi, ref in plan:
+        ids = ray.get(ref)
+        if len(ids):
+            assert ids.min() >= lo and ids.max() < hi
+            assert (np.diff(ids) > 0).all()
+            parts.append(ids)
+    got = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    np.testing.assert_array_equal(got, matched)
+
+
+def test_facet_counter_fetches_only_overlapping_ranges(ray_session, tmp_path):
+    """A counter batch confined to one docid range must not fetch refs
+    for other ranges (the no-corpus-sized-actor-state property). Built
+    with tiny blocks so the docid space spans many ranges."""
+    import os
+
+    import pyarrow as pa
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+    from oscar_ray.pipelines.facets import _FacetCounter, matched_id_plan
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n = 64
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(n)],
+                "text": ["common word"] * n,
+            }
+        ),
+        os.path.join(src, "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        src,
+        idx,
+        IndexBuildConfig(num_partitions=2, block_span_bits=4, lang_column=None),
+    )
+    plan = matched_id_plan(idx, "common", num_tasks=4)
+    assert len(plan) == 4
+    counter = _FacetCounter(plan, facet_cols=["lang"])
+    lo0, hi0, _ = counter.plan[0]
+    batch_ids = np.arange(lo0, min(hi0, lo0 + 5), dtype=np.int64)
+    out = counter(
+        pa.table(
+            {
+                "doc_id": pa.array(batch_ids, type=pa.int64()),
+                "lang": pa.array(["en"] * len(batch_ids)),
+            }
+        )
+    )
+    # only range 0 fetched; and every probe doc matched ("common" is in all)
+    assert set(counter._cache.keys()) == {0}
+    assert out["n"].to_pylist() == [len(batch_ids)]
+
+
 def test_search_facets_counts(ray_session, matched, docs_df):
     from oscar_ray.pipelines.facets import search_facets
 
