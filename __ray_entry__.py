@@ -135,6 +135,22 @@ def _search_shannon_facets(sf_dir: str):
     return search_shannon_facets(sf_dir, BM25_AND, facet_cols=("lang", "source"))
 
 
+def _search_shannon_topkv(sf_dir: str):
+    """Shannon-clustering topKeyValues: key-values ranked by distance to
+    the 0.5 * |matched| split point, with a key-value exclusion applied
+    (the --shannon-kvstats topKeyValues surface)."""
+    from oscar_ray.pipelines.facets import shannon_top_keyvalues
+
+    return shannon_top_keyvalues(
+        sf_dir,
+        BM25_AND,
+        facet_cols=("lang", "source"),
+        threshold=0.5,
+        topn=10,
+        keyvalue_exclusions=(("lang", "en"),),
+    )
+
+
 def _search_hydrate(sf_dir: str):
     from oscar_ray.pipelines.facets import hydrate_results
 
@@ -588,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_lang_filter": _search_bm25_lang_filter,
         "search_facets": _search_facets,
         "search_shannon_facets": _search_shannon_facets,
+        "search_shannon_topkv": _search_shannon_topkv,
         "search_hydrate": _search_hydrate,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
@@ -812,6 +829,29 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT round(sum(-(n / t) * ln(n / t)), 6)
                     FROM (SELECT n, (SELECT sum(n) FROM c2) AS t FROM c2))
             ORDER BY facet
+        """,
+        "search_shannon_topkv": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[0]}'
+                INTERSECT
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[1]}'
+            ),
+            tot AS (SELECT count(*)::BIGINT AS t FROM matched),
+            f AS (
+                SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+                FROM documents JOIN matched USING (doc_id) GROUP BY lang
+                UNION ALL
+                SELECT 'source', source, count(*)::BIGINT
+                FROM documents JOIN matched USING (doc_id) GROUP BY source
+            ),
+            sp AS (SELECT floor(0.5 * t)::BIGINT AS s, t FROM tot)
+            SELECT facet, value, n,
+                   (100 * n) // greatest(sp.t, 1) AS pct,
+                   abs(n - sp.s)::BIGINT AS splitdist
+            FROM f, sp
+            WHERE NOT (facet = 'lang' AND value = 'en')
+            ORDER BY splitdist, facet, value LIMIT 10
         """,
         "search_hydrate": _BM25_BASE
         + f""",

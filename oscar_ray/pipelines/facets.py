@@ -290,6 +290,65 @@ def search_shannon_facets(
     )
 
 
+def shannon_top_keyvalues(
+    sf_dir: str,
+    query: str,
+    facet_cols: list[str] = ("lang", "source"),
+    threshold: float = 0.5,
+    topn: int = 10,
+    key_exclusions: tuple[str, ...] = (),
+    keyvalue_exclusions: tuple[tuple[str, str], ...] = (),
+    concurrency: int = 2,
+) -> pa.Table:
+    """Shannon-clustering topKeyValues (the ``--shannon-kvstats`` ranking
+    surface, ``oscar-cmd/Workfunctions.cpp:194-231``): rank (facet,
+    value) pairs by distance to the split point ``split = floor(threshold
+    * |matched items|)`` — values that split the result set near the
+    threshold rank first (smallest splitdist), the
+    ``kvclustering::ShannonClustering`` discipline.
+
+    Exclusions mirror the reference exactly: ``key_exclusions`` entries
+    drop a whole facet, with the ``prefix?`` form excluding every facet
+    starting with the prefix (``Workfunctions.cpp:198-211``);
+    ``keyvalue_exclusions`` drops single (facet, value) pairs.
+
+    -> (facet, value, n, pct, splitdist) sorted (splitdist asc, facet
+    asc, value asc), limit topn. pct is the reference's integer percent
+    ``(100 * n) / |items|``.
+    """
+    cols = list(facet_cols)
+    agg = _facet_counts(sf_dir, query, cols, concurrency)
+    # |items| = match count: every matched doc contributes exactly one
+    # value row per facet (nulls count as their string form)
+    total = int(agg[agg["facet"] == cols[0]]["n"].sum()) if len(agg) else 0
+    split = int(threshold * total)  # uint32-truncation analog
+    keep = pd.Series(True, index=agg.index)
+    for x in key_exclusions:
+        if not x:
+            continue
+        if x.endswith("?"):
+            keep &= ~agg["facet"].str.startswith(x[:-1])
+        else:
+            keep &= agg["facet"] != x
+    for kf, kv in keyvalue_exclusions:
+        keep &= ~((agg["facet"] == kf) & (agg["value"] == kv))
+    sub = agg[keep].copy()
+    sub["splitdist"] = (sub["n"] - split).abs()
+    sub["pct"] = (100 * sub["n"]) // max(total, 1)
+    sub = sub.sort_values(
+        ["splitdist", "facet", "value"], kind="mergesort"
+    ).head(topn)
+    return pa.table(
+        {
+            "facet": pa.array(sub["facet"], type=pa.string()),
+            "value": pa.array(sub["value"], type=pa.string()),
+            "n": pa.array(sub["n"].astype(np.int64), type=pa.int64()),
+            "pct": pa.array(sub["pct"].astype(np.int64), type=pa.int64()),
+            "splitdist": pa.array(sub["splitdist"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 class _Hydrator:
     """map_batches: pick the matched docs' display columns (broadcast
     (docid, score) plan; vectorized membership + score gather)."""

@@ -62,6 +62,44 @@ def test_matched_id_plan_equals_full_set(ray_session, matched, num_tasks):
     np.testing.assert_array_equal(got, matched)
 
 
+def test_shannon_topkv_ranking_and_exclusions(ray_session, matched, docs_df):
+    """topKeyValues: ranked by |n - floor(threshold*|matched|)| asc; key
+    exclusions (verbatim + `prefix?` form) and key-value exclusions drop
+    rows before ranking (Workfunctions.cpp:194-231 semantics)."""
+    from oscar_ray.pipelines.facets import shannon_top_keyvalues
+
+    sub = docs_df[docs_df["doc_id"].isin(matched)]
+    total = len(sub)
+    split = int(0.5 * total)
+
+    got = shannon_top_keyvalues(SF, QUERY, facet_cols=("lang", "source")).to_pandas()
+    # ranking: splitdist ascending, counts correct
+    assert (got["splitdist"].to_numpy() == np.abs(got["n"].to_numpy() - split)).all()
+    assert (np.diff(got["splitdist"].to_numpy()) >= 0).all()
+    for _, r in got.iterrows():
+        assert (sub[r["facet"]] == r["value"]).sum() == r["n"]
+        assert r["pct"] == (100 * r["n"]) // total
+
+    # verbatim key exclusion drops the whole facet
+    got_ex = shannon_top_keyvalues(
+        SF, QUERY, facet_cols=("lang", "source"), key_exclusions=("lang",)
+    ).to_pandas()
+    assert set(got_ex["facet"]) == {"source"}
+
+    # prefix? form: "sour?" excludes source
+    got_pre = shannon_top_keyvalues(
+        SF, QUERY, facet_cols=("lang", "source"), key_exclusions=("sour?",)
+    ).to_pandas()
+    assert set(got_pre["facet"]) == {"lang"}
+
+    # key-value exclusion drops exactly that pair
+    kv = (got.iloc[0]["facet"], got.iloc[0]["value"])
+    got_kv = shannon_top_keyvalues(
+        SF, QUERY, facet_cols=("lang", "source"), keyvalue_exclusions=(kv,)
+    ).to_pandas()
+    assert not ((got_kv["facet"] == kv[0]) & (got_kv["value"] == kv[1])).any()
+
+
 def test_facet_counter_fetches_only_overlapping_ranges(ray_session, tmp_path):
     """A counter batch confined to one docid range must not fetch refs
     for other ranges (the no-corpus-sized-actor-state property). Built
