@@ -321,6 +321,20 @@ def shannon_top_keyvalues(
     # |items| = match count: every matched doc contributes exactly one
     # value row per facet (nulls count as their string form)
     total = int(agg[agg["facet"] == cols[0]]["n"].sum()) if len(agg) else 0
+    return _rank_splitdist(
+        agg, total, threshold, topn, key_exclusions, keyvalue_exclusions
+    )
+
+
+def _rank_splitdist(
+    agg: pd.DataFrame,
+    total: int,
+    threshold: float,
+    topn: int,
+    key_exclusions: tuple[str, ...],
+    keyvalue_exclusions: tuple[tuple[str, str], ...],
+) -> pa.Table:
+    """Shared splitdist ranking core (counts -> topKeyValues table)."""
     split = int(threshold * total)  # uint32-truncation analog
     keep = pd.Series(True, index=agg.index)
     for x in key_exclusions:
@@ -432,12 +446,29 @@ def docmeta_lookup(index_dir: str, docids: np.ndarray) -> pa.Table:
     )
 
 
-def kvstats_from_index(
-    index_dir: str, query: str, keys: list[str] = ("lang",), topk: int = 10
+def shannon_topkv_from_index(
+    index_dir: str,
+    query: str,
+    keys: list[str] = ("lang",),
+    threshold: float = 0.5,
+    topn: int = 10,
+    key_exclusions: tuple[str, ...] = (),
+    keyvalue_exclusions: tuple[tuple[str, str], ...] = (),
 ) -> pa.Table:
-    """kvstats over an index's docmeta columns for one query's full match
-    set (single-process CLI convenience; the distributed path is
-    :func:`search_facets` over the source table)."""
+    """shannon-kvstats topKeyValues over an index's docmeta columns
+    (single-process CLI convenience; the distributed path is
+    :func:`shannon_top_keyvalues` over the source table)."""
+    agg, total = _kv_counts_from_index(index_dir, query, list(keys))
+    return _rank_splitdist(
+        agg, total, threshold, topn, key_exclusions, keyvalue_exclusions
+    )
+
+
+def _kv_counts_from_index(
+    index_dir: str, query: str, keys: list[str]
+) -> tuple[pd.DataFrame, int]:
+    """Full (facet, value, n) counts over one query's match set from the
+    index's own docmeta artifacts; -> (counts, |matched|)."""
     import pyarrow.parquet as pq
 
     from oscar_ray.index.layout import docmeta_files
@@ -463,6 +494,16 @@ def kvstats_from_index(
         [{"facet": k, "value": v, "n": n} for (k, v), n in counts.items()],
         columns=["facet", "value", "n"],
     )
+    return df, int(len(want))
+
+
+def kvstats_from_index(
+    index_dir: str, query: str, keys: list[str] = ("lang",), topk: int = 10
+) -> pa.Table:
+    """kvstats over an index's docmeta columns for one query's full match
+    set (single-process CLI convenience; the distributed path is
+    :func:`search_facets` over the source table)."""
+    df, _total = _kv_counts_from_index(index_dir, query, list(keys))
     out = []
     for facet, g in df.groupby("facet"):
         out.append(

@@ -62,6 +62,24 @@ def main():
     kv.add_argument("-q", "--query", required=True)
     kv.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
     kv.add_argument("--topk", type=int, default=10)
+    sk = sub.add_parser(
+        "shannon-kvstats",
+        help="topKeyValues ranked by distance to threshold*|matched| "
+        "(splitdist), with key exclusions ('name' or 'prefix?') and "
+        "key:value exclusions",
+    )
+    sk.add_argument("-q", "--query", required=True)
+    sk.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
+    sk.add_argument("--threshold", type=float, default=0.5)
+    sk.add_argument("--topk", type=int, default=10)
+    sk.add_argument(
+        "--exclude-key", action="append", default=[],
+        help="key to exclude; trailing '?' makes it a prefix exclusion",
+    )
+    sk.add_argument(
+        "--exclude-kv", action="append", default=[],
+        help="key:value pair to exclude (repeatable)",
+    )
     b = sub.add_parser("batch")
     b.add_argument("-f", "--file", required=True, help="one query per line")
     b.add_argument("-k", type=int, default=10)
@@ -164,6 +182,27 @@ def main():
         )
         for r in t.to_pylist():
             print(f"{r['facet']}\t{r['value']}\t{r['n']}")
+        return
+
+    if args.cmd == "shannon-kvstats":
+        from oscar_ray.pipelines.facets import shannon_topkv_from_index
+
+        t = shannon_topkv_from_index(
+            args.index,
+            args.query,
+            keys=args.keys.split(","),
+            threshold=args.threshold,
+            topn=args.topk,
+            key_exclusions=tuple(args.exclude_key),
+            keyvalue_exclusions=tuple(
+                tuple(x.split(":", 1)) for x in args.exclude_kv
+            ),
+        )
+        for r in t.to_pylist():
+            print(
+                f"{r['facet']}:{r['value']}: {r['n']}={r['pct']}%"
+                f" splitdist={r['splitdist']}"
+            )
         return
 
     reader = IndexReader(args.index)
