@@ -447,6 +447,120 @@ def minhash_lsh_pairs(
     )
 
 
+@ray.remote
+def _plan_chunk_meta(t: pa.Table):
+    """(rows, min_doc, max_doc, last_doc, last_pp) of one sorted chunk."""
+    if not t.num_rows:
+        return (0, 0, 0, 0, 0)
+    doc = t["doc"].to_numpy()
+    pp = t["pp"].to_numpy()
+    return (t.num_rows, int(doc[0]), int(doc[-1]), int(doc[-1]), int(pp[-1]))
+
+
+@ray.remote
+def _plan_chunk_dedup(t: pa.Table, prev_doc, prev_pp):
+    """Within-chunk (doc, pp) dedup (rows arrive sorted) + drop a leading
+    run equal to the previous chunk's last row -> (doc, pp) numpy pair."""
+    doc = t["doc"].to_numpy().astype(np.int64)
+    pp = t["pp"].to_numpy().astype(np.int64)
+    first = np.ones(len(doc), dtype=bool)
+    first[1:] = (doc[1:] != doc[:-1]) | (pp[1:] != pp[:-1])
+    if prev_doc is not None and len(doc):
+        first &= ~((doc == prev_doc) & (pp == prev_pp))
+    return doc[first], pp[first]
+
+
+def _plan_chunks(expl_sorted: "ray.data.Dataset"):
+    """Sorted (doc, pp) Dataset -> [(doc_lo, doc_hi_inclusive, ref)] of
+    deduplicated chunk refs. Driver state is O(#chunks)."""
+    refs = list(expl_sorted.to_arrow_refs())
+    metas = ray.get([_plan_chunk_meta.remote(r) for r in refs])
+    plan = []
+    prev = (None, None)
+    for ref, (n_rows, lo, hi, last_doc, last_pp) in zip(refs, metas):
+        if not n_rows:
+            continue
+        plan.append((lo, hi, _plan_chunk_dedup.remote(ref, prev[0], prev[1])))
+        prev = (last_doc, last_pp)
+    return plan
+
+
+class RoutedShingles(ShingleStage):
+    """Shingle only planned docs; replicate rows per pair partition.
+
+    ``plan`` is a list of (doc_lo, doc_hi_inclusive, ref) chunk triples
+    whose refs resolve to sorted distinct (doc, pp) arrays. A batch
+    fetches only the chunks overlapping its id range (per-actor LRU) —
+    actor-resident plan state is a few chunks, never the full plan.
+    """
+
+    def __init__(self, plan, max_cached: int = 16, **kw):
+        super().__init__(**kw)
+        self.plan = sorted(plan, key=lambda e: e[0])
+        self.los = np.asarray([e[0] for e in self.plan], dtype=np.int64)
+        self.his = np.asarray([e[1] for e in self.plan], dtype=np.int64)
+        self.max_cached = max_cached
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _chunk(self, i: int):
+        hit = self._cache.get(i)
+        if hit is None:
+            if len(self._cache) >= self.max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            hit = ray.get(self.plan[i][2])
+            self._cache[i] = hit
+        return hit
+
+    def _overlapping(self, lo: int, hi: int) -> range:
+        first = int(np.searchsorted(self.his, lo, side="left"))
+        last = int(np.searchsorted(self.los, hi, side="right"))
+        return range(first, last)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty_pp = pa.array([], type=pa.int64())
+        ids = batch[self.id_col].to_numpy()
+        if not len(ids) or not len(self.plan):
+            return super().__call__(batch.slice(0, 0)).append_column(
+                "pair_part", empty_pp
+            )
+        overlap = self._overlapping(int(ids.min()), int(ids.max()))
+        keep = np.zeros(len(ids), dtype=bool)
+        for i in overlap:
+            pdoc, _ = self._chunk(i)
+            if not len(pdoc):
+                continue
+            pos = np.minimum(np.searchsorted(pdoc, ids), len(pdoc) - 1)
+            keep |= pdoc[pos] == ids
+        sh = super().__call__(batch.filter(pa.array(keep)))
+        doc = sh[self.id_col].to_numpy()
+        if not len(doc):
+            return sh.append_column("pair_part", empty_pp)
+        parts_out, rows_out = [], []
+        for i in overlap:
+            pdoc, ppp = self._chunk(i)
+            if not len(pdoc):
+                continue
+            lo = np.searchsorted(pdoc, doc, side="left")
+            hi = np.searchsorted(pdoc, doc, side="right")
+            reps = hi - lo
+            total = int(reps.sum())
+            if not total:
+                continue
+            # flattened plan indices for each row's [lo, hi) range
+            base = np.repeat(lo, reps)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            parts_out.append(ppp[base + within])
+            rows_out.append(np.repeat(np.arange(len(doc)), reps))
+        if not parts_out:
+            return sh.slice(0, 0).append_column("pair_part", empty_pp)
+        rep_tbl = sh.take(pa.array(np.concatenate(rows_out)))
+        return rep_tbl.append_column(
+            "pair_part", pa.array(np.concatenate(parts_out))
+        )
+
+
 def _verify_pairs_exact(
     ds: ray.data.Dataset,
     cand: ray.data.Dataset,
@@ -464,11 +578,15 @@ def _verify_pairs_exact(
     - candidate pairs stay a Dataset end-to-end: routed to verify
       partitions by ``pair_part = hash(a, b) % n_pair_parts`` (a pure
       function of the pair — no driver-side enumeration);
-    - the doc -> pair_part routing plan is two sorted int64 numpy arrays
-      (distinct (doc, part) rows), broadcast once via ray.put — bounded
-      by 2x the candidate count, the only candidate-sized driver object;
-    - each candidate doc's shingles are emitted once per pair partition
-      (vectorized searchsorted membership + run-length replication);
+    - the doc -> pair_part routing plan is SHARDED: the exploded
+      (doc, pair_part) rows are range-sorted by doc (distributed sort),
+      deduplicated per chunk with a boundary handoff task chain, and
+      kept as (doc_lo, doc_hi, ref) chunk triples — the driver holds
+      only per-chunk bounds + refs, never a candidate-sized array;
+    - each shingle actor fetches only the plan chunks overlapping its
+      batch's id range (small LRU) and emits each candidate doc's
+      shingles once per pair partition (vectorized searchsorted
+      membership + run-length replication);
     - per verify partition, Jaccard is one lexsort + run-length
       intersection count over (pair_idx, shingle) rows from both sides —
       no Python sets anywhere.
@@ -484,62 +602,34 @@ def _verify_pairs_exact(
 
     cand_pp = cand.map_batches(add_pp, batch_format="pyarrow").materialize()
 
-    # bounded broadcast plan: distinct (doc, pair_part), sorted by doc
-    expl = cand_pp.map_batches(
-        lambda t: pa.table(
-            {
-                "doc": pa.concat_arrays(
-                    [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
-                ),
-                "pp": pa.concat_arrays(
-                    [t["pair_part"].combine_chunks(), t["pair_part"].combine_chunks()]
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    pd_doc = np.array([r["doc"] for r in expl], dtype=np.int64)
-    pd_pp = np.array([r["pp"] for r in expl], dtype=np.int64)
-    o = np.lexsort((pd_pp, pd_doc))
-    pd_doc, pd_pp = pd_doc[o], pd_pp[o]
-    first = np.ones(len(pd_doc), dtype=bool)
-    first[1:] = (pd_doc[1:] != pd_doc[:-1]) | (pd_pp[1:] != pd_pp[:-1])
-    plan_doc, plan_pp = pd_doc[first], pd_pp[first]
-    plan_ref = ray.put((plan_doc, plan_pp))
-
-    class RoutedShingles(ShingleStage):
-        """Shingle only planned docs; replicate rows per pair partition."""
-
-        def __init__(self, **kw):
-            super().__init__(**kw)
-            self.plan_doc, self.plan_pp = ray.get(plan_ref)
-            self.doc_u = np.unique(self.plan_doc)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[self.id_col].to_numpy()
-            pos = np.searchsorted(self.doc_u, ids)
-            pos = np.minimum(pos, max(len(self.doc_u) - 1, 0))
-            keep = self.doc_u[pos] == ids if len(self.doc_u) else np.zeros(len(ids), bool)
-            sh = super().__call__(batch.filter(pa.array(keep)))
-            doc = sh[self.id_col].to_numpy()
-            if not len(doc):
-                return sh.append_column("pair_part", pa.array([], type=pa.int64()))
-            lo = np.searchsorted(self.plan_doc, doc, side="left")
-            hi = np.searchsorted(self.plan_doc, doc, side="right")
-            reps = hi - lo
-            total = int(reps.sum())
-            # flattened plan indices for each row's [lo, hi) range
-            base = np.repeat(lo, reps)
-            within = np.arange(total) - np.repeat(
-                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
-            )
-            parts = self.plan_pp[base + within]
-            rep_tbl = sh.take(pa.array(np.repeat(np.arange(len(doc)), reps)))
-            return rep_tbl.append_column("pair_part", pa.array(parts))
+    # sharded routing plan: explode to (doc, pair_part), distributed
+    # range-sort by (doc, pp), then a per-chunk dedup task chain where
+    # each chunk also drops rows equal to its predecessor's last row
+    # (duplicates are adjacent after the sort, so boundary handoff makes
+    # the dedup exact). The driver touches only per-chunk bounds + refs.
+    expl_sorted = (
+        cand_pp.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc": pa.concat_arrays(
+                        [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+                    ).cast(pa.int64()),
+                    "pp": pa.concat_arrays(
+                        [t["pair_part"].combine_chunks(), t["pair_part"].combine_chunks()]
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["doc", "pp"])
+    )
+    plan = _plan_chunks(expl_sorted)
 
     routed = ds.map_batches(
         RoutedShingles,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
+        fn_constructor_kwargs={
+            "plan": plan, "id_col": id_col, "text_col": text_col, "n": n,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
