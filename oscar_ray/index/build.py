@@ -111,8 +111,15 @@ class IndexBuildConfig:
     # docid stream codec, the reference's selectable ItemIndex type
     # (``oscarcreate.cpp:70-75``, index_rlede/eliasfano.json): 'varint'
     # (delta-gap + LEB128, the default), 'rlede' (RLE over gaps, the
-    # reference's default type) or 'eliasfano'
+    # reference's default type), 'eliasfano' or 'wah'
     docid_codec: str = "varint"
+    # posting-payload dedup (the reference's setDeduplication(true),
+    # ``oscarcreate.cpp:74``, ``Config.h:23-32``: identical ItemIndex
+    # payloads stored once): within a partition file, rows whose
+    # (docs, tfs, dls) bytes are identical to an earlier row store empty
+    # bytes + a `payload_row` pointer to the canonical row; readers
+    # resolve the indirection (reader.py resolve_payload_refs)
+    payload_dedup: bool = False
     # input_hint invariant: when True, stage A reads the html binary column
     # and derives text via the deterministic extractor (spec/extract.py);
     # if a text column also exists it is asserted byte-identical per row
@@ -447,20 +454,43 @@ class AssemblePartitionWorker:
             max_tf = min_dl = np.empty(0, dtype=np.int64)
             terms_out = np.empty(0, dtype=object)
 
-        postings = pa.table(
-            {
-                "term": pa.array(terms_out, type=pa.string()),
-                "block_id": pa.array(blocks_out, type=pa.int64()),
-                "doc_count": pa.array(counts_out, type=pa.int64()),
-                "sum_tf": pa.array(sum_tf, type=pa.int64()),
-                "max_tfn": pa.array(max_tfn, type=pa.float64()),
-                "max_tf": pa.array(max_tf, type=pa.int64()),
-                "min_dl": pa.array(min_dl, type=pa.int64()),
-                "docs": pa.array(docs_b, type=pa.binary()),
-                "tfs": pa.array(tfs_b, type=pa.binary()),
-                "dls": pa.array(dls_b, type=pa.binary()),
-            }
-        )
+        n_payload_refs = 0
+        cols = {
+            "term": pa.array(terms_out, type=pa.string()),
+            "block_id": pa.array(blocks_out, type=pa.int64()),
+            "doc_count": pa.array(counts_out, type=pa.int64()),
+            "sum_tf": pa.array(sum_tf, type=pa.int64()),
+            "max_tfn": pa.array(max_tfn, type=pa.float64()),
+            "max_tf": pa.array(max_tf, type=pa.int64()),
+            "min_dl": pa.array(min_dl, type=pa.int64()),
+            "docs": pa.array(docs_b, type=pa.binary()),
+            "tfs": pa.array(tfs_b, type=pa.binary()),
+            "dls": pa.array(dls_b, type=pa.binary()),
+        }
+        if cfg.payload_dedup:
+            # setDeduplication analog: identical (docs, tfs, dls) payload
+            # triples within this partition are stored once; later rows
+            # keep empty bytes + the canonical ROW INDEX in payload_row
+            import hashlib as _hl
+
+            seen: dict[bytes, int] = {}
+            payload_row = np.full(len(docs_b), -1, dtype=np.int64)
+            for i, (db, tb, lb) in enumerate(zip(docs_b, tfs_b, dls_b)):
+                h = _hl.blake2b(
+                    db + b"\x00" + tb + b"\x00" + lb, digest_size=16
+                ).digest()
+                j = seen.get(h)
+                if j is None:
+                    seen[h] = i
+                elif docs_b[j] == db and tfs_b[j] == tb and dls_b[j] == lb:
+                    payload_row[i] = j
+                    docs_b[i] = tfs_b[i] = dls_b[i] = b""
+            n_payload_refs = int((payload_row >= 0).sum())
+            cols["docs"] = pa.array(docs_b, type=pa.binary())
+            cols["tfs"] = pa.array(tfs_b, type=pa.binary())
+            cols["dls"] = pa.array(dls_b, type=pa.binary())
+            cols["payload_row"] = pa.array(payload_row, type=pa.int64())
+        postings = pa.table(cols)
         ppath = layout.postings_path(self.out_dir, part)
         os.makedirs(os.path.dirname(ppath), exist_ok=True)
         pq.write_table(postings, ppath, row_group_size=4096, **_PARQUET_WRITE_OPTS)
@@ -496,6 +526,7 @@ class AssemblePartitionWorker:
             "terms": int(d.num_rows),
             "blocks": int(postings.num_rows),
             "postings_bytes": os.path.getsize(ppath),
+            "payload_refs": n_payload_refs,
             "secs": round(time.perf_counter() - t0, 3),
         }
         layout.write_marker(layout.marker_path(self.out_dir, "partB", part), m)

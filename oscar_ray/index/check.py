@@ -84,6 +84,23 @@ def check_index(index_dir: str, sample_blocks: int | None = None) -> dict:
         if not os.path.exists(ppath):
             raise IndexCheckError(f"C1: missing postings file for part {part}")
         t = pq.read_table(ppath)
+        if "payload_row" in t.column_names:
+            # C8 (payload dedup, the setDeduplication analog): refs never
+            # chain, point backwards to a canonical row, and ref rows
+            # carry empty bytes (the canonical row holds the payload)
+            from oscar_ray.index.reader import resolve_payload_refs
+
+            pr = t["payload_row"].to_numpy()
+            refs = np.flatnonzero(pr >= 0)
+            for i in refs.tolist():
+                j = int(pr[i])
+                if j >= i:
+                    raise IndexCheckError(f"C8: forward payload ref {i}->{j}")
+                if int(pr[j]) >= 0:
+                    raise IndexCheckError(f"C8: chained payload ref {i}->{j}")
+                if len(t["docs"][i].as_py()) or len(t["tfs"][i].as_py()):
+                    raise IndexCheckError(f"C8: ref row {i} carries payload bytes")
+            t = resolve_payload_refs(t)
         dict_tbl = pq.read_table(layout.dict_path(index_dir, part))
         dict_df = dict(zip(dict_tbl["term"].to_pylist(), dict_tbl["df"].to_pylist()))
         dict_cf = dict(zip(dict_tbl["term"].to_pylist(), dict_tbl["cf"].to_pylist()))

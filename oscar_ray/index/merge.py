@@ -75,6 +75,12 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
         if not os.path.exists(path):
             continue
         t = pq.read_table(path)
+        if "payload_row" in t.column_names:
+            # payload-dedup source: materialize the indirections before
+            # splicing (the merged file is written without refs)
+            from oscar_ray.index.reader import resolve_payload_refs
+
+            t = resolve_payload_refs(t)
         if t.num_rows and off:
             t = t.set_column(
                 t.schema.get_field_index("block_id"),

@@ -60,6 +60,31 @@ class TermPostings:
 
 import pyarrow as pa
 
+
+def resolve_payload_refs(t: pa.Table) -> pa.Table:
+    """Materialize payload-dedup indirections of a FULL partition table
+    (build.py payload_dedup / the reference's setDeduplication analog):
+    rows with ``payload_row >= 0`` take their (docs, tfs, dls) bytes from
+    that canonical row index. Returns the table without ``payload_row``
+    (same schema as a non-deduped file). No-op when the column is absent."""
+    if "payload_row" not in t.column_names:
+        return t
+    pr = t["payload_row"].to_numpy()
+    need = np.flatnonzero(pr >= 0)
+    if len(need):
+        docs = t["docs"].to_pylist()
+        tfs = t["tfs"].to_pylist()
+        dls = t["dls"].to_pylist()
+        for i in need.tolist():
+            j = int(pr[i])
+            docs[i], tfs[i], dls[i] = docs[j], tfs[j], dls[j]
+        for name, vals in (("docs", docs), ("tfs", tfs), ("dls", dls)):
+            t = t.set_column(
+                t.schema.get_field_index(name), name, pa.array(vals, type=pa.binary())
+            )
+    return t.drop_columns(["payload_row"])
+
+
 _EMPTY_TBL = pa.table(
     {
         "term": pa.array([], type=pa.string()),
@@ -209,7 +234,7 @@ class IndexReader:
             path = layout.postings_path(self.index_dir, part)
             if not os.path.exists(path):
                 continue
-            t = pq.ParquetFile(path).read()
+            t = resolve_payload_refs(pq.ParquetFile(path).read())
             terms = t["term"].to_pylist()
             if not terms:
                 continue
@@ -298,4 +323,43 @@ class IndexReader:
         if not groups:
             return _EMPTY_TBL
         t = f.read_row_groups(groups, use_threads=False)
-        return t.filter(pc.equal(t["term"], term))
+        t = t.filter(pc.equal(t["term"], term))
+        return self._resolve_refs_targeted(f, t)
+
+    @staticmethod
+    def _resolve_refs_targeted(f: pq.ParquetFile, t: pa.Table) -> pa.Table:
+        """Payload-dedup resolution for a PARTIAL read: fetch each
+        referenced canonical row's bytes by reading just its row group
+        (row groups are uniform-sized except the last, so global row
+        index -> (group, offset) is exact). Canonical rows never chain
+        (first-occurrence rule at build time)."""
+        if "payload_row" not in t.column_names:
+            return t
+        pr = t["payload_row"].to_numpy()
+        need = np.flatnonzero(pr >= 0)
+        if len(need):
+            rg0 = f.metadata.row_group(0).num_rows
+            docs = t["docs"].to_pylist()
+            tfs = t["tfs"].to_pylist()
+            dls = t["dls"].to_pylist()
+            group_cache: dict[int, pa.Table] = {}
+            for i in need.tolist():
+                idx = int(pr[i])
+                g = idx // rg0
+                gt = group_cache.get(g)
+                if gt is None:
+                    gt = f.read_row_groups(
+                        [g], columns=["docs", "tfs", "dls"], use_threads=False
+                    )
+                    group_cache[g] = gt
+                r = idx - g * rg0
+                docs[i] = gt["docs"][r].as_py()
+                tfs[i] = gt["tfs"][r].as_py()
+                dls[i] = gt["dls"][r].as_py()
+            for name, vals in (("docs", docs), ("tfs", tfs), ("dls", dls)):
+                t = t.set_column(
+                    t.schema.get_field_index(name),
+                    name,
+                    pa.array(vals, type=pa.binary()),
+                )
+        return t.drop_columns(["payload_row"])

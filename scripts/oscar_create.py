@@ -38,6 +38,12 @@ def main():
     ap.add_argument(
         "--fields", help="comma-separated columns to index as @field: filter terms"
     )
+    ap.add_argument(
+        "--payload-dedup",
+        action="store_true",
+        help="store identical posting payloads once per partition "
+        "(the reference's setDeduplication analog)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -74,6 +80,8 @@ def main():
         fields["docid_codec"] = args.codec
     if args.fields:
         fields["field_columns"] = args.fields.split(",")
+    if args.payload_dedup:
+        fields["payload_dedup"] = True
     cfg = IndexBuildConfig(**fields)
 
     manifest = build_index(args.input, args.out, cfg, resume=not args.no_resume)

@@ -366,6 +366,90 @@ class TestEliasFanoCodec:
             np.testing.assert_allclose(sv, se)
 
 
+class TestPayloadDedup:
+    """payload_dedup=True (the reference's setDeduplication analog):
+    identical posting payloads stored once per partition, resolved
+    transparently by every read path, byte-identical rebuilds."""
+
+    def test_dedup_parity_and_identity(self, ray_session, tmp_path):
+        import hashlib
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.index.check import check_index
+        from oscar_ray.index.reader import IndexReader
+        from oscar_ray.query.engine import QueryEngine
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # several terms always co-occur with identical tf/doclen ->
+        # identical payloads across terms within the partition
+        n = 200
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [f"u{i}" for i in range(n)],
+                    "text": [f"alpha beta gamma doc{i % 7}" for i in range(n)],
+                }
+            ),
+            os.path.join(src, "p.parquet"),
+        )
+        base = dict(num_partitions=1, block_span_bits=4, lang_column=None)
+        out_plain = str(tmp_path / "plain")
+        out_a = str(tmp_path / "dedup_a")
+        out_b = str(tmp_path / "dedup_b")
+        build_index(src, out_plain, IndexBuildConfig(**base))
+        build_index(src, out_a, IndexBuildConfig(payload_dedup=True, **base))
+        build_index(src, out_b, IndexBuildConfig(payload_dedup=True, **base))
+
+        m = json.load(open(os.path.join(out_a, "manifest.json")))
+        assert sum(p.get("payload_refs", 0) for p in m["partitions"] if p) > 0
+        check_index(out_a)  # includes the C8 ref-consistency checks
+
+        # decode parity over the whole dictionary, lazy AND preloaded
+        ra = IndexReader(out_plain)
+        rb = IndexReader(out_a)
+        rp = IndexReader(out_a)
+        rp.preload()
+        for term in sorted(ra._part_dict(0)):
+            want = ra.postings(term).decode_all()
+            for r in (rb, rp):
+                got = r.postings(term).decode_all()
+                for x, y in zip(want, got):
+                    np.testing.assert_array_equal(x, y)
+
+        # query parity
+        ea, eb = QueryEngine(out_plain), QueryEngine(out_a)
+        for q in ["alpha", "alpha beta", "doc1 + doc2", "alpha - doc3", "d*"]:
+            ia, sa = ea.search(q, k=50)
+            ib, sb = eb.search(q, k=50)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_allclose(sa, sb)
+
+        # rebuild identity with the flag on
+        def dirhash(d):
+            h = hashlib.sha256()
+            pdir = os.path.join(d, "postings")
+            for fn in sorted(os.listdir(pdir)):
+                h.update(open(os.path.join(pdir, fn), "rb").read())
+            return h.hexdigest()
+
+        assert dirhash(out_a) == dirhash(out_b)
+
+        # segment merge resolves refs: merging dedup sources writes the
+        # same postings bytes as merging their plain twins
+        from oscar_ray.index.merge import merge_indexes
+
+        mp = str(tmp_path / "merged_plain")
+        md = str(tmp_path / "merged_dedup")
+        merge_indexes([out_plain, out_plain], mp)
+        merge_indexes([out_a, out_b], md)
+        assert dirhash(mp) == dirhash(md)
+
+
 class TestConfigFuzz:
     """Random config combinations (partitions x span x codec x fields x
     suffixes x dedup) all build, pass the structural checkers, and answer
@@ -388,6 +472,7 @@ class TestConfigFuzz:
                 field_columns=[None, ["lang"]][int(rng.integers(0, 2))],
                 index_suffixes=bool(rng.integers(0, 2)),
                 dedup_urls=bool(rng.integers(0, 2)),
+                payload_dedup=bool(rng.integers(0, 2)),
             )
             out = str(tmp_path / f"fuzz{trial}")
             build_index(pages_t1, out, cfg)
