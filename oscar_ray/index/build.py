@@ -422,7 +422,7 @@ class AssemblePartitionWorker:
             same_seg[seg_starts] = False
             if (np.diff(docid.astype(np.int64), prepend=docid[:1])[same_seg] <= 0).any():
                 raise AssertionError("posting docids not strictly ascending")
-            if cfg.docid_codec in ("eliasfano", "rlede"):
+            if cfg.docid_codec in ("eliasfano", "rlede", "wah"):
                 from oscar_ray.stages.codecs import encode_docid_stream
 
                 # per-segment encode (EF's l / rlede's runs vary per

@@ -87,7 +87,7 @@ def _merge_partition(part: int, in_dirs: list[str], offsets: list[int],
                 "block_id",
                 pa.array(t["block_id"].to_numpy() + (off >> span_bits)),
             )
-            if cfg.docid_codec in ("eliasfano", "rlede"):
+            if cfg.docid_codec in ("eliasfano", "rlede", "wah"):
                 # these streams have no splice-able absolute head: decode,
                 # shift, re-encode per block (blocks are span-capped)
                 from oscar_ray.stages.codecs import (

@@ -227,21 +227,169 @@ def rlede_decode(buf: bytes, count: int) -> np.ndarray:
     return delta_decode(gaps)
 
 
+# --------------------------------------------------------------------------
+# WAH (Word-Aligned Hybrid bitmap — the reference's third ItemIndex codec
+# config, ``data/configs/oscar-create/index_wah.json``): 32-bit words over
+# the bitmap of (id - base); literal words carry 31 bitmap bits (MSB=0),
+# fill words (MSB=1) run-length encode all-zero / all-one 31-bit groups
+# (bit30 = fill value, low 30 bits = group count).
+# --------------------------------------------------------------------------
+
+_WAH_GROUP = 31
+_WAH_MAX_RUN = (1 << 30) - 1
+_WAH_FULL = np.uint32((1 << 31) - 1)
+
+
+def _wah_expand_runs(keys: np.ndarray, runs: np.ndarray, fill_bit: int):
+    """Fill runs -> WAH words, splitting runs > 2^30-1 groups.
+
+    -> (sort_keys, seq, words): one word per piece, `keys` repeated per
+    piece, `seq` preserving intra-run order."""
+    n_words = ((runs + _WAH_MAX_RUN - 1) // _WAH_MAX_RUN).astype(np.int64)
+    total = int(n_words.sum())
+    rep_keys = np.repeat(keys, n_words)
+    seq = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_words)[:-1])), n_words
+    )
+    vals = np.full(total, _WAH_MAX_RUN, dtype=np.uint64)
+    last = np.cumsum(n_words) - 1
+    vals[last] = runs - (n_words - 1).astype(np.uint64) * np.uint64(_WAH_MAX_RUN)
+    words = (
+        np.uint32(1 << 31)
+        | (np.uint32(fill_bit) << np.uint32(30))
+        | vals.astype(np.uint32)
+    )
+    return rep_keys, seq, words
+
+
+def wah_encode(ids: np.ndarray) -> bytes:
+    """WAH-encode strictly-ascending uint64 ids: varint(base) header +
+    little-endian uint32 WAH words of the (ids - base) bitmap.
+
+    Compact construction — O(n ids), never O(bitmap range): literals are
+    OR-reduced per NONEMPTY 31-bit group, zero gaps between nonempty
+    groups become zero-fill words, and maximal chains of FULL groups
+    merge into one-fill words (split at the 2^30-1 run cap).
+    """
+    v = np.ascontiguousarray(ids, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    base = v[0]
+    offs = v - base
+    g = offs // np.uint64(_WAH_GROUP)
+    bit = (offs % np.uint64(_WAH_GROUP)).astype(np.uint32)
+    ug, start_idx = np.unique(g, return_index=True)  # sorted nonempty groups
+    litv = np.bitwise_or.reduceat(np.uint32(1) << bit, start_idx)
+    gap = np.empty(len(ug), dtype=np.uint64)
+    gap[0] = ug[0]  # == 0 (offs[0] == 0), kept general
+    gap[1:] = ug[1:] - ug[:-1] - np.uint64(1)
+    full = litv == _WAH_FULL
+    # a full group STARTS a one-fill run unless it directly extends a
+    # full predecessor (gap == 0)
+    fr_start = full.copy()
+    if len(full) > 1:
+        fr_start[1:] = full[1:] & ~(full[:-1] & (gap[1:] == 0))
+    run_id = np.cumsum(fr_start) - 1
+    one_runs = (
+        np.bincount(run_id[full], minlength=int(fr_start.sum())).astype(np.uint64)
+        if full.any()
+        else np.empty(0, dtype=np.uint64)
+    )
+    # emission order per nonempty group index i: zero-fill words (phase
+    # 0), then the group's own word (phase 1: literal, or the one-fill
+    # run word on its first group)
+    keys_l, seqs_l, words_l = [], [], []
+    zf_idx = np.flatnonzero(gap > 0)
+    if len(zf_idx):
+        k, s, w = _wah_expand_runs(zf_idx.astype(np.int64) * 2, gap[zf_idx], 0)
+        keys_l.append(k)
+        seqs_l.append(s)
+        words_l.append(w)
+    lit_idx = np.flatnonzero(~full)
+    if len(lit_idx):
+        keys_l.append(lit_idx.astype(np.int64) * 2 + 1)
+        seqs_l.append(np.zeros(len(lit_idx), dtype=np.int64))
+        words_l.append(litv[lit_idx])
+    of_idx = np.flatnonzero(fr_start)
+    if len(of_idx):
+        k, s, w = _wah_expand_runs(of_idx.astype(np.int64) * 2 + 1, one_runs, 1)
+        keys_l.append(k)
+        seqs_l.append(s)
+        words_l.append(w)
+    keys = np.concatenate(keys_l)
+    seqs = np.concatenate(seqs_l)
+    words = np.concatenate(words_l).astype(np.uint32)
+    order = np.lexsort((seqs, keys))
+    return varint_encode(np.array([base], dtype=np.uint64)) + words[order].astype(
+        "<u4"
+    ).tobytes()
+
+
+def wah_decode(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of wah_encode (count = number of ids)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    # varint header: base
+    head_end = int(np.flatnonzero((raw & 0x80) == 0)[0]) + 1
+    base = varint_decode(raw[:head_end])[0]
+    words = np.frombuffer(buf, dtype="<u4", offset=head_end)
+    is_fill = (words >> np.uint32(31)) == 1
+    runs = np.where(is_fill, words & np.uint32(_WAH_MAX_RUN), 1).astype(np.int64)
+    gstart = np.concatenate(([0], np.cumsum(runs)[:-1]))
+    pos_parts = []
+    lit_idx = np.flatnonzero(~is_fill)
+    if len(lit_idx):
+        litv = words[lit_idx].astype(np.uint32)
+        bits = (litv[:, None] >> np.arange(_WAH_GROUP, dtype=np.uint32)[None, :]) & 1
+        li, bi = np.nonzero(bits)
+        pos_parts.append(gstart[lit_idx][li] * _WAH_GROUP + bi)
+    one_idx = np.flatnonzero(is_fill & ((words >> np.uint32(30)) & 1 == 1))
+    if len(one_idx):
+        # every bit of every group in the run is set
+        r = runs[one_idx]
+        total_groups = int(r.sum())
+        g0 = np.repeat(gstart[one_idx], r)
+        within = np.arange(total_groups) - np.repeat(
+            np.concatenate(([0], np.cumsum(r)[:-1])), r
+        )
+        groups = g0 + within
+        pos_parts.append(
+            (groups[:, None] * _WAH_GROUP + np.arange(_WAH_GROUP)[None, :]).reshape(-1)
+        )
+    if not pos_parts:
+        raise ValueError("wah stream decodes 0 ids")
+    pos = np.sort(np.concatenate(pos_parts))
+    if len(pos) != count:
+        raise ValueError(f"wah stream decodes {len(pos)} ids, expected {count}")
+    return pos.astype(np.uint64) + base
+
+
 def encode_docid_stream(docids: np.ndarray, codec: str) -> bytes:
     """Encode one block's strictly-ascending docids with the configured
-    codec ('varint' = delta-gap + LEB128, 'rlede', 'eliasfano')."""
+    codec ('varint' = delta-gap + LEB128, 'rlede', 'eliasfano', 'wah')."""
     if codec == "eliasfano":
         return ef_encode(docids)
     if codec == "rlede":
         return rlede_encode(docids)
+    if codec == "wah":
+        return wah_encode(docids)
     return varint_encode(delta_encode(np.asarray(docids, dtype=np.uint64)))
 
 
+#: codecs whose streams need an external count and per-segment encode
+COUNTED_CODECS = ("eliasfano", "rlede", "wah")
+
+
 def decode_docid_stream(buf: bytes, count: int | None, codec: str) -> np.ndarray:
-    if codec in ("eliasfano", "rlede"):
+    if codec in COUNTED_CODECS:
         if count is None:
             raise ValueError(f"{codec} decode requires count")
-        return ef_decode(buf, count) if codec == "eliasfano" else rlede_decode(buf, count)
+        if codec == "eliasfano":
+            return ef_decode(buf, count)
+        if codec == "wah":
+            return wah_decode(buf, count)
+        return rlede_decode(buf, count)
     return delta_decode(varint_decode(buf, count))
 
 

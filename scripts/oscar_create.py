@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--no-dedup", action="store_true", help="skip exact URL dedup")
     ap.add_argument(
         "--codec",
-        choices=["varint", "rlede", "eliasfano"],
+        choices=["varint", "rlede", "eliasfano", "wah"],
         help="docid stream codec (ItemIndex-type analog; default varint)",
     )
     ap.add_argument(

@@ -346,7 +346,7 @@ class TestEliasFanoCodec:
     """docid_codec='eliasfano' (the reference's selectable ItemIndex
     type): identical query results + structural checkers green."""
 
-    @pytest.mark.parametrize("codec", ["rlede", "eliasfano"])
+    @pytest.mark.parametrize("codec", ["rlede", "eliasfano", "wah"])
     def test_codec_index_parity_and_check(self, ray_session, pages_t1, tmp_path, codec):
         from oscar_ray.index.build import IndexBuildConfig, build_index
         from oscar_ray.index.check import check_index
@@ -468,7 +468,7 @@ class TestConfigFuzz:
                 num_partitions=int(rng.integers(1, 12)),
                 block_span_bits=int(rng.integers(4, 14)),
                 shard_fragments=int(rng.integers(1, 5)),
-                docid_codec=["varint", "rlede", "eliasfano"][int(rng.integers(0, 3))],
+                docid_codec=["varint", "rlede", "eliasfano", "wah"][int(rng.integers(0, 4))],
                 field_columns=[None, ["lang"]][int(rng.integers(0, 2))],
                 index_suffixes=bool(rng.integers(0, 2)),
                 dedup_urls=bool(rng.integers(0, 2)),

@@ -59,7 +59,7 @@ def test_docid_stream_codecs_agree(ids_set):
     from oscar_ray.stages.codecs import decode_docid_stream, encode_docid_stream
 
     ids = np.array(sorted(ids_set), dtype=np.uint64)
-    for codec in ("varint", "rlede", "eliasfano"):
+    for codec in ("varint", "rlede", "eliasfano", "wah"):
         buf = encode_docid_stream(ids, codec)
         assert (decode_docid_stream(buf, len(ids), codec) == ids).all()
 
