@@ -4,9 +4,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": <headline secs>, "unit": "sec",
    "queries": {...per-phase secs...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
-and reports both throughputs + scaling efficiency (the sandbox stand-in
-for the N vs 4N cluster-size criterion; see BASELINE.md).
+--scaling: the two-cluster-size criterion stand-in (N vs 4N nodes; see
+BASELINE.md). PINNED EPOCH PROTOCOL (no post-hoc run selection): S
+samples (default 5, GRAFT_SCALE_SAMPLES), each sample runs the lo-cpu
+and hi-cpu jobs BACK-TO-BACK in fresh processes, and every run times a
+single-thread ALU probe in its own epoch so host throttling is
+attributable per sample. Reported: the full per-sample series, the
+PAIRED MEDIAN efficiencies (the headline), and probe-normalized
+efficiencies (raw_eff * probe_hi/probe_lo) that isolate engine scaling
+from host-epoch drift.
 """
 
 from __future__ import annotations
@@ -57,6 +63,18 @@ def _pages_dir(sf_dir: str, n_rows: int, n_files: int = 32) -> str:
     )
     open(done, "w").close()
     return out
+
+
+def _alu_probe(iters: int = 4_000_000) -> float:
+    """Single-thread cache-resident integer loop — a fixed workload whose
+    wall time tracks ONLY the host's per-core throughput this epoch
+    (documented ~1.5-2x VM variance). Timed inside each bench process so
+    every sample carries its own host-state evidence."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
@@ -120,6 +138,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         manifest = build_index(src, out_dir, cfg, resume=False)
         build_secs = min(build_secs, time.perf_counter() - t0)
     n_docs = manifest["stats"]["total_docs"]
+    # summed per-task seconds per stage: flat across parallelism levels
+    # == the total work is constant (no serialization/shuffle bottleneck);
+    # any wall-clock efficiency loss is then resource contention, not design
+    task_secs_a = round(sum(m["secs"] for m in manifest["shards"] if m), 2)
+    task_secs_b = round(sum(m["secs"] for m in manifest["partitions"] if m), 2)
 
     # query set from the built dictionary (stratified by df)
     import pyarrow.parquet as pq
@@ -172,6 +195,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     ray.shutdown()
     return {
+        "alu_probe_secs": round(_alu_probe(), 3),
+        "stage_task_secs": {"a": task_secs_a, "b": task_secs_b},
         "build_secs": round(build_secs, 3),
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "n_docs": n_docs,
@@ -196,8 +221,10 @@ def main():
         lo, hi = (
             int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "4,16").split(",")
         )
-        results = {}
-        for n in (lo, hi):
+        n_samples = int(os.environ.get("GRAFT_SCALE_SAMPLES", "5"))
+        ratio = hi / lo
+
+        def one_run(n: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -206,25 +233,56 @@ def main():
                 text=True,
                 check=True,
             ).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
-        r_lo, r_hi = results[lo]["queries"], results[hi]["queries"]
-        ratio = hi / lo
-        eff_build = (r_lo["build_secs"] / r_hi["build_secs"]) / ratio
-        eff_query = (r_lo["query_warm_secs"] / r_hi["query_warm_secs"]) / ratio
+            return json.loads(out.strip().splitlines()[-1])["queries"]
+
+        samples = []
+        for s in range(n_samples):
+            # PAIRED epochs: lo then hi back-to-back, no cherry-picking
+            r_lo = one_run(lo)
+            r_hi = one_run(hi)
+            eff_b = (r_lo["build_secs"] / r_hi["build_secs"]) / ratio
+            eff_q = (r_lo["query_warm_secs"] / r_hi["query_warm_secs"]) / ratio
+            # host-epoch attribution: if the hi run's epoch was slower
+            # per-core (probe_hi > probe_lo), raw efficiency under-reports
+            # the engine; the normalized figure divides that drift out
+            probe_ratio = r_hi["alu_probe_secs"] / max(r_lo["alu_probe_secs"], 1e-9)
+            samples.append(
+                {
+                    "sample": s,
+                    f"stage_task_secs_{lo}": r_lo.get("stage_task_secs"),
+                    f"stage_task_secs_{hi}": r_hi.get("stage_task_secs"),
+                    "build_eff": round(eff_b, 3),
+                    "query_eff": round(eff_q, 3),
+                    "build_eff_probe_norm": round(eff_b * probe_ratio, 3),
+                    "query_eff_probe_norm": round(eff_q * probe_ratio, 3),
+                    f"probe_secs_{lo}": r_lo["alu_probe_secs"],
+                    f"probe_secs_{hi}": r_hi["alu_probe_secs"],
+                    f"build_secs_{lo}": r_lo["build_secs"],
+                    f"build_secs_{hi}": r_hi["build_secs"],
+                    f"query_warm_secs_{lo}": r_lo["query_warm_secs"],
+                    f"query_warm_secs_{hi}": r_hi["query_warm_secs"],
+                    f"qps_warm_{hi}": r_hi["qps_warm"],
+                    f"docs_per_sec_{hi}": r_hi["build_docs_per_sec"],
+                }
+            )
+
+        def med(key: str) -> float:
+            vals = sorted(x[key] for x in samples)
+            m = len(vals) // 2
+            return round(
+                vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2, 3
+            )
+
         print(
             json.dumps(
                 {
                     "metric": f"scaling_{lo}_to_{hi}",
-                    f"build_secs_{lo}": r_lo["build_secs"],
-                    f"build_secs_{hi}": r_hi["build_secs"],
-                    "build_scaling_efficiency": round(eff_build, 3),
-                    f"query_warm_secs_{lo}": r_lo["query_warm_secs"],
-                    f"query_warm_secs_{hi}": r_hi["query_warm_secs"],
-                    "query_scaling_efficiency": round(eff_query, 3),
-                    f"qps_warm_{lo}": r_lo["qps_warm"],
-                    f"qps_warm_{hi}": r_hi["qps_warm"],
-                    f"docs_per_sec_{lo}": r_lo["build_docs_per_sec"],
-                    f"docs_per_sec_{hi}": r_hi["build_docs_per_sec"],
+                    "n_samples": n_samples,
+                    "build_scaling_efficiency": med("build_eff"),
+                    "query_scaling_efficiency": med("query_eff"),
+                    "build_eff_probe_norm_median": med("build_eff_probe_norm"),
+                    "query_eff_probe_norm_median": med("query_eff_probe_norm"),
+                    "samples": samples,
                 }
             )
         )
