@@ -515,9 +515,19 @@ def _mm_media_ds(sf_dir: str, kind: str):
     )
 
     def to_media(t: pa.Table) -> pa.Table:
-        from oscar_ray.sources.synth import generate_ppm, generate_rvid, generate_wav
+        from oscar_ray.sources.synth import (
+            generate_jpeg,
+            generate_ppm,
+            generate_rvid,
+            generate_wav,
+        )
 
-        gen = {"ppm": generate_ppm, "wav": generate_wav, "rvid": generate_rvid}[kind]
+        gen = {
+            "ppm": generate_ppm,
+            "jpeg": generate_jpeg,
+            "wav": generate_wav,
+            "rvid": generate_rvid,
+        }[kind]
         payload = [gen(int(d)) for d in t["doc_id"].to_pylist()]
         return pa.table(
             {"doc_id": t["doc_id"], "media": pa.array(payload, type=pa.binary())}
@@ -536,6 +546,25 @@ def _mm_image_features(sf_dir: str):
         .map_batches(
             ImageFeatureStage,
             fn_constructor_kwargs={"decoder": "ppm", "dim": 16},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_image_features_jpeg(sf_dir: str):
+    """Image pipeline over COMPRESSED payloads: deterministic baseline
+    JPEGs decoded by the library-free numpy codec (real Huffman + IDCT),
+    then the same feature extractor as the PPM path."""
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "jpeg")
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "jpeg", "dim": 16},
             batch_format="pyarrow",
             batch_size=256,
             concurrency=2,
@@ -635,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_dup_pairs": _emb_dup_pairs,
         "mm_image_features": _mm_image_features,
+        "mm_image_features_jpeg": _mm_image_features_jpeg,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
     }

@@ -150,6 +150,19 @@ def generate_ppm(doc_id: int, w: int = 24, h: int = 16) -> bytes:
     return encode_ppm(img)
 
 
+def generate_jpeg(doc_id: int, w: int = 24, h: int = 16, quality: int = 85) -> bytes:
+    """Deterministic baseline-JPEG image per doc (same pixel generator as
+    :func:`generate_ppm`, compressed through the library-free encoder —
+    real Huffman/DCT bytes for the compressed-decode path)."""
+    import numpy as np
+
+    from oscar_ray.stages.jpeg import jpeg_encode
+    from oscar_ray.stages.multimodal import decode_ppm
+
+    img = decode_ppm(generate_ppm(doc_id, w=w, h=h))
+    return jpeg_encode(np.ascontiguousarray(img), quality=quality)
+
+
 def generate_wav(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
     """Deterministic PCM16 WAV per doc: a sine whose frequency derives
     from the doc id (+ a quieter octave)."""

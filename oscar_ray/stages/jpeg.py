@@ -1,0 +1,462 @@
+"""Baseline JPEG codec, pure numpy + Python bit I/O — no Pillow/libjpeg.
+
+Upgrades the multimodal image path from uncompressed-only (PPM) to a real
+compressed format: ``jpeg_encode`` emits spec-conformant baseline
+sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8-bit, 4:4:4 or
+grayscale, byte-stuffed entropy stream), and ``jpeg_decode`` is fully
+TABLE-DRIVEN — Huffman and quant tables are read from the file's own
+DHT/DQT segments, so it decodes any compliant baseline JPEG within its
+declared envelope (8-bit, no chroma subsampling, no progressive, no
+restart markers), not just its own output.
+
+Design notes:
+- DCT/IDCT are exact orthonormal matrix products over all blocks at once
+  (``einsum`` on an (n, 8, 8) stack) — the only Python-level loop is the
+  per-symbol Huffman bit loop, which is what baseline JPEG's entropy
+  layer fundamentally is.
+- The encoder uses SELF-GENERATED canonical Huffman tables (all 12 DC
+  size symbols at 4 bits, all 162 valid AC run/size symbols at 8 bits).
+  Any prefix-free table is valid baseline JPEG — the tables ride in DHT
+  like always; this trades a little compression for zero risk of
+  transcription errors in the 324 Annex-K literals.
+- Quantization uses the IJG quality scaling of the two example tables
+  from the JPEG spec (the only table literals kept, they are 8x8 and
+  easy to verify).
+
+Round-trip contract (tested): decode(encode(img, q)) equals img up to
+quantization error — exact for flat blocks at q=100-ish, bounded MAE
+otherwise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# spec example luminance/chrominance quant tables (JPEG Annex K.1)
+_Q_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_Q_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan order: _ZIGZAG[i] = flat index (row*8+col) of the i-th
+# zigzag coefficient; derived, not transcribed
+def _zigzag_order() -> np.ndarray:
+    idx = []
+    for s in range(15):
+        rng = range(s + 1)
+        for i in rng if s % 2 else reversed(rng):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                idx.append(r * 8 + c)
+    return np.array(idx, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# orthonormal DCT-II basis: block_f = _C @ block @ _C.T
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (1..100) of the spec example tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUM, _Q_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+# -- self-generated canonical Huffman tables (encoder side) -----------------
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical code assignment: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALUES = list(range(12))  # size categories 0..11, all 4-bit codes
+_AC_VALUES = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # EOB, ZRL, then every run/size — 162 symbols, all 8-bit codes
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALUES)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALUES)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    """JPEG signed-magnitude: negatives stored as v - 1 in `size` bits."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float -> (n_blocks, 8, 8), edge-padded to multiples of 8."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w, 1|3) -> baseline JFIF bytes (4:4:4 / grayscale)."""
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected (h, w, 1|3) uint8")
+    h, w, nc = img.shape
+    qy, qc = _quality_tables(quality)
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [qy, qc, qc]
+        qids = [0, 1, 1]
+    else:
+        planes = [f[:, :, 0]]
+        qtabs = [qy]
+        qids = [0]
+
+    # forward DCT + quantize, all blocks per component at once
+    comp_coefs = []
+    for plane, qt in zip(planes, qtabs):
+        blocks = _blocks_of(plane) - 128.0
+        coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        quant = np.round(coefs / qt[None, :, :]).astype(np.int32)
+        comp_coefs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, qt in ((0, qy), (1, qc))[: (2 if nc == 3 else 1)]:
+        zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + zz
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, qids[ci])  # 1x1 sampling
+    # DHT: DC table 0, AC table 0 (shared by all components)
+    for tc_th, bits, values in ((0x00, _DC_BITS, _DC_VALUES), (0x10, _AC_BITS, _AC_VALUES)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack("BB", ci + 1, 0x00)  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"  # spectral selection 0..63, Ah/Al 0
+
+    # entropy-coded data: interleaved MCUs (one block per component, 4:4:4)
+    bw = _BitWriter()
+    n_mcu = comp_coefs[0].shape[0]
+    prev_dc = [0] * nc
+    for m in range(n_mcu):
+        for ci in range(nc):
+            zz = comp_coefs[ci][m]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size = _size_cat(diff)
+            code, length = _DC_CODES[size]
+            bw.write(code, length)
+            if size:
+                bw.write(_amplitude(diff, size), size)
+            run = 0
+            nz = np.flatnonzero(zz[1:])  # positions of nonzero ACs
+            pos = 0
+            for k in nz.tolist():
+                while k - pos >= 16:
+                    c, l = _AC_CODES[0xF0]  # ZRL
+                    bw.write(c, l)
+                    pos += 16
+                run = k - pos
+                v = int(zz[1 + k])
+                size = _size_cat(v)
+                c, l = _AC_CODES[(run << 4) | size]
+                bw.write(c, l)
+                bw.write(_amplitude(v, size), size)
+                pos = k + 1
+            if pos < 63:
+                c, l = _AC_CODES[0x00]  # EOB
+                bw.write(c, l)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-stream bit reader with 0xFF00 de-stuffing; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # a real marker: stop feeding data, pad with zeros
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
+
+
+def _decode_table(bits: list[int], values: list[int]):
+    """-> (maxcode-per-length lookup) for fast canonical decode:
+    lists min_code, max_code, first_value_index per length."""
+    mins, maxs, firsts = [0] * 17, [-1] * 17, [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        mins[length] = code
+        firsts[length] = k
+        maxs[length] = code + n - 1 if n else -1
+        code += n
+        k += n
+        code <<= 1
+    return mins, maxs, firsts, values
+
+
+def _huff_decode(br: _BitReader, tbl) -> int:
+    mins, maxs, firsts, values = tbl
+    window = br.peek16()
+    code = 0
+    for length in range(1, 17):
+        code = window >> (16 - length)
+        if maxs[length] >= 0 and code <= maxs[length]:
+            br.skip(length)
+            return values[firsts[length] + (code - mins[length])]
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w, 1|3).
+
+    Envelope: 8-bit baseline sequential, 1 or 3 components, no chroma
+    subsampling (all sampling factors 1x1), no progressive scans, no
+    restart intervals — NotImplementedError outside it (disclosed gates,
+    like the other multimodal codecs).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    frame = None
+    scan_comps = None
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec_id = body[b]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int32)
+                qtabs[prec_id & 0xF] = t[_UNZIGZAG].reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                values = list(body[b + 17 : b + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 0xF)] = _decode_table(bits, values)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling not supported")
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    nc = len(comps)
+    qid_of = dict(comps)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    n_mcu = bw * bh
+
+    br = _BitReader(payload, data_start)
+    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
+    prev_dc = [0] * nc
+    for m in range(n_mcu):
+        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+            dct = htabs[(0, dc_id)]
+            act = htabs[(1, ac_id)]
+            size = _huff_decode(br, dct)
+            diff = _extend(br.read(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz = coefs[ci][m]
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0xF
+                if k > 63:
+                    raise ValueError("AC index out of range")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+
+    # dequantize + inverse zigzag + IDCT, all blocks at once per comp
+    planes = []
+    for ci, (cid, _dc, _ac) in enumerate(scan_comps):
+        qt = qtabs[qid_of[cid]]
+        deq = coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * qt[None, :, :]
+        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, deq, _C.T) + 128.0
+        plane = (
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

@@ -10,14 +10,17 @@ large (set ``batch_size`` accordingly and keep ``batch_format="pyarrow"``
 Codec support is tiered by what this container can actually do:
 
 - **real, library-free decoders** (pure numpy/struct, fully implemented
-  and tested): PPM/PGM images (``decode_ppm``), RIFF/WAV PCM16 audio
-  (``decode_wav``), and a raw-RGB frame container (``RVID``,
+  and tested): PPM/PGM images (``decode_ppm``), baseline JPEG
+  (``stages/jpeg.py`` — real Huffman + DCT compressed decode within a
+  declared envelope: 8-bit sequential, 4:4:4/grayscale), RIFF/WAV PCM16
+  audio (``decode_wav``), and a raw-RGB frame container (``RVID``,
   ``decode_rvid_header``) — decode, nearest-neighbor resize, feature
   extraction and frame sampling all operate on real pixels/samples;
 - ``decoder="fake"``: deterministic pseudo-features from payload bytes
   (plumbing/schema testing for arbitrary payloads);
-- ``decoder="real"``: the Pillow/libjpeg/ffmpeg path for compressed
-  formats — NotImplementedError in this container (libs absent), with
+- ``decoder="real"``: the Pillow/ffmpeg path for the remaining
+  compressed formats (progressive/subsampled JPEG, PNG, mp3/ogg, real
+  video) — NotImplementedError in this container (libs absent), with
   the actor-state shape (load codec once in ``__init__``) kept real.
 """
 
@@ -197,10 +200,12 @@ class ImageFeatureStage:
     """Actor-pool stage: binary image -> fixed-dim feature vector.
 
     Output schema: (id, feature: list<float32>[dim], width, height).
-    Decoders: ``"ppm"`` — REAL decode of P5/P6 netpbm payloads (pixel
-    stats + grayscale thumbnail features, true width/height);
-    ``"fake"`` — deterministic digest features for arbitrary payloads;
-    ``"real"`` — the Pillow/libjpeg path, NotImplementedError here.
+    Decoders: ``"ppm"`` — REAL decode of P5/P6 netpbm payloads;
+    ``"jpeg"`` — REAL baseline-JPEG decode (pure numpy Huffman + IDCT,
+    ``stages/jpeg.py``); both produce pixel stats + grayscale thumbnail
+    features with true width/height. ``"fake"`` — deterministic digest
+    features for arbitrary payloads; ``"real"`` — the Pillow path for
+    formats outside the library-free envelope, NotImplementedError here.
     """
 
     def __init__(
@@ -212,7 +217,7 @@ class ImageFeatureStage:
         passthrough_cols: tuple = (),
     ):
         self.id_col, self.media_col, self.dim = id_col, media_col, dim
-        if decoder not in ("fake", "real", "ppm"):
+        if decoder not in ("fake", "real", "ppm", "jpeg"):
             raise ValueError(decoder)
         self.decoder = decoder
         self.passthrough_cols = list(passthrough_cols)
@@ -224,6 +229,11 @@ class ImageFeatureStage:
             raise NotImplementedError(
                 "real image decode requires Pillow/libjpeg (not in this container)"
             )
+        if self.decoder == "jpeg":
+            from oscar_ray.stages.jpeg import jpeg_decode
+
+            img = jpeg_decode(payload)
+            return image_features(img, self.dim), img.shape[1], img.shape[0]
         if self.decoder == "ppm":
             img = decode_ppm(payload)
             return image_features(img, self.dim), img.shape[1], img.shape[0]

@@ -341,6 +341,127 @@ class TestTextAnalysis:
         assert 0 <= rows[0]["quality_score_micro"] <= 1_000_000
 
 
+class TestJpegCodec:
+    """Library-free baseline JPEG (stages/jpeg.py): round-trip bounds,
+    structural conformance, and honest envelope gates."""
+
+    def test_flat_image_roundtrips_exactly(self):
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        img = np.full((16, 24, 3), 128, dtype=np.uint8)
+        assert np.array_equal(jpeg_decode(jpeg_encode(img, 95)), img)
+
+    def test_roundtrip_error_bounded_and_improves_with_quality(self):
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        maes = []
+        for q in (50, 85, 100):
+            out = jpeg_decode(jpeg_encode(img, q))
+            assert out.shape == img.shape
+            maes.append(float(np.abs(out.astype(int) - img.astype(int)).mean()))
+        assert maes[0] > maes[1] > maes[2]
+        assert maes[2] < 1.0  # q=100: quantization tables ~1
+
+    def test_odd_dimensions_and_grayscale(self):
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (13, 29, 3), dtype=np.uint8)
+        assert jpeg_decode(jpeg_encode(img, 85)).shape == (13, 29, 3)
+        gray = rng.integers(0, 256, (17, 19, 1), dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode(gray, 95))
+        assert out.shape == (17, 19, 1)
+        assert float(np.abs(out.astype(int) - gray.astype(int)).mean()) < 3.0
+
+    def test_structural_markers(self):
+        from oscar_ray.stages.jpeg import jpeg_encode
+
+        buf = jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in buf[:32]
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in buf
+
+    def test_envelope_gates_raise(self):
+        import struct
+
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        with pytest.raises(ValueError):
+            jpeg_decode(b"not a jpeg")
+        # progressive (SOF2) must be a disclosed NotImplementedError
+        buf = bytearray(jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8)))
+        i = bytes(buf).index(b"\xff\xc0")
+        buf[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(bytes(buf))
+        # 2x2-subsampled SOF (synthetic header) also gates
+        buf = bytearray(jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8)))
+        i = bytes(buf).index(b"\xff\xc0")
+        (seglen,) = struct.unpack_from(">H", buf, i + 2)
+        buf[i + 4 + 6 + 1] = 0x22  # first component sampling 2x2
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(bytes(buf))
+
+    def test_decoder_is_table_driven(self):
+        """The decoder reads Huffman/quant tables from the FILE, not from
+        module constants: decoding still works when the encoder's table
+        segments are re-ordered (DHT before DQT)."""
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        buf = jpeg_encode(img, 90)
+        want = jpeg_decode(buf)
+
+        # split segments and move the DHTs ahead of the DQTs
+        segs = []
+        pos = 2
+        while buf[pos : pos + 2] != b"\xff\xda":
+            (ln,) = np.frombuffer(buf[pos + 2 : pos + 4], ">u2")
+            segs.append(buf[pos : pos + 2 + int(ln)])
+            pos += 2 + int(ln)
+        rest = buf[pos:]
+        order = sorted(range(len(segs)), key=lambda i: segs[i][1] == 0xDB)
+        shuffled = b"\xff\xd8" + b"".join(segs[i] for i in order) + rest
+        got = jpeg_decode(shuffled)
+        np.testing.assert_array_equal(got, want)
+
+    def test_image_feature_stage_jpeg(self, ray_session):
+        import ray.data
+
+        from oscar_ray.sources.synth import generate_jpeg, generate_ppm
+        from oscar_ray.stages.jpeg import jpeg_decode
+        from oscar_ray.stages.multimodal import ImageFeatureStage, decode_ppm
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "media": pa.array(
+                        [generate_jpeg(0), generate_jpeg(1)], type=pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "jpeg", "dim": 16},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert {r["doc_id"] for r in rows} == {0, 1}
+        for r in rows:
+            assert r["width"] == 24 and r["height"] == 16
+            assert len(r["feature"]) == 16
+        # decoded pixels track the uncompressed source (lossy but close)
+        src = decode_ppm(generate_ppm(0))
+        dec = jpeg_decode(generate_jpeg(0))
+        assert float(np.abs(dec.astype(int) - src.astype(int)).mean()) < 12.0
+
+
 class TestMultimodal:
     def test_image_feature_stage_fake(self, ray_session):
         import ray.data
