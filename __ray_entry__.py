@@ -27,6 +27,8 @@ BM25_AND = "hash join"
 BM25_OR_TERMS = ("scan", "filter")
 BM25_NOT = ("scan", "hash")
 BM25_PREFIX = "s"  # expands to scan/slow/small/sort/spark/... (qt=prefix analog)
+SUBSTR_TOKEN = "erg"  # *erg* — matches merge/merges/... via the suffix index
+MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
 K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
@@ -108,11 +110,11 @@ def _search_bm25_prefix(sf_dir: str):
 
 
 def _search_bm25_substring(sf_dir: str):
-    """Substring search via the suffix-indexed variant (rows-only check;
-    exact semantics are pytest-verified against the oracle)."""
+    """Substring search via the suffix-indexed variant (`*erg*`: prefix
+    scan over the suffix-marker namespace, OR-summed BM25)."""
     from oscar_ray.pipelines.search import bm25_scores_table
 
-    return bm25_scores_table(sf_dir, "*erg*", k=None, suffixes=True)
+    return bm25_scores_table(sf_dir, f"*{SUBSTR_TOKEN}*", k=None, suffixes=True)
 
 
 def _search_bm25_lang_filter(sf_dir: str):
@@ -809,6 +811,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT term FROM df WHERE term LIKE '{BM25_PREFIX}%'
                 ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "search_bm25_substring": _BM25_BASE
+        + f""",
+            -- suffix-index semantics (build.py _expand_suffix_pairs /
+            -- tests/oracle.py): per (doc, suffix>=len {MIN_SUFFIX_LEN_SQL}) the tf sums
+            -- over the doc's terms carrying that suffix; df counts docs;
+            -- `*{SUBSTR_TOKEN}*` = OR over suffixes LIKE '{SUBSTR_TOKEN}%'
+            -- ascending, capped at {MAX_PREFIX_EXPANSIONS_SQL} like any prefix scan
+            sfx AS (
+                SELECT doc_id, substr(term, i) AS s, sum(tf)::DOUBLE AS tf
+                FROM tf, unnest(range(1, length(term)::BIGINT + 1)) AS u(i)
+                WHERE length(term) - i + 1 >= {MIN_SUFFIX_LEN_SQL}
+                GROUP BY doc_id, substr(term, i)
+            ),
+            sdf AS (SELECT s, count(*)::DOUBLE AS df FROM sfx GROUP BY s),
+            expand AS (
+                SELECT s FROM sdf WHERE s LIKE '{SUBSTR_TOKEN}%'
+                ORDER BY s LIMIT {MAX_PREFIX_EXPANSIONS_SQL}
+            ),
+            sscores AS (
+                SELECT sfx.doc_id,
+                       ln(1 + (corpus.n_docs - sdf.df + 0.5) / (sdf.df + 0.5))
+                       * (sfx.tf * ({K1} + 1)) /
+                         (sfx.tf + {K1} * (1 - {B} + {B} * dl.doclen / corpus.avgdl))
+                           AS score
+                FROM sfx
+                JOIN sdf USING (s)
+                JOIN dl USING (doc_id)
+                CROSS JOIN corpus
+                WHERE sfx.s IN (SELECT s FROM expand)
+            )
+            SELECT doc_id, round(sum(score), 4) AS score
+            FROM sscores GROUP BY doc_id ORDER BY doc_id
         """,
         "search_bm25_lang_filter": _BM25_BASE
         + f"""
