@@ -519,6 +519,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
     def to_media(t: pa.Table) -> pa.Table:
         from oscar_ray.sources.synth import (
             generate_jpeg,
+            generate_png,
             generate_ppm,
             generate_rvid,
             generate_wav,
@@ -527,6 +528,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
         gen = {
             "ppm": generate_ppm,
             "jpeg": generate_jpeg,
+            "png": generate_png,
             "wav": generate_wav,
             "rvid": generate_rvid,
         }[kind]
@@ -567,6 +569,26 @@ def _mm_image_features_jpeg(sf_dir: str):
         .map_batches(
             ImageFeatureStage,
             fn_constructor_kwargs={"decoder": "jpeg", "dim": 16},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_image_features_png(sf_dir: str):
+    """Image pipeline over LOSSLESS-compressed payloads: Paeth-filtered
+    PNGs decoded by the library-free zlib+numpy codec. Because PNG is
+    lossless, the features must EQUAL the PPM path's features — checked
+    in pytest; the driver row is rows-only like the other mm entries."""
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "png")
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "png", "dim": 16},
             batch_format="pyarrow",
             batch_size=256,
             concurrency=2,
@@ -667,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": _emb_dup_pairs,
         "mm_image_features": _mm_image_features,
         "mm_image_features_jpeg": _mm_image_features_jpeg,
+        "mm_image_features_png": _mm_image_features_png,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
     }

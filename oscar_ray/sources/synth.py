@@ -163,6 +163,15 @@ def generate_jpeg(doc_id: int, w: int = 24, h: int = 16, quality: int = 85) -> b
     return jpeg_encode(np.ascontiguousarray(img), quality=quality)
 
 
+def generate_png(doc_id: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic PNG per doc (same pixels as :func:`generate_ppm`,
+    Paeth-filtered so the decode path exercises real filter math)."""
+    from oscar_ray.stages.multimodal import decode_ppm
+    from oscar_ray.stages.png import png_encode
+
+    return png_encode(decode_ppm(generate_ppm(doc_id, w=w, h=h)), filter_type=4)
+
+
 def generate_wav(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
     """Deterministic PCM16 WAV per doc: a sine whose frequency derives
     from the doc id (+ a quieter octave)."""

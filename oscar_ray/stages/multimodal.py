@@ -12,8 +12,10 @@ Codec support is tiered by what this container can actually do:
 - **real, library-free decoders** (pure numpy/struct, fully implemented
   and tested): PPM/PGM images (``decode_ppm``), baseline JPEG
   (``stages/jpeg.py`` — real Huffman + DCT compressed decode within a
-  declared envelope: 8-bit sequential, 4:4:4/grayscale), RIFF/WAV PCM16
-  audio (``decode_wav``), and a raw-RGB frame container (``RVID``,
+  declared envelope: 8-bit sequential, 4:4:4/grayscale), PNG
+  (``stages/png.py`` — zlib inflate + all five scanline filters,
+  gray/RGB/RGBA/palette at 8-bit), RIFF/WAV PCM16 audio
+  (``decode_wav``), and a raw-RGB frame container (``RVID``,
   ``decode_rvid_header``) — decode, nearest-neighbor resize, feature
   extraction and frame sampling all operate on real pixels/samples;
 - ``decoder="fake"``: deterministic pseudo-features from payload bytes
@@ -217,7 +219,7 @@ class ImageFeatureStage:
         passthrough_cols: tuple = (),
     ):
         self.id_col, self.media_col, self.dim = id_col, media_col, dim
-        if decoder not in ("fake", "real", "ppm", "jpeg"):
+        if decoder not in ("fake", "real", "ppm", "jpeg", "png"):
             raise ValueError(decoder)
         self.decoder = decoder
         self.passthrough_cols = list(passthrough_cols)
@@ -233,6 +235,11 @@ class ImageFeatureStage:
             from oscar_ray.stages.jpeg import jpeg_decode
 
             img = jpeg_decode(payload)
+            return image_features(img, self.dim), img.shape[1], img.shape[0]
+        if self.decoder == "png":
+            from oscar_ray.stages.png import png_decode
+
+            img = png_decode(payload)[:, :, :3]  # drop alpha for features
             return image_features(img, self.dim), img.shape[1], img.shape[0]
         if self.decoder == "ppm":
             img = decode_ppm(payload)
