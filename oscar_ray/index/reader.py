@@ -26,7 +26,15 @@ from oscar_ray.stages.codecs import decode_postings
 
 @dataclass
 class TermPostings:
-    """All posting blocks of one term (decoded lazily per block)."""
+    """All posting blocks of one term (decoded lazily per block).
+
+    Payload bytes may themselves be LAZY: when ``_fetch`` is set, a None
+    entry in ``_docs`` is materialized on first decode by fetching just
+    the parquet row group holding that posting row — so block-max-pruned
+    queries read payload bytes only for the blocks they actually touch
+    (O(touched blocks) bytes, not O(df)). Metadata (block ids, counts,
+    max_tfn) is always eager — it drives the pruning.
+    """
 
     term: str
     df: int
@@ -34,13 +42,16 @@ class TermPostings:
     block_ids: np.ndarray  # int64, ascending
     doc_counts: np.ndarray  # int64
     max_tfns: np.ndarray  # float64 — block-max metadata for WAND pruning
-    _docs: list[bytes]
-    _tfs: list[bytes]
-    _dls: list[bytes]
+    _docs: list[bytes | None]
+    _tfs: list[bytes | None]
+    _dls: list[bytes | None]
     codec: str = "varint"  # docid stream codec (manifest config)
+    _fetch: "callable | None" = None  # i -> (docs, tfs, dls) bytes
 
     def decode_block(self, i: int):
         """-> (docids, tfs, doclens) uint64 arrays for block index i."""
+        if self._docs[i] is None:
+            self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
         return decode_postings(
             self._docs[i],
             self._tfs[i],
@@ -132,6 +143,8 @@ class IndexReader:
         self._postings_cache: dict[str, TermPostings] = {}
         self._files: dict[int, pq.ParquetFile] = {}
         self._rg_stats: dict[int, list[tuple[str, str]]] = {}
+        self._rg_offsets: dict[int, list[int]] = {}
+        self._payload_groups: dict[tuple[int, int], pa.Table] = {}
 
     # -- dictionary ---------------------------------------------------------
 
@@ -195,7 +208,10 @@ class IndexReader:
     # -- postings -----------------------------------------------------------
 
     def postings(self, term: str) -> TermPostings:
-        """Fetch all blocks of a term (predicate-pushdown parquet read)."""
+        """Fetch a term's posting METADATA eagerly (predicate-pushdown
+        parquet read of the non-payload columns); payload bytes hydrate
+        lazily per row group on first block decode — a pruned query's
+        byte cost is O(touched blocks), not O(df)."""
         hit = self._postings_cache.get(term)
         if hit is not None:
             return hit
@@ -204,7 +220,16 @@ class IndexReader:
         if df == 0:
             tp = _EMPTY
         else:
-            t = self._read_term_rows(part, term)
+            t, global_idx, payload_rows = self._read_term_meta(part, term)
+            n = t.num_rows
+
+            def fetch(i: int, _part=part, _gi=global_idx, _pr=payload_rows):
+                # payload-dedup indirection: canonical row holds the bytes
+                idx = int(_gi[i])
+                if _pr is not None and _pr[i] >= 0:
+                    idx = int(_pr[i])
+                return self._payload_row(_part, idx)
+
             tp = TermPostings(
                 term=term,
                 df=int(df),
@@ -212,15 +237,32 @@ class IndexReader:
                 block_ids=t["block_id"].to_numpy(),
                 doc_counts=t["doc_count"].to_numpy(),
                 max_tfns=t["max_tfn"].to_numpy(),
-                _docs=t["docs"].to_pylist(),
-                _tfs=t["tfs"].to_pylist(),
-                _dls=t["dls"].to_pylist(),
+                _docs=[None] * n,
+                _tfs=[None] * n,
+                _dls=[None] * n,
                 codec=self.docid_codec,
+                _fetch=fetch,
             )
         if len(self._postings_cache) > 4096 and not getattr(self, "_cache_pinned", False):
             self._postings_cache.clear()
         self._postings_cache[term] = tp
         return tp
+
+    def _payload_row(self, part: int, idx: int) -> tuple[bytes, bytes, bytes]:
+        """Payload bytes of global posting row ``idx`` via a cached
+        row-group read (groups are uniform-sized except the last)."""
+        f = self._files[part]  # opened by _read_term_meta
+        rg0 = f.metadata.row_group(0).num_rows
+        g = idx // rg0
+        key = (part, g)
+        gt = self._payload_groups.get(key)
+        if gt is None:
+            if len(self._payload_groups) >= 32:
+                self._payload_groups.pop(next(iter(self._payload_groups)))
+            gt = f.read_row_groups([g], columns=["docs", "tfs", "dls"], use_threads=False)
+            self._payload_groups[key] = gt
+        r = idx - g * rg0
+        return gt["docs"][r].as_py(), gt["tfs"][r].as_py(), gt["dls"][r].as_py()
 
     def preload(self) -> int:
         """Load every term's postings into the in-memory cache (the
@@ -277,6 +319,8 @@ class IndexReader:
         self._dicts.clear()
         self._files.clear()
         self._rg_stats.clear()
+        self._rg_offsets.clear()
+        self._payload_groups.clear()
         if hasattr(self, "_sorted_terms"):
             self._sorted_terms.clear()
         self._cache_pinned = False
@@ -298,68 +342,57 @@ class IndexReader:
                             pass
         return n
 
-    def _read_term_rows(self, part: int, term: str):
-        """Read one term's posting rows: open-once file handle + manual
-        row-group pruning on the sorted `term` column's min/max statistics
-        (the mmap-once ST6 analog; avoids re-opening footer per query)."""
+    def _read_term_meta(self, part: int, term: str):
+        """Read one term's posting METADATA rows (payload columns are
+        NOT read — they hydrate lazily via :meth:`_payload_row`):
+        open-once file handle + manual row-group pruning on the sorted
+        `term` column's min/max statistics (the mmap-once ST6 analog).
+
+        -> (meta_table, global_row_indices int64, payload_rows | None)
+        """
         f = self._files.get(part)
         if f is None:
             f = pq.ParquetFile(layout.postings_path(self.index_dir, part))
             stats = []
+            offsets = [0]
             md = f.metadata
             ci = f.schema_arrow.get_field_index("term")
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(ci).statistics
                 stats.append((s.min, s.max))
+                offsets.append(offsets[-1] + md.row_group(rg).num_rows)
             # stats before files: concurrent leaf fetches (thread pool in
             # _collect_leaves) key off _files and then read _rg_stats
             self._rg_stats[part] = stats
+            self._rg_offsets[part] = offsets
             self._files[part] = f
         groups = [
             rg
             for rg, (lo, hi) in enumerate(self._rg_stats[part])
             if lo <= term <= hi
         ]
+        empty_idx = np.empty(0, dtype=np.int64)
         if not groups:
-            return _EMPTY_TBL
-        t = f.read_row_groups(groups, use_threads=False)
-        t = t.filter(pc.equal(t["term"], term))
-        return self._resolve_refs_targeted(f, t)
-
-    @staticmethod
-    def _resolve_refs_targeted(f: pq.ParquetFile, t: pa.Table) -> pa.Table:
-        """Payload-dedup resolution for a PARTIAL read: fetch each
-        referenced canonical row's bytes by reading just its row group
-        (row groups are uniform-sized except the last, so global row
-        index -> (group, offset) is exact). Canonical rows never chain
-        (first-occurrence rule at build time)."""
-        if "payload_row" not in t.column_names:
-            return t
-        pr = t["payload_row"].to_numpy()
-        need = np.flatnonzero(pr >= 0)
-        if len(need):
-            rg0 = f.metadata.row_group(0).num_rows
-            docs = t["docs"].to_pylist()
-            tfs = t["tfs"].to_pylist()
-            dls = t["dls"].to_pylist()
-            group_cache: dict[int, pa.Table] = {}
-            for i in need.tolist():
-                idx = int(pr[i])
-                g = idx // rg0
-                gt = group_cache.get(g)
-                if gt is None:
-                    gt = f.read_row_groups(
-                        [g], columns=["docs", "tfs", "dls"], use_threads=False
-                    )
-                    group_cache[g] = gt
-                r = idx - g * rg0
-                docs[i] = gt["docs"][r].as_py()
-                tfs[i] = gt["tfs"][r].as_py()
-                dls[i] = gt["dls"][r].as_py()
-            for name, vals in (("docs", docs), ("tfs", tfs), ("dls", dls)):
-                t = t.set_column(
-                    t.schema.get_field_index(name),
-                    name,
-                    pa.array(vals, type=pa.binary()),
-                )
-        return t.drop_columns(["payload_row"])
+            return _EMPTY_TBL, empty_idx, None
+        has_refs = "payload_row" in f.schema_arrow.names
+        cols = ["term", "block_id", "doc_count", "sum_tf", "max_tfn"]
+        if has_refs:
+            cols.append("payload_row")
+        t = f.read_row_groups(groups, columns=cols, use_threads=False)
+        keep = pc.equal(t["term"], term)
+        # global row index of each kept row: per selected group, the
+        # group's start offset + local position
+        offsets = self._rg_offsets[part]
+        base = np.concatenate(
+            [
+                np.arange(offsets[g], offsets[g + 1], dtype=np.int64)
+                for g in groups
+            ]
+        )
+        mask = keep.to_numpy(zero_copy_only=False)
+        t = t.filter(keep)
+        global_idx = base[mask]
+        payload_rows = t["payload_row"].to_numpy() if has_refs else None
+        if has_refs:
+            t = t.drop_columns(["payload_row"])
+        return t, global_idx, payload_rows

@@ -56,6 +56,34 @@ def main():
     mh = minhash_lsh_pairs(docs, tau=0.2).materialize()
     print(mh.stats())
 
+    print("\n=== routed exact top-k terms (partial -> part groupby) ===")
+    from oscar_ray.stages.sketches import topk_frequent_terms
+
+    topk_frequent_terms(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"]),
+        k=20,
+    )
+    # topk take_all()s internally; re-run the visible prefix for stats
+    from oscar_ray.pipelines.facets import _FacetCounter, matched_id_plan
+    from oscar_ray.pipelines.search import documents_index_dir
+
+    print("\n=== streamed facet membership (plan tasks + range counters) ===")
+    idx = documents_index_dir(sf_dir)
+    plan = matched_id_plan(idx, "merge", num_tasks=4)
+    fc = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        .map_batches(
+            _FacetCounter,
+            fn_constructor_kwargs={"plan": plan, "facet_cols": ["lang"]},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .materialize()
+    )
+    print(fc.stats())
+
     print("\n=== asof join (hash route + per-partition merge) ===")
     from oscar_ray.pipelines.relational import events_asof_join
 
