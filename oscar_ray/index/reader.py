@@ -250,8 +250,10 @@ class IndexReader:
 
     def _payload_row(self, part: int, idx: int) -> tuple[bytes, bytes, bytes]:
         """Payload bytes of global posting row ``idx`` via a cached
-        row-group read (groups are uniform-sized except the last)."""
-        f = self._files[part]  # opened by _read_term_meta
+        row-group read (groups are uniform-sized except the last).
+        Reopens the handle if drop_caches() evicted it after this
+        TermPostings was fetched (stale-closure safety)."""
+        f = self._ensure_part_open(part)
         rg0 = f.metadata.row_group(0).num_rows
         g = idx // rg0
         key = (part, g)
@@ -342,14 +344,8 @@ class IndexReader:
                             pass
         return n
 
-    def _read_term_meta(self, part: int, term: str):
-        """Read one term's posting METADATA rows (payload columns are
-        NOT read — they hydrate lazily via :meth:`_payload_row`):
-        open-once file handle + manual row-group pruning on the sorted
-        `term` column's min/max statistics (the mmap-once ST6 analog).
-
-        -> (meta_table, global_row_indices int64, payload_rows | None)
-        """
+    def _ensure_part_open(self, part: int) -> pq.ParquetFile:
+        """Open-once partition handle + row-group stats/offsets."""
         f = self._files.get(part)
         if f is None:
             f = pq.ParquetFile(layout.postings_path(self.index_dir, part))
@@ -366,6 +362,17 @@ class IndexReader:
             self._rg_stats[part] = stats
             self._rg_offsets[part] = offsets
             self._files[part] = f
+        return f
+
+    def _read_term_meta(self, part: int, term: str):
+        """Read one term's posting METADATA rows (payload columns are
+        NOT read — they hydrate lazily via :meth:`_payload_row`):
+        open-once file handle + manual row-group pruning on the sorted
+        `term` column's min/max statistics (the mmap-once ST6 analog).
+
+        -> (meta_table, global_row_indices int64, payload_rows | None)
+        """
+        f = self._ensure_part_open(part)
         groups = [
             rg
             for rg, (lo, hi) in enumerate(self._rg_stats[part])

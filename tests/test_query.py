@@ -382,6 +382,13 @@ def test_drop_caches_cold_equals_warm(built_index_t1):
     cold_ids, cold_sc = eng.search("waaa + wbaa", k=20)
     np.testing.assert_array_equal(warm_ids, cold_ids)
     np.testing.assert_allclose(warm_sc, cold_sc)
+    # stale-closure safety: a TermPostings fetched BEFORE drop_caches
+    # must still lazily hydrate payload bytes afterwards (the fetcher
+    # reopens the evicted file handle)
+    tp = reader.postings("waaa")
+    reader.drop_caches()
+    ids, _tf, _dl = tp.decode_block(0)
+    assert len(ids) > 0
 
 
 class TestFieldSearchFuzz:
