@@ -294,6 +294,9 @@ class TokenizeShardWorker:
             "tokens": int(doclen_per_row.sum()),
             "pairs": int(len(uniq)),
             "spilled_bytes": int(spilled_bytes),
+            # docid-SPACE bound (consumers like the facet match plan must
+            # partition by docid range, which tombstones never shrink)
+            "max_docid": int(docid.max()) if len(tbl) else -1,
             "secs": round(time.perf_counter() - t0, 3),
         }
         layout.write_marker(layout.marker_path(self.out_dir, "shardA", shard_id), m)
@@ -630,7 +633,8 @@ def build_index(
     t_phase = time.perf_counter()
     total_docs = sum(m["docs"] for m in stage_a_metrics)
     total_dl = sum(m["tokens"] for m in stage_a_metrics)
-    tombstones, stats = _dedup_and_stats(out_dir, cfg, total_docs, total_dl)
+    max_docid = max((m.get("max_docid", -1) for m in stage_a_metrics), default=-1)
+    tombstones, stats = _dedup_and_stats(out_dir, cfg, total_docs, total_dl, max_docid)
     phase_walls["dedup_stats"] = round(time.perf_counter() - t_phase, 3)
     t_phase = time.perf_counter()
 
@@ -1048,7 +1052,13 @@ def _dedup_part_task(out_dir: str, url_part: int) -> tuple:
     return df["docid"].to_numpy()[mask], int(df["doclen"].to_numpy()[mask].sum())
 
 
-def _dedup_and_stats(out_dir: str, cfg: IndexBuildConfig, total_docs: int, total_dl: int):
+def _dedup_and_stats(
+    out_dir: str,
+    cfg: IndexBuildConfig,
+    total_docs: int,
+    total_dl: int,
+    max_docid: int = -1,
+):
     """Exact URL dedup; corpus totals are passed in from stage-A markers.
 
     The `removeDuplicates` analog (``OsmKeyValueObjectStore.cpp:1110-1116``).
@@ -1064,6 +1074,10 @@ def _dedup_and_stats(out_dir: str, cfg: IndexBuildConfig, total_docs: int, total
         return {
             "n_docs": n_docs,
             "total_docs": total_docs,
+            # the docid SPACE bound (>= n_docs - 1: tombstones leave
+            # holes, id_column docids may be sparse) — range partitioners
+            # must use this, never the live-doc count
+            "max_docid": max_docid,
             "n_duplicates": n_tomb,
             "sum_doclen": sum_dl,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,

@@ -98,7 +98,11 @@ def check_index(index_dir: str, sample_blocks: int | None = None) -> dict:
                     raise IndexCheckError(f"C8: forward payload ref {i}->{j}")
                 if int(pr[j]) >= 0:
                     raise IndexCheckError(f"C8: chained payload ref {i}->{j}")
-                if len(t["docs"][i].as_py()) or len(t["tfs"][i].as_py()):
+                if (
+                    len(t["docs"][i].as_py())
+                    or len(t["tfs"][i].as_py())
+                    or len(t["dls"][i].as_py())
+                ):
                     raise IndexCheckError(f"C8: ref row {i} carries payload bytes")
             t = resolve_payload_refs(t)
         dict_tbl = pq.read_table(layout.dict_path(index_dir, part))

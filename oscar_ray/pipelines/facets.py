@@ -105,8 +105,15 @@ def matched_id_plan(
     with open(layout.manifest_path(index_dir)) as f:
         manifest = json.load(f)
     bits = manifest["config"]["block_span_bits"]
-    n_docs = manifest["stats"]["n_docs"]
-    n_blocks = max((max(n_docs - 1, 0) >> bits) + 1, 1)
+    stats = manifest["stats"]
+    # partition the DOCID SPACE, never the live-doc count: URL-dedup
+    # tombstones leave holes (docids run to total_docs-1 > n_docs-1) and
+    # id_column docids may be sparse — blocks past n_docs would otherwise
+    # silently fall outside every task's range
+    max_docid = stats.get("max_docid", -1)
+    if max_docid < 0:
+        max_docid = max(stats.get("total_docs", stats["n_docs"]) - 1, 0)
+    n_blocks = max((max_docid >> bits) + 1, 1)
     num_tasks = max(1, min(num_tasks, n_blocks))
     bounds = np.linspace(0, n_blocks, num_tasks + 1).astype(np.int64)
     plan = []
@@ -144,12 +151,12 @@ class _FacetCounter:
         self._cache: dict[int, np.ndarray] = {}
 
     def _range_ids(self, i: int) -> np.ndarray:
-        hit = self._cache.get(i)
+        hit = self._cache.pop(i, None)  # pop+reinsert = LRU recency touch
         if hit is None:
             if len(self._cache) >= self.max_cached:
                 self._cache.pop(next(iter(self._cache)))
             hit = ray.get(self.plan[i][2])
-            self._cache[i] = hit
+        self._cache[i] = hit
         return hit
 
     def _membership(self, ids: np.ndarray) -> np.ndarray:

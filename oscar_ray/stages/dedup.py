@@ -503,12 +503,12 @@ class RoutedShingles(ShingleStage):
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _chunk(self, i: int):
-        hit = self._cache.get(i)
+        hit = self._cache.pop(i, None)  # pop+reinsert = LRU recency touch
         if hit is None:
             if len(self._cache) >= self.max_cached:
                 self._cache.pop(next(iter(self._cache)))
             hit = ray.get(self.plan[i][2])
-            self._cache[i] = hit
+        self._cache[i] = hit
         return hit
 
     def _overlapping(self, lo: int, hi: int) -> range:
@@ -524,9 +524,12 @@ class RoutedShingles(ShingleStage):
                 "pair_part", empty_pp
             )
         overlap = self._overlapping(int(ids.min()), int(ids.max()))
+        # fetch each overlapping chunk ONCE for the whole call (local
+        # pins survive even when overlap exceeds the cross-call cache cap)
+        chunks = {i: self._chunk(i) for i in overlap}
         keep = np.zeros(len(ids), dtype=bool)
         for i in overlap:
-            pdoc, _ = self._chunk(i)
+            pdoc, _ = chunks[i]
             if not len(pdoc):
                 continue
             pos = np.minimum(np.searchsorted(pdoc, ids), len(pdoc) - 1)
@@ -537,7 +540,7 @@ class RoutedShingles(ShingleStage):
             return sh.append_column("pair_part", empty_pp)
         parts_out, rows_out = [], []
         for i in overlap:
-            pdoc, ppp = self._chunk(i)
+            pdoc, ppp = chunks[i]
             if not len(pdoc):
                 continue
             lo = np.searchsorted(pdoc, doc, side="left")

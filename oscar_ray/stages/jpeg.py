@@ -144,6 +144,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop drained history: an unbounded Python-int accumulator makes
+        # every later shift O(total bits) — i.e. quadratic encode
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -361,6 +364,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # spec B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

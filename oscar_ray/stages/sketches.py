@@ -46,8 +46,14 @@ def _tree_reduce_tables(ds: ray.data.Dataset, merge_fn, fanin: int = 8) -> pa.Ta
     driver holds only refs + the final merged table — never a linear
     scan over per-block rows. Returns None for an empty dataset.
     """
+    # a fanin group of only empty tables yields None (NOT merge_fn([]),
+    # whose zero-length sketch row would poison the next merge level)
     merge_task = ray.remote(num_cpus=1)(
-        lambda *tables: merge_fn([t for t in tables if t is not None and t.num_rows])
+        lambda *tables: (
+            merge_fn(live)
+            if (live := [t for t in tables if t is not None and t.num_rows])
+            else None
+        )
     )
     refs = list(ds.to_arrow_refs())
     if not refs:

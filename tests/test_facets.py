@@ -100,6 +100,50 @@ def test_shannon_topkv_ranking_and_exclusions(ray_session, matched, docs_df):
     assert not ((got_kv["facet"] == kv[0]) & (got_kv["value"] == kv[1])).any()
 
 
+def test_matched_id_plan_covers_tombstone_holes(ray_session, tmp_path):
+    """Docids run over the docid SPACE (total_docs), not the live-doc
+    count: with URL dedup tombstoning 25% of docs, live docids reach
+    beyond n_docs-1 and the plan must still cover them (regression:
+    blocks past n_docs were assigned to no task and silently dropped)."""
+    import os
+
+    import pyarrow as pa
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+    from oscar_ray.pipelines.facets import matched_id_plan
+    from oscar_ray.query.engine import QueryEngine
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n = 64
+    # every 4th row duplicates row 0's url+text -> tombstoned, leaving
+    # docid holes; live docids still span [0, 64)
+    urls = [("u0" if i % 4 == 3 and i > 0 else f"u{i}") for i in range(n)]
+    texts = [("common zero" if u == "u0" else f"common word{i}") for i, u in enumerate(urls)]
+    pq.write_table(
+        pa.table({"url": urls, "text": texts}), os.path.join(src, "p.parquet")
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        src,
+        idx,
+        IndexBuildConfig(
+            num_partitions=2, block_span_bits=4, lang_column=None, dedup_urls=True
+        ),
+    )
+    eng = QueryEngine(idx)
+    want_ids, _ = eng.search("common", k=1 << 30)
+    want = np.sort(want_ids.astype(np.int64))
+    assert want.max() > len(want)  # holes exist: ids exceed live count
+    import ray
+
+    plan = matched_id_plan(idx, "common", num_tasks=4)
+    got = np.sort(
+        np.concatenate([ray.get(r) for _lo, _hi, r in plan] or [np.empty(0, np.int64)])
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_facet_counter_fetches_only_overlapping_ranges(ray_session, tmp_path):
     """A counter batch confined to one docid range must not fetch refs
     for other ranges (the no-corpus-sized-actor-state property). Built
