@@ -29,6 +29,7 @@ BM25_NOT = ("scan", "hash")
 BM25_PREFIX = "s"  # expands to scan/slow/small/sort/spark/... (qt=prefix analog)
 SUBSTR_TOKEN = "erg"  # *erg* — matches merge/merges/... via the suffix index
 MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
+HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
@@ -135,6 +136,21 @@ def _search_shannon_facets(sf_dir: str):
     from oscar_ray.pipelines.facets import search_shannon_facets
 
     return search_shannon_facets(sf_dir, BM25_AND, facet_cols=("lang", "source"))
+
+
+def _search_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-1000 fused with embedding-
+    cosine top-1000 by reciprocal-rank fusion (c=60), top-10."""
+    from oscar_ray.pipelines.search import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        sf_dir,
+        BM25_TERM,
+        _queries_embeddings(sf_dir)[0],
+        k=10,
+        depth=HYBRID_DEPTH,
+        rrf_c=RRF_C,
+    )
 
 
 def _search_shannon_topkv(sf_dir: str):
@@ -658,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": _search_facets,
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
+        "search_hybrid_rrf": _search_hybrid_rrf,
         "search_hydrate": _search_hydrate,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
@@ -917,6 +934,39 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT round(sum(-(n / t) * ln(n / t)), 6)
                     FROM (SELECT n, (SELECT sum(n) FROM c2) AS t FROM c2))
             ORDER BY facet
+        """,
+        "search_hybrid_rrf": _BM25_BASE
+        + f""",
+            lex AS (
+                SELECT doc_id AS id, rk FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                    FROM scores WHERE term = '{BM25_TERM}'
+                ) WHERE rk <= {HYBRID_DEPTH}
+            ),
+            vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            vec AS (
+                SELECT vec_id AS id, rk FROM (
+                    SELECT e.vec_id,
+                           row_number() OVER (
+                               ORDER BY list_cosine_similarity(
+                                   vq.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                               e.vec_id) AS rk
+                    FROM embeddings e CROSS JOIN vq
+                ) WHERE rk <= {HYBRID_DEPTH}
+            ),
+            fused AS (
+                SELECT coalesce(lex.id, vec.id) AS item_id,
+                       -- pinned op order: lexical term + vector term
+                       coalesce(1.0 / ({RRF_C} + lex.rk), 0)
+                       + coalesce(1.0 / ({RRF_C} + vec.rk), 0) AS rrf,
+                       coalesce(lex.rk, 0)::BIGINT AS lex_rank,
+                       coalesce(vec.rk, 0)::BIGINT AS vec_rank
+                FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+            )
+            SELECT item_id, floor(rrf * 1e6)::BIGINT AS rrf_micro,
+                   lex_rank, vec_rank
+            FROM fused ORDER BY rrf DESC, item_id LIMIT 10
         """,
         "search_shannon_topkv": f"""
             WITH {_TOK_CTE},

@@ -118,6 +118,71 @@ def bm25_scores_table(
     return tbl if k is not None else tbl.sort_by("doc_id")
 
 
+def hybrid_search_rrf(
+    sf_dir: str,
+    query: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    depth: int = 1000,
+    rrf_c: int = 60,
+) -> pa.Table:
+    """Hybrid retrieval: BM25 top-``depth`` fused with embedding-cosine
+    top-``depth`` by Reciprocal Rank Fusion -> (item_id, rrf_micro,
+    lex_rank, vec_rank), top-k by (rrf desc, item_id asc).
+
+    rrf(id) = 1/(c + lex_rank) + 1/(c + vec_rank), each term present
+    only when the id appears in that list (absent rank reported as 0).
+    Both candidate lists are depth-capped — the standard fusion shape,
+    and what keeps the driver's merge state bounded at any corpus size
+    (the two engines each produce their top-depth distributed; fusion is
+    a 2*depth-row rank join). rrf_micro = floor(rrf * 1e6): the addition
+    order (lexical term first) is pinned, so the DuckDB oracle computes
+    identical float64 bits.
+    """
+    idx = documents_index_dir(sf_dir)
+    lex_ids, _ = QueryEngine(idx).search(query, k=depth)
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import knn_brute_force
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    # concurrency=2: a wider actor pool starves the upstream read at
+    # small num_cpus (documented Ray Data pitfall); the scorer is one
+    # matmul per batch, never the bottleneck here
+    ann = knn_brute_force(
+        ray.data.read_parquet(emb),
+        np.asarray(query_vec, dtype=np.float64)[None, :],
+        k=depth,
+        concurrency=2,
+    )
+    vec_ids = ann["vec_id"].to_numpy()
+    vec_ranks = ann["rank"].to_numpy()
+
+    all_ids = np.union1d(lex_ids.astype(np.int64), vec_ids.astype(np.int64))
+    lex_r = np.zeros(len(all_ids), dtype=np.int64)
+    pos = np.searchsorted(all_ids, lex_ids.astype(np.int64))
+    lex_r[pos] = np.arange(1, len(lex_ids) + 1)
+    vec_r = np.zeros(len(all_ids), dtype=np.int64)
+    pos = np.searchsorted(all_ids, vec_ids.astype(np.int64))
+    vec_r[pos] = vec_ranks
+    # pinned op order: lexical contribution + vector contribution
+    rrf = np.where(lex_r > 0, 1.0 / (rrf_c + lex_r), 0.0) + np.where(
+        vec_r > 0, 1.0 / (rrf_c + vec_r), 0.0
+    )
+    order = np.lexsort((all_ids, -rrf))[:k]
+    return pa.table(
+        {
+            "item_id": pa.array(all_ids[order], type=pa.int64()),
+            "rrf_micro": pa.array(
+                np.floor(rrf[order] * 1e6).astype(np.int64), type=pa.int64()
+            ),
+            "lex_rank": pa.array(lex_r[order], type=pa.int64()),
+            "vec_rank": pa.array(vec_r[order], type=pa.int64()),
+        }
+    )
+
+
 def corpus_stats_table(sf_dir: str) -> pa.Table:
     """One row: (n_docs, sum_doclen) — docs with >=1 token excluded? No:
     every ingested doc counts (empty docs keep doclen 0)."""

@@ -265,3 +265,32 @@ def test_docmeta_lookup(ray_session):
     t = docmeta_lookup(idx, np.array([3, 7, 11], dtype=np.int64))
     assert t["docid"].to_pylist() == [3, 7, 11]
     assert "doclen" in t.column_names
+
+
+def test_hybrid_rrf_fusion_semantics(ray_session):
+    """RRF fusion: rrf = 1/(c+lex_rank) + 1/(c+vec_rank) with absent
+    ranks contributing 0; depth caps both lists; output sorted by
+    (rrf desc, item_id asc)."""
+    import pyarrow.parquet as pq
+
+    from oscar_ray.pipelines.search import documents_index_dir, hybrid_search_rrf
+    from oscar_ray.query.engine import QueryEngine
+
+    qv = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet").sort_by("vec_id")["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    got = hybrid_search_rrf(SF, "merge", qv, k=10, depth=50, rrf_c=60).to_pandas()
+    assert len(got) == 10
+    # recompute rrf from the reported ranks and check micro + ordering
+    lex, vec = got["lex_rank"].to_numpy(), got["vec_rank"].to_numpy()
+    rrf = np.where(lex > 0, 1.0 / (60 + lex), 0.0) + np.where(vec > 0, 1.0 / (60 + vec), 0.0)
+    assert (np.floor(rrf * 1e6).astype(np.int64) == got["rrf_micro"].to_numpy()).all()
+    assert (np.diff(rrf) <= 1e-18).all()  # non-increasing
+    assert (lex <= 50).all() and (vec <= 50).all()  # depth cap
+    # lexical ranks agree with the engine's own ordering
+    idx = documents_index_dir(SF)
+    ids, _ = QueryEngine(idx).search("merge", k=50)
+    lex_map = {int(d): r + 1 for r, d in enumerate(ids)}
+    for iid, lr in zip(got["item_id"], lex, strict=True):
+        assert lex_map.get(int(iid), 0) == int(lr)
