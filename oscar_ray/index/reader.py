@@ -122,6 +122,47 @@ _EMPTY = TermPostings(
 )
 
 
+class _PartDict:
+    """Sorted-array term dictionary for one partition.
+
+    The scale-shape replacement for a Python dict (SCALE.md query-serving
+    note): three parallel arrays straight off the parquet columns — no
+    per-term Python objects hashed at load, ~3x less heap at 10^6-term
+    partitions, O(log n) lookup via searchsorted (dict files are written
+    sorted by term). Supports the mapping surface the reader uses:
+    ``get``, ``in``, iteration (ascending), ``len``.
+    """
+
+    __slots__ = ("terms", "df", "cf")
+
+    def __init__(self, terms: np.ndarray, df: np.ndarray, cf: np.ndarray):
+        self.terms = terms  # object dtype, ascending
+        self.df = df
+        self.cf = cf
+
+    def get(self, term: str, default=(0, 0)):
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return (int(self.df[i]), int(self.cf[i]))
+        return default
+
+    def __contains__(self, term: str) -> bool:
+        return self.get(term, None) is not None
+
+    def __iter__(self):
+        return iter(self.terms.tolist())
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+    def keys(self):
+        return self.terms
+
+    def items(self):
+        for i, t in enumerate(self.terms.tolist()):
+            yield t, (int(self.df[i]), int(self.cf[i]))
+
+
 class IndexReader:
     """Open-once, read-many access to one index directory."""
 
@@ -148,19 +189,22 @@ class IndexReader:
 
     # -- dictionary ---------------------------------------------------------
 
-    def _part_dict(self, part: int) -> dict[str, tuple[int, int]]:
+    def _part_dict(self, part: int) -> _PartDict:
         if part not in self._dicts:
             path = layout.dict_path(self.index_dir, part)
             if os.path.exists(path):
                 t = pq.read_table(path)
-                self._dicts[part] = dict(
-                    zip(
-                        t["term"].to_pylist(),
-                        zip(t["df"].to_pylist(), t["cf"].to_pylist()),
-                    )
+                self._dicts[part] = _PartDict(
+                    np.asarray(t["term"].to_pylist(), dtype=object),
+                    t["df"].to_numpy(),
+                    t["cf"].to_numpy(),
                 )
             else:
-                self._dicts[part] = {}
+                self._dicts[part] = _PartDict(
+                    np.empty(0, dtype=object),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                )
         return self._dicts[part]
 
     def term_stats(self, term: str) -> tuple[int, int]:
@@ -191,14 +235,8 @@ class IndexReader:
         return out[:limit] if limit is not None else out
 
     def _part_sorted_terms(self, part: int) -> np.ndarray:
-        if not hasattr(self, "_sorted_terms"):
-            self._sorted_terms: dict[int, np.ndarray] = {}
-        if part not in self._sorted_terms:
-            # dict files are written sorted by term
-            self._sorted_terms[part] = np.array(
-                list(self._part_dict(part).keys()), dtype=object
-            )
-        return self._sorted_terms[part]
+        # the _PartDict's term array IS the sorted array — no copy
+        return self._part_dict(part).terms
 
     def vocabulary_size(self) -> int:
         return sum(
@@ -323,8 +361,6 @@ class IndexReader:
         self._rg_stats.clear()
         self._rg_offsets.clear()
         self._payload_groups.clear()
-        if hasattr(self, "_sorted_terms"):
-            self._sorted_terms.clear()
         self._cache_pinned = False
         n = 0
         if page_cache and hasattr(os, "posix_fadvise"):
