@@ -236,10 +236,12 @@ def merge_indexes(in_dirs: list[str], out_dir: str) -> dict:
     avgdl = sum_dl / n_docs if n_docs else 0.0
     stats = {
         "n_docs": n_docs, "total_docs": total_docs,
-        # docid space of the merged index: last input's (shifted) bound
+        # docid space of the merged index: exact per-input bounds were
+        # already scanned from docmeta above (spans[i] = max docid + 1) —
+        # never fall back to total_docs, which under-reports sparse
+        # id_column spaces and would silently shrink facet match plans
         "max_docid": max(
-            off + m["stats"].get("max_docid", m["stats"]["total_docs"] - 1)
-            for off, m in zip(offsets, manifests)
+            off + sp - 1 for off, sp in zip(offsets, spans)
         ),
         "n_duplicates": sum(m["stats"]["n_duplicates"] for m in manifests),
         "sum_doclen": sum_dl, "avgdl": avgdl,

@@ -418,7 +418,9 @@ class IndexReader:
         if not groups:
             return _EMPTY_TBL, empty_idx, None
         has_refs = "payload_row" in f.schema_arrow.names
-        cols = ["term", "block_id", "doc_count", "sum_tf", "max_tfn"]
+        # no sum_tf: the query path never reads it (cf comes from the
+        # dictionary) — skip the column decode in the hot serving path
+        cols = ["term", "block_id", "doc_count", "max_tfn"]
         if has_refs:
             cols.append("payload_row")
         t = f.read_row_groups(groups, columns=cols, use_threads=False)

@@ -523,45 +523,61 @@ class RoutedShingles(ShingleStage):
             return super().__call__(batch.slice(0, 0)).append_column(
                 "pair_part", empty_pp
             )
-        overlap = self._overlapping(int(ids.min()), int(ids.max()))
-        # fetch each overlapping chunk ONCE for the whole call (local
-        # pins survive even when overlap exceeds the cross-call cache cap)
-        chunks = {i: self._chunk(i) for i in overlap}
-        keep = np.zeros(len(ids), dtype=bool)
-        for i in overlap:
-            pdoc, _ = chunks[i]
-            if not len(pdoc):
+        overlap = list(self._overlapping(int(ids.min()), int(ids.max())))
+        # process chunks in windows of <= max_cached: each chunk is
+        # fetched ONCE per call AND actor residency stays bounded at the
+        # cache cap even for batches spanning the whole id space (plan
+        # chunks have disjoint doc ranges, so per-window shingle +
+        # replicate unions to exactly the full result — a boundary doc
+        # split across two chunks contributes its disjoint (doc, pp)
+        # rows from each window, never duplicates)
+        out_tables = []
+        for w in range(0, len(overlap), self.max_cached):
+            window = overlap[w : w + self.max_cached]
+            chunks = {i: self._chunk(i) for i in window}
+            keep = np.zeros(len(ids), dtype=bool)
+            for i in window:
+                pdoc, _ = chunks[i]
+                if not len(pdoc):
+                    continue
+                pos = np.minimum(np.searchsorted(pdoc, ids), len(pdoc) - 1)
+                keep |= pdoc[pos] == ids
+            if not keep.any():
                 continue
-            pos = np.minimum(np.searchsorted(pdoc, ids), len(pdoc) - 1)
-            keep |= pdoc[pos] == ids
-        sh = super().__call__(batch.filter(pa.array(keep)))
-        doc = sh[self.id_col].to_numpy()
-        if not len(doc):
-            return sh.append_column("pair_part", empty_pp)
-        parts_out, rows_out = [], []
-        for i in overlap:
-            pdoc, ppp = chunks[i]
-            if not len(pdoc):
+            sh = super().__call__(batch.filter(pa.array(keep)))
+            doc = sh[self.id_col].to_numpy()
+            if not len(doc):
                 continue
-            lo = np.searchsorted(pdoc, doc, side="left")
-            hi = np.searchsorted(pdoc, doc, side="right")
-            reps = hi - lo
-            total = int(reps.sum())
-            if not total:
-                continue
-            # flattened plan indices for each row's [lo, hi) range
-            base = np.repeat(lo, reps)
-            within = np.arange(total) - np.repeat(
-                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            parts_out, rows_out = [], []
+            for i in window:
+                pdoc, ppp = chunks[i]
+                if not len(pdoc):
+                    continue
+                lo = np.searchsorted(pdoc, doc, side="left")
+                hi = np.searchsorted(pdoc, doc, side="right")
+                reps = hi - lo
+                total = int(reps.sum())
+                if not total:
+                    continue
+                # flattened plan indices for each row's [lo, hi) range
+                base = np.repeat(lo, reps)
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+                )
+                parts_out.append(ppp[base + within])
+                rows_out.append(np.repeat(np.arange(len(doc)), reps))
+            if parts_out:
+                rep_tbl = sh.take(pa.array(np.concatenate(rows_out)))
+                out_tables.append(
+                    rep_tbl.append_column(
+                        "pair_part", pa.array(np.concatenate(parts_out))
+                    )
+                )
+        if not out_tables:
+            return super().__call__(batch.slice(0, 0)).append_column(
+                "pair_part", empty_pp
             )
-            parts_out.append(ppp[base + within])
-            rows_out.append(np.repeat(np.arange(len(doc)), reps))
-        if not parts_out:
-            return sh.slice(0, 0).append_column("pair_part", empty_pp)
-        rep_tbl = sh.take(pa.array(np.concatenate(rows_out)))
-        return rep_tbl.append_column(
-            "pair_part", pa.array(np.concatenate(parts_out))
-        )
+        return pa.concat_tables(out_tables)
 
 
 def _verify_pairs_exact(

@@ -370,6 +370,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

@@ -239,7 +239,13 @@ class ImageFeatureStage:
         if self.decoder == "png":
             from oscar_ray.stages.png import png_decode
 
-            img = png_decode(payload)[:, :, :3]  # drop alpha for features
+            img = png_decode(payload)
+            # drop the alpha plane for features: RGBA -> RGB, gray+alpha
+            # -> gray (alpha is channel 1 of a 2-channel image, not color)
+            if img.shape[2] == 4:
+                img = img[:, :, :3]
+            elif img.shape[2] == 2:
+                img = img[:, :, :1]
             return image_features(img, self.dim), img.shape[1], img.shape[0]
         if self.decoder == "ppm":
             img = decode_ppm(payload)

@@ -131,7 +131,9 @@ def png_decode(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + tag + body + crc
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ValueError("truncated IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -150,7 +152,11 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ctype not in _CHANNELS:
         raise ValueError(f"bad color type {ctype}")
     nc = _CHANNELS[ctype]
-    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # documented contract: malformed -> ValueError
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    data = np.frombuffer(inflated, dtype=np.uint8)
     stride = 1 + w * nc
     if len(data) != stride * h:
         raise ValueError("scanline data size mismatch")
