@@ -140,18 +140,32 @@ def hybrid_search_rrf(
     identical float64 bits.
     """
     idx = documents_index_dir(sf_dir)
-    lex_ids, _ = QueryEngine(idx).search(query, k=depth)
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    return hybrid_rrf_from_index(idx, emb, query, query_vec, k, depth, rrf_c)
+
+
+def hybrid_rrf_from_index(
+    index_dir: str,
+    embeddings_path: str,
+    query: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    depth: int = 1000,
+    rrf_c: int = 60,
+) -> pa.Table:
+    """RRF fusion against an already-built index + an embeddings parquet
+    (the CLI-facing core of :func:`hybrid_search_rrf`)."""
+    lex_ids, _ = QueryEngine(index_dir).search(query, k=depth)
 
     import ray.data
 
     from oscar_ray.stages.similarity import knn_brute_force
 
-    emb = os.path.join(sf_dir, "embeddings.parquet")
     # concurrency=2: a wider actor pool starves the upstream read at
     # small num_cpus (documented Ray Data pitfall); the scorer is one
     # matmul per batch, never the bottleneck here
     ann = knn_brute_force(
-        ray.data.read_parquet(emb),
+        ray.data.read_parquet(embeddings_path),
         np.asarray(query_vec, dtype=np.float64)[None, :],
         k=depth,
         concurrency=2,

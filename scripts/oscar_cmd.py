@@ -80,6 +80,15 @@ def main():
         "--exclude-kv", action="append", default=[],
         help="key:value pair to exclude (repeatable)",
     )
+    hy = sub.add_parser(
+        "hybrid", help="BM25 x embedding-cosine reciprocal-rank fusion"
+    )
+    hy.add_argument("-q", "--query", required=True)
+    hy.add_argument("--embeddings", required=True, help="embeddings parquet path")
+    hy.add_argument("--vec-id", type=int, default=0, help="query vector's vec_id")
+    hy.add_argument("-k", type=int, default=10)
+    hy.add_argument("--depth", type=int, default=1000)
+    hy.add_argument("--rrf-c", type=int, default=60)
     b = sub.add_parser("batch")
     b.add_argument("-f", "--file", required=True, help="one query per line")
     b.add_argument("-k", type=int, default=10)
@@ -182,6 +191,40 @@ def main():
         )
         for r in t.to_pylist():
             print(f"{r['facet']}\t{r['value']}\t{r['n']}")
+        return
+
+    if args.cmd == "hybrid":
+        import ray
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=8,
+                include_dashboard=False,
+                logging_level="ERROR",
+                runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+            )
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from oscar_ray.pipelines.search import hybrid_rrf_from_index
+
+        et = _pq.read_table(args.embeddings).sort_by("vec_id")
+        qv = _np.asarray(et["embedding"][args.vec_id].as_py(), dtype=_np.float64)
+        t = hybrid_rrf_from_index(
+            args.index, args.embeddings, args.query, qv,
+            k=args.k, depth=args.depth, rrf_c=args.rrf_c,
+        )
+        for r in t.to_pylist():
+            print(
+                f"{r['item_id']}\trrf={r['rrf_micro'] / 1e6:.6f}\t"
+                f"lex_rank={r['lex_rank']}\tvec_rank={r['vec_rank']}"
+            )
+        ray.shutdown()
         return
 
     if args.cmd == "shannon-kvstats":
