@@ -6,8 +6,8 @@ sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8-bit, 4:4:4 or
 grayscale, byte-stuffed entropy stream), and ``jpeg_decode`` is fully
 TABLE-DRIVEN — Huffman and quant tables are read from the file's own
 DHT/DQT segments, so it decodes any compliant baseline JPEG within its
-declared envelope (8-bit, no chroma subsampling, no progressive, no
-restart markers), not just its own output.
+declared envelope (8-bit, no chroma subsampling, no progressive;
+DRI/RSTn restart intervals ARE supported), not just its own output.
 
 Design notes:
 - DCT/IDCT are exact orthonormal matrix products over all blocks at once
@@ -175,8 +175,13 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w, 1|3) -> baseline JFIF bytes (4:4:4 / grayscale)."""
+def jpeg_encode(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+    """uint8 (h, w, 1|3) -> baseline JFIF bytes (4:4:4 / grayscale).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    N MCUs (byte-aligned, DC predictors reset) — the spec's
+    error-resilience feature, round-trip-tested against the decoder.
+    """
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("expected (h, w, 1|3) uint8")
     h, w, nc = img.shape
@@ -218,6 +223,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     for tc_th, bits, values in ((0x00, _DC_BITS, _DC_VALUES), (0x10, _AC_BITS, _AC_VALUES)):
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_th)
         out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
@@ -229,6 +236,11 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     n_mcu = comp_coefs[0].shape[0]
     prev_dc = [0] * nc
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align (1-padding), emit cycling RSTn, reset predictors
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            prev_dc = [0] * nc
         for ci in range(nc):
             zz = comp_coefs[ci][m]
             diff = int(zz[0]) - prev_dc[ci]
@@ -303,6 +315,23 @@ class _BitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
+    def restart(self):
+        """Consume an RSTn marker at a restart boundary: discard the
+        bit-level remainder (1-padding) and any zero bytes _fill
+        injected after stopping at the marker, then step past it."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # only padding (and 0xFF00 stuffing) can sit between the last
+        # symbol and the marker — scan past it to the next real marker
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d) or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
     def peek16(self) -> int:
         if self.nbits < 16:
             self._fill()
@@ -349,9 +378,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w, 1|3).
 
     Envelope: 8-bit baseline sequential, 1 or 3 components, no chroma
-    subsampling (all sampling factors 1x1), no progressive scans, no
-    restart intervals — NotImplementedError outside it (disclosed gates,
-    like the other multimodal codecs).
+    subsampling (all sampling factors 1x1), no progressive scans;
+    DRI/RSTn restart intervals supported — NotImplementedError outside
+    the envelope (disclosed gates, like the other multimodal codecs).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -361,6 +390,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -405,8 +435,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [
@@ -428,6 +458,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
     prev_dc = [0] * nc
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            prev_dc = [0] * nc
         for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
             dct = htabs[(0, dc_id)]
             act = htabs[(1, ac_id)]

@@ -405,6 +405,20 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError):
             jpeg_decode(bytes(buf))
 
+    @pytest.mark.parametrize("ri", [1, 2, 7])
+    def test_restart_intervals_roundtrip(self, ri):
+        """DRI/RSTn: restart-coded streams decode identically to the
+        non-restart encoding (byte-aligned markers, DC predictor resets,
+        RSTn cycling past 8 intervals)."""
+        from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(ri)
+        img = rng.integers(0, 256, (24, 56, 3), dtype=np.uint8)  # 21 MCUs
+        base = jpeg_decode(jpeg_encode(img, 85))
+        buf = jpeg_encode(img, 85, restart_interval=ri)
+        assert b"\xff\xdd" in buf
+        np.testing.assert_array_equal(jpeg_decode(buf), base)
+
     def test_decoder_is_table_driven(self):
         """The decoder reads Huffman/quant tables from the FILE, not from
         module constants: decoding still works when the encoder's table
