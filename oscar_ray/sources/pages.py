@@ -67,26 +67,59 @@ def resolve_paths(paths: str | list[str]) -> list[str]:
     return out
 
 
-def list_fragments(paths: str | list[str]) -> list[Fragment]:
+#: file-count threshold above which the footer scan fans out as Ray
+#: tasks (when a Ray session exists). Below it, task round-trips cost
+#: more than the reads they save.
+DISTRIBUTED_SCAN_MIN_FILES = 64
+
+
+def _file_row_groups(path: str) -> list[int]:
+    """Row counts of one input file's fragments (footer-only for parquet)."""
+    if path.endswith(".parquet"):
+        meta = pq.ParquetFile(path).metadata
+        return [meta.row_group(rg).num_rows for rg in range(meta.num_row_groups)]
+    return [len(_read_whole_file(path, columns=None))]
+
+
+def _scan_files_task(paths: list[str]) -> list[list[int]]:
+    return [_file_row_groups(p) for p in paths]
+
+
+def list_fragments(
+    paths: str | list[str],
+    distributed_min_files: int = DISTRIBUTED_SCAN_MIN_FILES,
+) -> list[Fragment]:
     """Metadata scan: (path, row_group) -> cumulative docid base.
 
     Deterministic: files sorted by path, row groups in order. Parquet
     files cost a footer read per file; JSONL/CSV files (one fragment per
-    file, ``row_group == -1``) cost a row-count pass. At 100 TB this scan
-    can itself be distributed with a map over files.
+    file, ``row_group == -1``) cost a row-count pass.
+
+    At scale (>= ``distributed_min_files`` files and a live Ray session)
+    the per-file footer reads FAN OUT as Ray tasks over path chunks; the
+    driver receives only (path, [row counts]) descriptors and assigns the
+    cumulative docid bases in sorted-path order — identical output to the
+    serial scan by construction (chunking preserves the sorted order).
     """
+    import ray as _ray
+
+    files = resolve_paths(paths)
+    if len(files) >= distributed_min_files and _ray.is_initialized():
+        scan = _ray.remote(num_cpus=1)(_scan_files_task)
+        # ~4 chunks per CPU bounds both task count and per-task latency
+        n_chunks = min(len(files), 4 * int(_ray.cluster_resources().get("CPU", 8)))
+        step = (len(files) + n_chunks - 1) // n_chunks
+        chunks = [files[i : i + step] for i in range(0, len(files), step)]
+        per_file = [
+            rgs for out in _ray.get([scan.remote(c) for c in chunks]) for rgs in out
+        ]
+    else:
+        per_file = [_file_row_groups(p) for p in files]
     frags: list[Fragment] = []
     base = 0
-    for path in resolve_paths(paths):
-        if path.endswith(".parquet"):
-            meta = pq.ParquetFile(path).metadata
-            for rg in range(meta.num_row_groups):
-                n = meta.row_group(rg).num_rows
-                frags.append(Fragment(path, rg, base, n))
-                base += n
-        else:
-            n = len(_read_whole_file(path, columns=None))
-            frags.append(Fragment(path, -1, base, n))
+    for path, rgs in zip(files, per_file):
+        for rg, n in zip(range(len(rgs)) if path.endswith(".parquet") else [-1], rgs):
+            frags.append(Fragment(path, rg, base, n))
             base += n
     return frags
 

@@ -103,6 +103,46 @@ def _token_hashes(tokens_a) -> np.ndarray:
     return uhash[codes] if len(codes) else np.empty(0, dtype=np.uint64)
 
 
+def hash_strings_u64(arr) -> np.ndarray:
+    """Order-dependent 64-bit hash per string, FULLY vectorized (no
+    Python loop over values): splitmix64-mix each (byte, position) pair
+    straight out of the arrow string buffers, XOR-reduce per string
+    (position-dependent inputs make XOR order-sensitive), final-mix with
+    the length. Used for ROUTING (hash % P) where any well-mixed
+    deterministic hash works; content-identity hashes (minhash shingles,
+    fingerprints) keep the pinned blake2b path."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    lengths = np.diff(off)
+    out = np.full(len(arr), np.uint64(0x27D4EB2F165667C5), dtype=np.uint64)
+    total = int(off[-1] - off[0])
+    if total:
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        pos = np.arange(total, dtype=np.uint64) - np.repeat(
+            (off[:-1] - off[0]).astype(np.uint64), lengths
+        )
+        with np.errstate(over="ignore"):
+            mixed = _splitmix64(
+                data.astype(np.uint64) * np.uint64(0x100000001B3)
+                + pos * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(0x5EED)
+            )
+        nonempty = lengths > 0
+        # empty strings own zero bytes, so consecutive-nonempty reduceat
+        # segments are exactly each nonempty string's bytes
+        red = np.bitwise_xor.reduceat(mixed, (off[:-1] - off[0])[nonempty])
+        out[nonempty] = red
+    with np.errstate(over="ignore"):
+        return _splitmix64(out + lengths.astype(np.uint64))
+
+
 def _batch_shingles(parent: np.ndarray, th: np.ndarray, n: int):
     """Vectorized n-gram shingle hashes for a whole batch.
 

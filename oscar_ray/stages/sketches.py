@@ -200,20 +200,15 @@ def topk_frequent_terms(
             denc = denc.combine_chunks()
         codes = np.asarray(denc.indices, dtype=np.int64)
         counts = np.bincount(codes, minlength=len(denc.dictionary))
-        # partition per DISTINCT term (vocab-sized loop, same policy as
-        # _token_hashes): blake2b-64 of the term, mod P
-        uniq = denc.dictionary.to_pylist()
-        parts = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-                )
-                % num_parts
-                for t in uniq
-            ),
-            dtype=np.int64,
-            count=len(uniq),
-        )
+        # partition per DISTINCT term: vectorized buffer-level hash
+        # (hash_strings_u64) mod P — no Python loop, even vocab-sized.
+        # Routing only affects WHICH partition combines a term, never
+        # the counts, so results (and the SQL oracle) are unchanged.
+        from oscar_ray.stages.dedup import hash_strings_u64
+
+        parts = (
+            hash_strings_u64(denc.dictionary) % np.uint64(num_parts)
+        ).astype(np.int64)
         return pa.table(
             {
                 "term": denc.dictionary,
