@@ -534,18 +534,22 @@ def _mm_media_ds(sf_dir: str, kind: str):
 
     def to_media(t: pa.Table) -> pa.Table:
         from oscar_ray.sources.synth import (
+            generate_gif,
             generate_jpeg,
             generate_png,
             generate_ppm,
             generate_rvid,
             generate_wav,
+            generate_wav_adpcm,
         )
 
         gen = {
             "ppm": generate_ppm,
             "jpeg": generate_jpeg,
             "png": generate_png,
+            "gif": generate_gif,
             "wav": generate_wav,
+            "adpcm": generate_wav_adpcm,
             "rvid": generate_rvid,
         }[kind]
         payload = [gen(int(d)) for d in t["doc_id"].to_pylist()]
@@ -620,6 +624,46 @@ def _mm_audio_features(sf_dir: str):
 
     return (
         _mm_media_ds(sf_dir, "wav")
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_image_features_gif(sf_dir: str):
+    """Image pipeline over LZW-compressed payloads: palette GIFs (half
+    interlaced) decoded by the library-free codec. GIF is lossless over
+    its palette, so features EQUAL the same posterized raster's PPM
+    features — checked in pytest; the driver row is rows-only."""
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "gif")
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={"decoder": "gif", "dim": 16},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_audio_features_adpcm(sf_dir: str):
+    """Audio pipeline over COMPRESSED payloads: IMA-ADPCM WAVs (fmt
+    0x11, 4-bit predictive codes) decoded by the block-parallel numpy
+    codec, then the same feature extractor as the PCM16 path. Features
+    must track the PCM16 path's closely (lossy ~28 dB SNR) — checked in
+    pytest; the driver row is rows-only like the other mm entries."""
+    from oscar_ray.stages.multimodal import AudioFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "adpcm")
         .map_batches(
             AudioFeatureStage,
             batch_format="pyarrow",
@@ -707,7 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _mm_image_features,
         "mm_image_features_jpeg": _mm_image_features_jpeg,
         "mm_image_features_png": _mm_image_features_png,
+        "mm_image_features_gif": _mm_image_features_gif,
         "mm_audio_features": _mm_audio_features,
+        "mm_audio_features_adpcm": _mm_audio_features_adpcm,
         "mm_video_frames": _mm_video_frames,
     }
 

@@ -462,54 +462,97 @@ def shannon_topkv_from_index(
     key_exclusions: tuple[str, ...] = (),
     keyvalue_exclusions: tuple[tuple[str, str], ...] = (),
 ) -> pa.Table:
-    """shannon-kvstats topKeyValues over an index's docmeta columns
-    (single-process CLI convenience; the distributed path is
-    :func:`shannon_top_keyvalues` over the source table)."""
+    """shannon-kvstats topKeyValues over an index's docmeta columns,
+    streamed via the match plan (needs a Ray session; the source-table
+    path is :func:`shannon_top_keyvalues`)."""
     agg, total = _kv_counts_from_index(index_dir, query, list(keys))
     return _rank_splitdist(
         agg, total, threshold, topn, key_exclusions, keyvalue_exclusions
     )
 
 
-def _kv_counts_from_index(
-    index_dir: str, query: str, keys: list[str]
-) -> tuple[pd.DataFrame, int]:
-    """Full (facet, value, n) counts over one query's match set from the
-    index's own docmeta artifacts; -> (counts, |matched|)."""
+@ray.remote(num_cpus=1)
+def _kvmeta_count_task(
+    path: str, keys: list[str], plan_los, plan_his, plan_refs
+) -> tuple[list, int]:
+    """Count (facet, value, n) over one docmeta file restricted to the
+    match plan, fetching only the plan ranges the file's docid span
+    overlaps. -> (count rows, matched-doc count in this file)."""
     import pyarrow.parquet as pq
 
-    from oscar_ray.index.layout import docmeta_files
-    from oscar_ray.query.engine import QueryEngine
-
-    ids, _ = QueryEngine(index_dir).search(query, k=1 << 62)
-    want = np.sort(ids.astype(np.int64))
-    counts: dict[tuple[str, str], int] = {}
-    for f in docmeta_files(index_dir):
-        t = pq.read_table(f)
-        dm_ids = t["docid"].to_numpy()
-        pos = np.searchsorted(want, dm_ids)
-        pos = np.minimum(pos, max(len(want) - 1, 0))
-        keep = want[pos] == dm_ids if len(want) else np.zeros(len(dm_ids), bool)
-        for key in keys:
-            if key not in t.column_names:
+    t = pq.read_table(path, columns=["docid"] + [k for k in set(keys)])
+    ids = t["docid"].to_numpy()
+    keep = np.zeros(len(ids), dtype=bool)
+    if len(ids):
+        lo, hi = int(ids.min()), int(ids.max())
+        for plo, phi, ref in zip(plan_los, plan_his, plan_refs):
+            if phi <= lo or plo > hi:
                 continue
-            vals = t[key].to_numpy(zero_copy_only=False)[keep]
-            uniq, n = np.unique(vals.astype(str), return_counts=True)
-            for v, c in zip(uniq.tolist(), n.tolist()):
-                counts[(key, v)] = counts.get((key, v), 0) + int(c)
+            m = ray.get(ref)
+            if not len(m):
+                continue
+            pos = np.searchsorted(m, ids)
+            pos = np.minimum(pos, len(m) - 1)
+            keep |= m[pos] == ids
+    rows = []
+    for key in keys:
+        if key not in t.column_names:
+            continue
+        vals = t[key].to_numpy(zero_copy_only=False)[keep]
+        uniq, n = np.unique(vals.astype(str), return_counts=True)
+        rows.extend(
+            {"facet": key, "value": v, "n": int(c)}
+            for v, c in zip(uniq.tolist(), n.tolist())
+        )
+    return rows, int(keep.sum())
+
+
+def _kv_counts_from_index(
+    index_dir: str, query: str, keys: list[str], num_match_tasks: int = 8
+) -> tuple[pd.DataFrame, int]:
+    """Full (facet, value, n) counts over one query's match set from the
+    index's own docmeta artifacts; -> (counts, |matched|).
+
+    STREAMED like :func:`_facet_counts` (the reference keeps the result
+    index lazily flattened here too, ``oscar-cmd/Workfunctions.cpp:
+    146-169``): the match set lives as :func:`matched_id_plan` range
+    refs, one Ray task per docmeta file fetches only overlapping ranges
+    and returns facet-cardinality counts — the driver never holds a
+    match-set-sized array, even for head terms. Every matched docid
+    appears in exactly one docmeta row, so summing per-file matched
+    counts gives |matched|."""
+    from oscar_ray.index.layout import docmeta_files
+
+    plan = matched_id_plan(index_dir, query, num_tasks=num_match_tasks)
+    los = [e[0] for e in plan]
+    his = [e[1] for e in plan]
+    refs = [e[2] for e in plan]
+    outs = ray.get(
+        [
+            _kvmeta_count_task.remote(f, list(keys), los, his, refs)
+            for f in docmeta_files(index_dir)
+        ]
+    )
+    counts: dict[tuple[str, str], int] = {}
+    total = 0
+    for rows, matched in outs:
+        total += matched
+        for r in rows:
+            k = (r["facet"], r["value"])
+            counts[k] = counts.get(k, 0) + r["n"]
     df = pd.DataFrame(
         [{"facet": k, "value": v, "n": n} for (k, v), n in counts.items()],
         columns=["facet", "value", "n"],
     )
-    return df, int(len(want))
+    return df, total
 
 
 def kvstats_from_index(
     index_dir: str, query: str, keys: list[str] = ("lang",), topk: int = 10
 ) -> pa.Table:
-    """kvstats over an index's docmeta columns for one query's full match
-    set (single-process CLI convenience; the distributed path is
-    :func:`search_facets` over the source table)."""
+    """kvstats over an index's docmeta columns for one query's full
+    match set, streamed via the match plan (needs a Ray session; the
+    source-table path is :func:`search_facets`)."""
     df, _total = _kv_counts_from_index(index_dir, query, list(keys))
     out = []
     for facet, g in df.groupby("facet"):

@@ -153,14 +153,17 @@ def generate_ppm(doc_id: int, w: int = 24, h: int = 16) -> bytes:
 def generate_jpeg(doc_id: int, w: int = 24, h: int = 16, quality: int = 85) -> bytes:
     """Deterministic baseline-JPEG image per doc (same pixel generator as
     :func:`generate_ppm`, compressed through the library-free encoder —
-    real Huffman/DCT bytes for the compressed-decode path)."""
+    real Huffman/DCT bytes for the compressed-decode path). Subsampling
+    cycles 420/444/422 by doc id so the corpus exercises the full
+    real-world envelope (4:2:0 is the web default)."""
     import numpy as np
 
     from oscar_ray.stages.jpeg import jpeg_encode
     from oscar_ray.stages.multimodal import decode_ppm
 
     img = decode_ppm(generate_ppm(doc_id, w=w, h=h))
-    return jpeg_encode(np.ascontiguousarray(img), quality=quality)
+    sub = ("420", "444", "422")[int(doc_id) % 3]
+    return jpeg_encode(np.ascontiguousarray(img), quality=quality, subsampling=sub)
 
 
 def generate_png(doc_id: int, w: int = 24, h: int = 16) -> bytes:
@@ -183,6 +186,34 @@ def generate_wav(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
     t = np.arange(int(seconds * rate)) / rate
     mono = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(4 * np.pi * freq * t)
     return encode_wav(mono[:, None], rate)
+
+
+def generate_gif(doc_id: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic GIF per doc: the generate_ppm pixels posterized to
+    <= 64 colors (GIF is palette-bound), LZW-compressed for real."""
+    import numpy as np
+
+    from oscar_ray.stages.gif import gif_encode
+    from oscar_ray.stages.multimodal import decode_ppm
+
+    img = decode_ppm(generate_ppm(doc_id, w=w, h=h))
+    return gif_encode(
+        (img // 64 * 64).astype(np.uint8), interlace=bool(doc_id % 2)
+    )
+
+
+def generate_wav_adpcm(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
+    """Deterministic COMPRESSED audio per doc: the same sine family as
+    :func:`generate_wav` but IMA-ADPCM-coded (WAV fmt 0x11, ~4x smaller)
+    — the compressed-audio analog of generate_jpeg for images."""
+    import numpy as np
+
+    from oscar_ray.stages.multimodal import encode_wav_adpcm
+
+    freq = 200.0 + (doc_id * 37) % 1800
+    t = np.arange(int(seconds * rate)) / rate
+    mono = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(4 * np.pi * freq * t)
+    return encode_wav_adpcm(mono[:, None], rate)
 
 
 def generate_rvid(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> bytes:

@@ -2,12 +2,19 @@
 
 Upgrades the multimodal image path from uncompressed-only (PPM) to a real
 compressed format: ``jpeg_encode`` emits spec-conformant baseline
-sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8-bit, 4:4:4 or
-grayscale, byte-stuffed entropy stream), and ``jpeg_decode`` is fully
-TABLE-DRIVEN — Huffman and quant tables are read from the file's own
-DHT/DQT segments, so it decodes any compliant baseline JPEG within its
-declared envelope (8-bit, no chroma subsampling, no progressive;
-DRI/RSTn restart intervals ARE supported), not just its own output.
+sequential JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8-bit, 4:4:4 / 4:2:2 /
+4:2:0 or grayscale, byte-stuffed entropy stream), and ``jpeg_decode`` is
+fully TABLE-DRIVEN — Huffman and quant tables are read from the file's
+own DHT/DQT segments, and interleaved MCUs honor arbitrary integer
+sampling factors (the real-world web default 4:2:0 included, chroma
+box-replicated up), so it decodes any compliant baseline sequential
+JPEG within its declared envelope (8-bit, no progressive; DRI/RSTn
+restart intervals ARE supported), not just its own output. No external
+JPEG tool exists in this container, so the subsampled-decode evidence is
+(a) a PINNED byte fixture (frozen stream + frozen source raster, bounded
+MAE) and (b) encoder/decoder paths that handle subsampling with
+independent code (box-average down vs box-replicate up, separate MCU
+indexing).
 
 Design notes:
 - DCT/IDCT are exact orthonormal matrix products over all blocks at once
@@ -175,36 +182,79 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
-    """uint8 (h, w, 1|3) -> baseline JFIF bytes (4:4:4 / grayscale).
+def _blocks_grid(plane: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """(H, W) float -> (gh*gw, 8, 8), edge-padded to exactly that grid."""
+    h, w = plane.shape
+    ph, pw = gh * 8 - h, gw * 8 - w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return (
+        plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
 
+
+def _box_downsample(plane: np.ndarray, rx: int, ry: int) -> np.ndarray:
+    """Box-average downsample by (rx horizontal, ry vertical), edge-padded."""
+    h, w = plane.shape
+    if h % ry or w % rx:
+        plane = np.pad(plane, ((0, -h % ry), (0, -w % rx)), mode="edge")
+    H, W = plane.shape
+    return plane.reshape(H // ry, ry, W // rx, rx).mean(axis=(1, 3))
+
+
+#: supported encoder subsampling modes -> Y sampling factors (h, v)
+_SUBSAMP = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """uint8 (h, w, 1|3) -> baseline JFIF bytes.
+
+    ``subsampling``: "444" (default, every pinned fixture), "422" or
+    "420" — chroma planes box-averaged down, Y emitting 2x1 / 2x2 blocks
+    per interleaved MCU like real-world web JPEGs.
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     N MCUs (byte-aligned, DC predictors reset) — the spec's
     error-resilience feature, round-trip-tested against the decoder.
     """
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("expected (h, w, 1|3) uint8")
+    if subsampling not in _SUBSAMP:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMP)}")
     h, w, nc = img.shape
+    sx, sy = _SUBSAMP[subsampling] if nc == 3 else (1, 1)
     qy, qc = _quality_tables(quality)
     f = img.astype(np.float64)
+    # MCU grid over the full-resolution plane; per-component block grids
+    mcux = (w + 8 * sx - 1) // (8 * sx)
+    mcuy = (h + 8 * sy - 1) // (8 * sy)
     if nc == 3:
         r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sx > 1 or sy > 1:
+            cb, cr = _box_downsample(cb, sx, sy), _box_downsample(cr, sx, sy)
+        planes = [y, cb, cr]
         qtabs = [qy, qc, qc]
         qids = [0, 1, 1]
+        samps = [(sx, sy), (1, 1), (1, 1)]
+        grids = [(mcux * sx, mcuy * sy), (mcux, mcuy), (mcux, mcuy)]
     else:
         planes = [f[:, :, 0]]
         qtabs = [qy]
         qids = [0]
+        samps = [(1, 1)]
+        grids = [(mcux, mcuy)]
 
     # forward DCT + quantize, all blocks per component at once
     comp_coefs = []
-    for plane, qt in zip(planes, qtabs):
-        blocks = _blocks_of(plane) - 128.0
+    for plane, qt, (gw_c, gh_c) in zip(planes, qtabs, grids):
+        blocks = _blocks_grid(plane, gw_c, gh_c) - 128.0
         coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
         quant = np.round(coefs / qt[None, :, :]).astype(np.int32)
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
@@ -218,7 +268,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += struct.pack("BBB", ci + 1, 0x11, qids[ci])  # 1x1 sampling
+        csx, csy = samps[ci]
+        out += struct.pack("BBB", ci + 1, (csx << 4) | csy, qids[ci])
     # DHT: DC table 0, AC table 0 (shared by all components)
     for tc_th, bits, values in ((0x00, _DC_BITS, _DC_VALUES), (0x10, _AC_BITS, _AC_VALUES)):
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_th)
@@ -231,43 +282,51 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         out += struct.pack("BB", ci + 1, 0x00)  # DC table 0, AC table 0
     out += b"\x00\x3f\x00"  # spectral selection 0..63, Ah/Al 0
 
-    # entropy-coded data: interleaved MCUs (one block per component, 4:4:4)
+    # entropy-coded data: interleaved MCUs, samps[ci] blocks per comp
     bw = _BitWriter()
-    n_mcu = comp_coefs[0].shape[0]
+    n_mcu = mcux * mcuy
     prev_dc = [0] * nc
+
+    def emit_block(ci: int, zz: np.ndarray):
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size = _size_cat(diff)
+        code, length = _DC_CODES[size]
+        bw.write(code, length)
+        if size:
+            bw.write(_amplitude(diff, size), size)
+        nz = np.flatnonzero(zz[1:])  # positions of nonzero ACs
+        pos = 0
+        for k in nz.tolist():
+            while k - pos >= 16:
+                c, l = _AC_CODES[0xF0]  # ZRL
+                bw.write(c, l)
+                pos += 16
+            run = k - pos
+            v = int(zz[1 + k])
+            size = _size_cat(v)
+            c, l = _AC_CODES[(run << 4) | size]
+            bw.write(c, l)
+            bw.write(_amplitude(v, size), size)
+            pos = k + 1
+        if pos < 63:
+            c, l = _AC_CODES[0x00]  # EOB
+            bw.write(c, l)
+
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             # byte-align (1-padding), emit cycling RSTn, reset predictors
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
             prev_dc = [0] * nc
+        my, mx = divmod(m, mcux)
         for ci in range(nc):
-            zz = comp_coefs[ci][m]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size = _size_cat(diff)
-            code, length = _DC_CODES[size]
-            bw.write(code, length)
-            if size:
-                bw.write(_amplitude(diff, size), size)
-            run = 0
-            nz = np.flatnonzero(zz[1:])  # positions of nonzero ACs
-            pos = 0
-            for k in nz.tolist():
-                while k - pos >= 16:
-                    c, l = _AC_CODES[0xF0]  # ZRL
-                    bw.write(c, l)
-                    pos += 16
-                run = k - pos
-                v = int(zz[1 + k])
-                size = _size_cat(v)
-                c, l = _AC_CODES[(run << 4) | size]
-                bw.write(c, l)
-                bw.write(_amplitude(v, size), size)
-                pos = k + 1
-            if pos < 63:
-                c, l = _AC_CODES[0x00]  # EOB
-                bw.write(c, l)
+            csx, csy = samps[ci]
+            gw_c = grids[ci][0]
+            for by in range(csy):
+                for bx in range(csx):
+                    idx = (my * csy + by) * gw_c + (mx * csx + bx)
+                    emit_block(ci, comp_coefs[ci][idx])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -377,10 +436,12 @@ def _extend(v: int, size: int) -> int:
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w, 1|3).
 
-    Envelope: 8-bit baseline sequential, 1 or 3 components, no chroma
-    subsampling (all sampling factors 1x1), no progressive scans;
-    DRI/RSTn restart intervals supported — NotImplementedError outside
-    the envelope (disclosed gates, like the other multimodal codecs).
+    Envelope: 8-bit baseline sequential, 1 or 3 components, sampling
+    factors 1-4 with integer subsampling ratios (4:4:4, 4:2:2, 4:2:0,
+    2x1, ... — chroma planes are box-replicated back up), no progressive
+    scans; DRI/RSTn restart intervals supported — NotImplementedError
+    outside the envelope (disclosed gates, like the other multimodal
+    codecs).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -429,9 +490,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, qid = struct.unpack_from("BBB", body, 6 + 3 * ci)
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling not supported")
-                comps.append((cid, qid))
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append((cid, hs, vs, qid))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0)")
@@ -450,49 +512,90 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
     nc = len(comps)
-    qid_of = dict(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw * bh
+    samp_of = {cid: (hs, vs) for cid, hs, vs, _q in comps}
+    qid_of = {cid: q for cid, _h, _v, q in comps}
+    hmax = max(hs for _c, hs, _v, _q in comps)
+    vmax = max(vs for _c, _h, vs, _q in comps)
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        # MCU grid over the max-sampled plane; comp ci contributes
+        # hs*vs blocks per MCU in raster order within the MCU (B.2.3)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        grids = [
+            (mcux * samp_of[cid][0], mcuy * samp_of[cid][1])
+            for cid, _d, _a in scan_comps
+        ]
+    else:
+        # non-interleaved scan: each "MCU" is one block of the single
+        # component's own grid (spec A.2.2)
+        cid = scan_comps[0][0]
+        hs, vs = samp_of[cid]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        mcux, mcuy = (cw + 7) // 8, (ch + 7) // 8
+        grids = [(mcux, mcuy)]
+    n_mcu = mcux * mcuy
 
     br = _BitReader(payload, data_start)
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
-    prev_dc = [0] * nc
+    coefs = [
+        np.zeros((gw * gh, 64), dtype=np.int32) for gw, gh in grids
+    ]
+    blocks_per = [
+        (samp_of[cid] if interleaved else (1, 1)) for cid, _d, _a in scan_comps
+    ]
+    prev_dc = [0] * len(scan_comps)
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
-            prev_dc = [0] * nc
+            prev_dc = [0] * len(scan_comps)
+        my, mx = divmod(m, mcux)
         for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
             dct = htabs[(0, dc_id)]
             act = htabs[(1, ac_id)]
-            size = _huff_decode(br, dct)
-            diff = _extend(br.read(size), size) if size else 0
-            prev_dc[ci] += diff
-            zz = coefs[ci][m]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0xF
-                if k > 63:
-                    raise ValueError("AC index out of range")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
+            chs, cvs = blocks_per[ci]
+            gw = grids[ci][0]
+            for by in range(cvs):
+                for bx in range(chs):
+                    idx = (my * cvs + by) * gw + (mx * chs + bx)
+                    size = _huff_decode(br, dct)
+                    diff = _extend(br.read(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz = coefs[ci][idx]
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, act)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0xF
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[k] = _extend(br.read(size), size)
+                        k += 1
 
-    # dequantize + inverse zigzag + IDCT, all blocks at once per comp
+    # dequantize + inverse zigzag + IDCT all blocks at once per comp,
+    # then box-replicate subsampled planes back to full resolution
     planes = []
     for ci, (cid, _dc, _ac) in enumerate(scan_comps):
         qt = qtabs[qid_of[cid]]
+        gw, gh = grids[ci]
         deq = coefs[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * qt[None, :, :]
         blocks = np.einsum("xu,nuv,yv->nxy", _C.T, deq, _C.T) + 128.0
         plane = (
-            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         )
+        hs, vs = samp_of[cid]
+        ry, rx = vmax // vs, hmax // hs
+        if vmax % vs or hmax % hs:
+            raise NotImplementedError("non-integer subsampling ratio")
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]

@@ -11,19 +11,21 @@ Codec support is tiered by what this container can actually do:
 
 - **real, library-free decoders** (pure numpy/struct, fully implemented
   and tested): PPM/PGM images (``decode_ppm``), baseline JPEG
-  (``stages/jpeg.py`` — real Huffman + DCT compressed decode within a
-  declared envelope: 8-bit sequential, 4:4:4/grayscale), PNG
-  (``stages/png.py`` — zlib inflate + all five scanline filters,
-  gray/RGB/RGBA/palette at 8-bit), RIFF/WAV PCM16 audio
-  (``decode_wav``), and a raw-RGB frame container (``RVID``,
-  ``decode_rvid_header``) — decode, nearest-neighbor resize, feature
-  extraction and frame sampling all operate on real pixels/samples;
+  (``stages/jpeg.py`` — real Huffman + DCT compressed decode, 8-bit
+  sequential incl. 4:2:0/4:2:2 subsampling), PNG (``stages/png.py`` —
+  zlib inflate + all five scanline filters, gray/RGB/RGBA/palette at
+  8-bit), GIF (``stages/gif.py`` — variable-width LZW, palette,
+  interlace), RIFF/WAV audio as PCM16 AND compressed IMA-ADPCM
+  (``decode_wav`` / ``ima_adpcm_decode``, block-parallel), and a
+  raw-RGB frame container (``RVID``, ``decode_rvid_header``) — decode,
+  nearest-neighbor resize, feature extraction and frame sampling all
+  operate on real pixels/samples;
 - ``decoder="fake"``: deterministic pseudo-features from payload bytes
   (plumbing/schema testing for arbitrary payloads);
 - ``decoder="real"``: the Pillow/ffmpeg path for the remaining
-  compressed formats (progressive/subsampled JPEG, PNG, mp3/ogg, real
-  video) — NotImplementedError in this container (libs absent), with
-  the actor-state shape (load codec once in ``__init__``) kept real.
+  compressed formats (progressive JPEG, mp3/ogg, real video codecs) —
+  NotImplementedError in this container (libs absent), with the
+  actor-state shape (load codec once in ``__init__``) kept real.
 """
 
 from __future__ import annotations
@@ -87,13 +89,19 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE PCM16 -> (samples float64 in [-1, 1] shaped
-    (n, channels), sample_rate). Walks the chunk list (fmt before data)."""
+    """Decode RIFF/WAVE -> (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate). Walks the chunk list (fmt before data).
+
+    Formats: PCM16 (tag 1) and COMPRESSED IMA-ADPCM (tag 0x11, 4-bit —
+    the classic 4x-compressed dictation/game format) — the latter decoded
+    by the block-parallel numpy routine below. Other tags (MP3/AAC/...)
+    stay honest gates: no codec libraries exist in this container."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
+    n_fact = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -102,18 +110,169 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    audio_format, n_channels, sample_rate, _br, block_align, bits = fmt
+    if audio_format == 0x11:  # IMA ADPCM
+        if bits != 4:
+            raise NotImplementedError("only 4-bit IMA ADPCM")
+        if n_channels != 1:
+            raise NotImplementedError("stereo IMA ADPCM not supported")
+        pcm = ima_adpcm_decode(data, block_align)
+        if n_fact is not None:  # trim final-block padding
+            pcm = pcm[:n_fact]
+        return pcm.reshape(-1, 1).astype(np.float64) / 32768.0, sample_rate
     if audio_format != 1 or bits != 16:
-        raise ValueError("only PCM16 supported")
+        raise NotImplementedError(
+            f"unsupported WAV format tag 0x{audio_format:x} (PCM16 and "
+            "IMA-ADPCM only; compressed formats need codec libraries)"
+        )
     samples = np.frombuffer(data, dtype="<i2")
     n = len(samples) // n_channels * n_channels
     return (
         samples[:n].reshape(-1, n_channels).astype(np.float64) / 32768.0,
         sample_rate,
     )
+
+
+# -- IMA ADPCM (WAV format tag 0x11) ----------------------------------------
+# Predictor + step-size-table quantizer (IMA/DVI spec): each block is
+# independent (header carries the seed sample + step index), so both
+# directions VECTORIZE ACROSS BLOCKS — the serial recursion runs over
+# the ~2*(block_align-4) nibbles of a block while every block advances
+# in lockstep as numpy lanes.
+
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred: np.ndarray, idx: np.ndarray, nib: np.ndarray):
+    """One IMA reconstruction step, vectorized over block lanes:
+    (pred, idx, nibble) -> (pred', idx'). Shared by decode and the
+    encoder's predictor update (the spec requires the encoder to track
+    the decoder's reconstruction exactly)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX_TABLE[nib & 7], 0, 88)
+    return pred, idx
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA-ADPCM data chunk -> int16 samples (block-parallel)."""
+    if block_align < 4:
+        raise ValueError("block_align too small")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.empty(0, dtype=np.int16)
+    raw = np.frombuffer(data, dtype=np.uint8, count=n_blocks * block_align).reshape(
+        n_blocks, block_align
+    )
+    pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+    idx = np.clip(raw[:, 2].astype(np.int64), 0, 88)
+    body = raw[:, 4:]
+    # nibble order: low nibble of byte 0 first
+    nibs = np.empty((n_blocks, body.shape[1] * 2), dtype=np.int64)
+    nibs[:, 0::2] = body & 0xF
+    nibs[:, 1::2] = body >> 4
+    out = np.empty((n_blocks, 1 + nibs.shape[1]), dtype=np.int64)
+    out[:, 0] = pred
+    for s in range(nibs.shape[1]):
+        pred, idx = _ima_step(pred, idx, nibs[:, s])
+        out[:, 1 + s] = pred
+    return out.reshape(-1).astype(np.int16)
+
+
+def ima_adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono int16 samples -> IMA-ADPCM data bytes (block-parallel).
+
+    Each block: 4-byte header (seed sample int16, step index, reserved)
+    + 4-bit codes. The step index is seeded per block from the first
+    delta's magnitude (any seed is spec-valid — the header transmits it)."""
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    s = np.asarray(samples, dtype=np.int64)
+    n_blocks = (len(s) + spb - 1) // spb
+    if n_blocks == 0:
+        return b""
+    pad = n_blocks * spb - len(s)
+    if pad:
+        s = np.concatenate([s, np.full(pad, s[-1] if len(s) else 0, dtype=np.int64)])
+    blocks = s.reshape(n_blocks, spb)
+    pred = blocks[:, 0].copy()
+    # seed index: closest step to the first delta (vector searchsorted)
+    first_delta = np.abs(np.diff(blocks[:, :2], axis=1))[:, 0] if spb > 1 else np.zeros(n_blocks, dtype=np.int64)
+    idx = np.clip(
+        np.searchsorted(_IMA_STEP_TABLE, first_delta), 0, 88
+    ).astype(np.int64)
+    header = np.zeros((n_blocks, 4), dtype=np.uint8)
+    header[:, :2] = pred.astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    header[:, 2] = idx.astype(np.uint8)
+    nibs = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        target = blocks[:, t]
+        step = _IMA_STEP_TABLE[idx]
+        diff = target - pred
+        sign = (diff < 0).astype(np.int64) * 8
+        mag = np.abs(diff)
+        nib = np.zeros(n_blocks, dtype=np.int64)
+        ge = mag >= step
+        nib |= np.where(ge, 4, 0)
+        mag = mag - np.where(ge, step, 0)
+        half = step >> 1
+        ge = mag >= half
+        nib |= np.where(ge, 2, 0)
+        mag = mag - np.where(ge, half, 0)
+        quarter = step >> 2
+        nib |= np.where(mag >= quarter, 1, 0)
+        nib |= sign
+        pred, idx = _ima_step(pred, idx, nib)
+        nibs[:, t - 1] = nib.astype(np.uint8)
+    packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([header, packed], axis=1).tobytes()
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """(n, 1) float in [-1,1] -> COMPRESSED mono IMA-ADPCM WAV bytes
+    (fmt tag 0x11 with samples-per-block extension + fact chunk)."""
+    if samples.ndim != 2 or samples.shape[1] != 1:
+        raise ValueError("mono (n, 1) samples required")
+    pcm16 = (np.clip(samples[:, 0], -1.0, 1.0) * 32767.0).astype(np.int64)
+    data = ima_adpcm_encode(pcm16, block_align)
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = len(data) // block_align
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", len(pcm16))
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data)))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return out
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -204,7 +363,9 @@ class ImageFeatureStage:
     Output schema: (id, feature: list<float32>[dim], width, height).
     Decoders: ``"ppm"`` — REAL decode of P5/P6 netpbm payloads;
     ``"jpeg"`` — REAL baseline-JPEG decode (pure numpy Huffman + IDCT,
-    ``stages/jpeg.py``); both produce pixel stats + grayscale thumbnail
+    ``stages/jpeg.py``); ``"png"`` / ``"gif"`` — REAL deflate / LZW
+    decodes (``stages/png.py`` / ``stages/gif.py``); all produce pixel
+    stats + grayscale thumbnail
     features with true width/height. ``"fake"`` — deterministic digest
     features for arbitrary payloads; ``"real"`` — the Pillow path for
     formats outside the library-free envelope, NotImplementedError here.
@@ -219,7 +380,7 @@ class ImageFeatureStage:
         passthrough_cols: tuple = (),
     ):
         self.id_col, self.media_col, self.dim = id_col, media_col, dim
-        if decoder not in ("fake", "real", "ppm", "jpeg", "png"):
+        if decoder not in ("fake", "real", "ppm", "jpeg", "png", "gif"):
             raise ValueError(decoder)
         self.decoder = decoder
         self.passthrough_cols = list(passthrough_cols)
@@ -246,6 +407,11 @@ class ImageFeatureStage:
                 img = img[:, :, :3]
             elif img.shape[2] == 2:
                 img = img[:, :, :1]
+            return image_features(img, self.dim), img.shape[1], img.shape[0]
+        if self.decoder == "gif":
+            from oscar_ray.stages.gif import gif_decode
+
+            img = gif_decode(payload)
             return image_features(img, self.dim), img.shape[1], img.shape[0]
         if self.decoder == "ppm":
             img = decode_ppm(payload)

@@ -24,6 +24,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _ensure_ray(num_cpus: int = 8):
+    """Start a local Ray session for subcommands that use the streamed
+    (task-based) paths; workers get the repo on PYTHONPATH."""
+    import ray
+
+    if not ray.is_initialized():
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+        )
+
+
 def main():
     ap = argparse.ArgumentParser(description="Query / inspect an index")
     ap.add_argument("--index", "-i", required=True)
@@ -103,6 +119,23 @@ def main():
     ck.add_argument("--sample-blocks", type=int, default=None)
     mg = sub.add_parser("merge", help="merge other built indexes INTO -i (segment merge)")
     mg.add_argument("inputs", nargs="+", help="source index dirs (>= 2)")
+    sd = sub.add_parser(
+        "symdiff",
+        help="symmetric difference of two completers on a query "
+        "(--symdiff-items-completers analog)",
+    )
+    sd.add_argument("-q", "--query", required=True)
+    sd.add_argument(
+        "--other-index",
+        help="second index dir (default: same index, other eval mode)",
+    )
+    sd.add_argument(
+        "--left-mode", choices=["auto", "exhaustive"], default="auto"
+    )
+    sd.add_argument(
+        "--right-mode", choices=["auto", "exhaustive"], default="exhaustive"
+    )
+    sd.add_argument("--head", type=int, default=20, help="ids printed per side")
     args = ap.parse_args()
 
     if args.cmd == "merge":
@@ -183,9 +216,45 @@ def main():
         print(json.dumps(check_index(args.index, sample_blocks=args.sample_blocks)))
         return
 
+    if args.cmd == "symdiff":
+        # the reference's --symdiff-items-completers work item
+        # (oscar-cmd/Workfunctions.cpp:1353-1356): run the query on two
+        # completers (second index dir, or pruned-vs-exhaustive on the
+        # same index) and print the symmetric difference of matched ids.
+        import numpy as _np
+
+        from oscar_ray.query.engine import QueryEngine
+
+        left = QueryEngine(args.index)
+        right = QueryEngine(args.other_index) if args.other_index else left
+        l_ids, _ = left.search(args.query, k=1 << 62, mode=args.left_mode)
+        r_ids, _ = right.search(args.query, k=1 << 62, mode=args.right_mode)
+        l_set = _np.unique(l_ids.astype(_np.int64))
+        r_set = _np.unique(r_ids.astype(_np.int64))
+        only_l = _np.setdiff1d(l_set, r_set, assume_unique=True)
+        only_r = _np.setdiff1d(r_set, l_set, assume_unique=True)
+        lname = f"{args.index}:{args.left_mode}"
+        rname = f"{args.other_index or args.index}:{args.right_mode}"
+        print(
+            json.dumps(
+                {
+                    "left": lname, "right": rname,
+                    "left_matches": int(len(l_set)),
+                    "right_matches": int(len(r_set)),
+                    "symdiff": int(len(only_l) + len(only_r)),
+                }
+            )
+        )
+        for d in only_l[: args.head].tolist():
+            print(f"<\t{d}")
+        for d in only_r[: args.head].tolist():
+            print(f">\t{d}")
+        return
+
     if args.cmd == "kvstats":
         from oscar_ray.pipelines.facets import kvstats_from_index
 
+        _ensure_ray()  # streamed match plan: no driver-side match set
         t = kvstats_from_index(
             args.index, args.query, keys=args.keys.split(","), topk=args.topk
         )
@@ -230,6 +299,7 @@ def main():
     if args.cmd == "shannon-kvstats":
         from oscar_ray.pipelines.facets import shannon_topkv_from_index
 
+        _ensure_ray()  # streamed match plan: no driver-side match set
         t = shannon_topkv_from_index(
             args.index,
             args.query,

@@ -44,6 +44,19 @@ def main():
         help="store identical posting payloads once per partition "
         "(the reference's setDeduplication analog)",
     )
+    ap.add_argument(
+        "--update-base",
+        help="incremental update: index ONLY the new input as a delta and "
+        "merge it with this existing base index into --out (the store-dir/"
+        "search-dir reuse loop, oscarcreate.cpp:82-116)",
+    )
+    ap.add_argument(
+        "--update-policy",
+        choices=["keep_first", "keep_last"],
+        default="keep_first",
+        help="url-collision policy for --update-base: keep_first == union "
+        "build dedup; keep_last == the new doc REPLACES the base's",
+    )
     args = ap.parse_args()
 
     import ray
@@ -83,6 +96,25 @@ def main():
     if args.payload_dedup:
         fields["payload_dedup"] = True
     cfg = IndexBuildConfig(**fields)
+
+    if args.update_base:
+        from oscar_ray.index.maintain import update_index
+
+        manifest = update_index(
+            args.update_base, args.input, args.out, policy=args.update_policy
+        )
+        print(
+            json.dumps(
+                {
+                    "complete": manifest["complete"],
+                    "stats": manifest["stats"],
+                    "maintained": manifest.get("maintained"),
+                },
+                indent=1,
+            )
+        )
+        ray.shutdown()
+        return
 
     manifest = build_index(args.input, args.out, cfg, resume=not args.no_resume)
     print(

@@ -193,7 +193,23 @@ def soak_facets() -> dict:
     n_matched_tasks = sum(1 for _lo, _hi, r in plan)
     assert len(agg) and agg["n"].sum() > 0
     assert rss_after - rss_before < 120, f"driver RSS grew {rss_after - rss_before:.0f} MB"
+
+    # index-local kvstats (the CLI `kvstats` path, round-4 streamed):
+    # same head-term query through _kv_counts_from_index — per-docmeta-
+    # file tasks + the match plan; driver RSS must stay flat here too
+    from oscar_ray.pipelines.facets import kvstats_from_index
+
+    rss_kv0 = _driver_rss_mb()
+    t0 = time.perf_counter()
+    kvt = kvstats_from_index(idx, best_term, keys=["lang"], topk=10)
+    kv_secs = time.perf_counter() - t0
+    kv_growth = _driver_rss_mb() - rss_kv0
+    assert kvt.num_rows > 0
+    assert kv_growth < 120, f"kvstats driver RSS grew {kv_growth:.0f} MB"
     return {
+        "kvstats_secs": round(kv_secs, 1),
+        "kvstats_rows": int(kvt.num_rows),
+        "kvstats_driver_rss_growth_mb": round(kv_growth, 1),
         "rows": 2_000_000,
         "head_term": best_term,
         "head_df": int(best_df),

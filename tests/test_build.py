@@ -127,6 +127,33 @@ class TestDeterminismAndResume:
         hb = {k: v for k, v in _artifact_hashes(out_b).items() if not k.startswith("docmeta")}
         assert ha == hb and len(ha) > 0
 
+    def test_distributed_fragment_scan_identical(self, ray_session, tmp_path):
+        """Above the file threshold the footer scan fans out as Ray
+        tasks; the fragment list (paths, row groups, docid bases) must
+        equal the serial scan's exactly."""
+        import pyarrow.parquet as pq
+
+        from oscar_ray.sources.pages import list_fragments
+        from oscar_ray.sources.synth import generate_pages_batch
+
+        src = str(tmp_path / "many")
+        os.makedirs(src)
+        rng = np.random.default_rng(11)
+        base_tbl = generate_pages_batch(0, 40, seed=9)
+        for i in range(80):
+            n = int(rng.integers(5, 40))
+            pq.write_table(
+                base_tbl.slice(0, n),
+                os.path.join(src, f"f{i:04d}.parquet"),
+                row_group_size=16,
+            )
+        dist = list_fragments(src, distributed_min_files=8)  # forced fan-out
+        serial = list_fragments(src, distributed_min_files=1 << 60)
+        assert dist == serial
+        assert len(dist) > 80  # multiple row groups per file
+        bases = [f.base_docid for f in dist]
+        assert bases == sorted(bases) and bases[0] == 0
+
     def test_resume_after_partial_stage_b(self, ray_session, pages_t1, tmp_path):
         """Kill after partition p of P, resume -> identical artifacts (FIXTURES §4.4)."""
         cfg = IndexBuildConfig(num_partitions=8, block_span_bits=8, shard_fragments=3)
