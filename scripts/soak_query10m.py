@@ -1,0 +1,104 @@
+"""Query-serving soak over the 10M-doc index built by soak_build10m.py.
+
+Mirrors bench.py's serving protocol (persistent QueryServer actor pool,
+preload, cold run then best-of-5 warm) at one decade past the bench
+scale: validates that warm QPS holds when the postings store is ~625 MB
+over 10M docs, and that per-actor memory stays bounded (lazy payload
+hydration, sorted-array dictionaries).
+
+Run AFTER scripts/soak_build10m.py (reuses its index dir). Run SOLO.
+
+Usage: python scripts/soak_query10m.py [n_docs] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    idx = f"/tmp/oscar_ray_bench/soak-build-{n_docs}"
+    if not os.path.isdir(idx):
+        raise SystemExit(f"run soak_build10m.py first: {idx} missing")
+
+    import ray
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+        runtime_env={"env_vars": {"PYTHONPATH": repo}},
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bench
+    from oscar_ray.index.layout import dict_path
+    from oscar_ray.index.reader import IndexReader
+    from oscar_ray.query.engine import QueryServer
+    from oscar_ray.sources.queryset import generate_queries
+
+    reader = IndexReader(idx)
+    dfs: dict[str, int] = {}
+    for p in range(reader.num_partitions):
+        path = dict_path(idx, p)
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            dfs.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    queries = generate_queries(dfs, n_queries=n_queries, seed=42)
+
+    ServerActor = ray.remote(num_cpus=1)(QueryServer)
+    pool = [ServerActor.remote(index_dir=idx, preload=True) for _ in range(num_cpus)]
+    qtbl = pa.Table.from_pylist(queries)
+    slices = [
+        qtbl.slice(
+            i * len(queries) // num_cpus,
+            (i + 1) * len(queries) // num_cpus - i * len(queries) // num_cpus,
+        )
+        for i in range(num_cpus)
+    ]
+    t0 = time.perf_counter()
+    ray.get([p.__ray_ready__.remote() for p in pool])
+    open_secs = time.perf_counter() - t0
+
+    probe_before = bench._alu_probe()
+    t0 = time.perf_counter()
+    outs = ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
+    cold_secs = time.perf_counter() - t0
+    n_rows = sum(t.num_rows for t in outs)
+    warm_secs = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
+        warm_secs = min(warm_secs, time.perf_counter() - t0)
+    probe_after = bench._alu_probe()
+
+    out = {
+        "n_docs": n_docs,
+        "n_terms": len(dfs),
+        "n_queries": len(queries),
+        "pool_open_secs": round(open_secs, 3),
+        "query_cold_secs": round(cold_secs, 3),
+        "query_warm_secs": round(warm_secs, 3),
+        "qps_cold": round(len(queries) / cold_secs, 1),
+        "qps_warm": round(len(queries) / warm_secs, 1),
+        "result_rows": int(n_rows),
+        "alu_probe_secs": [round(probe_before, 3), round(probe_after, 3)],
+    }
+    print(json.dumps(out, indent=1))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
