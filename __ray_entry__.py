@@ -32,6 +32,7 @@ MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
 HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
+DECONTAM_MOD = 97  # synthetic benchmark subset: doc_id % 97 == 0
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -444,6 +445,38 @@ def _text_fingerprint(sf_dir: str):
     return ds.map_batches(doc_fingerprint, batch_format="pyarrow").sort("doc_id")
 
 
+def _text_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs whose token-3-gram shingles overlap
+    the synthetic 'benchmark' subset (doc_id % DECONTAM_MOD == 0 — a
+    deterministic stand-in for a real eval set, which at scale is a tiny
+    broadcast next to the corpus)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.decontam import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    cols = ["doc_id", "text"]
+
+    def _mod_filter(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = t["doc_id"].to_numpy() % DECONTAM_MOD
+            return t.filter(pa.array(mod == 0 if is_bench else mod != 0))
+
+        return f
+
+    bench = ray.data.read_parquet(path, columns=cols).map_batches(
+        _mod_filter(True), batch_format="pyarrow"
+    )
+    corpus = ray.data.read_parquet(path, columns=cols).map_batches(
+        _mod_filter(False), batch_format="pyarrow"
+    )
+    return decontaminate(corpus, bench, n=NGRAM_N, concurrency=4).sort("doc_id")
+
+
 def _queries_embeddings(sf_dir: str):
     import os
 
@@ -744,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_cms_counts": _text_cms_counts,
         "text_hll_distinct": _text_hll_distinct,
         "text_fingerprint": _text_fingerprint,
+        "text_decontaminate": _text_decontaminate,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1297,6 +1331,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(fp.f, 0) AS fingerprint
             FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
+        """,
+        "text_decontaminate": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+                FROM tokarr, unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+                WHERE len(arr) >= {NGRAM_N}
+            ),
+            bench AS (
+                SELECT DISTINCT shingle FROM sh
+                WHERE doc_id % {DECONTAM_MOD} = 0
+            ),
+            corpus AS (SELECT * FROM sh WHERE doc_id % {DECONTAM_MOD} <> 0),
+            sz AS (
+                SELECT doc_id, count(*)::BIGINT AS n_shingles
+                FROM corpus GROUP BY doc_id
+            ),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_contaminated
+                FROM corpus
+                WHERE shingle IN (SELECT shingle FROM bench)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_shingles, h.n_contaminated,
+                   floor(h.n_contaminated::DOUBLE / s.n_shingles * 1e6)::BIGINT
+                       AS contamination_micro
+            FROM sz s JOIN hits h USING (doc_id)
+            WHERE h.n_contaminated > 0
+            ORDER BY s.doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

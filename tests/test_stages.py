@@ -341,6 +341,73 @@ class TestTextAnalysis:
         assert 0 <= rows[0]["quality_score_micro"] <= 1_000_000
 
 
+class TestDecontaminate:
+    """Benchmark decontamination (stages/decontam.py): broadcast shingle
+    set + vectorized membership vs a brute-force python oracle."""
+
+    def test_matches_bruteforce(self, dup_ds):
+        import ray.data
+
+        from oscar_ray.stages.decontam import decontaminate
+
+        t = dup_ds.take_all()
+        texts = {r["doc_id"]: r["text"] for r in t}
+        # benchmark = docs 0 and 3; doc 10/11 are near-dups of 0, doc 12
+        # an exact dup of 3 -> all three must be flagged
+        bench_ids = {0, 3}
+        bench = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(bench_ids), type=pa.int64()),
+                    "text": [texts[i] for i in sorted(bench_ids)],
+                }
+            )
+        )
+        corpus_ids = sorted(set(texts) - bench_ids)
+        corpus = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(corpus_ids, type=pa.int64()),
+                    "text": [texts[i] for i in corpus_ids],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r
+            for r in decontaminate(corpus, bench, concurrency=1).take_all()
+        }
+        bench_sh = set()
+        for i in bench_ids:
+            bench_sh |= _shingle_set(texts[i])
+        for i in corpus_ids:
+            sh = _shingle_set(texts[i])
+            hits = len(sh & bench_sh)
+            if hits:
+                assert got[i]["n_shingles"] == len(sh)
+                assert got[i]["n_contaminated"] == hits
+                assert got[i]["contamination_micro"] == int(
+                    np.floor(hits / len(sh) * 1e6)
+                )
+            else:
+                assert i not in got
+        assert {10, 11, 12} <= set(got)
+
+    def test_empty_benchmark_flags_nothing(self, dup_ds):
+        import ray.data
+
+        from oscar_ray.stages.decontam import decontaminate
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+        assert decontaminate(dup_ds, empty, concurrency=1).count() == 0
+
+
 _PINNED_420_JPEG_B64 = (
     "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQDAwMDAgQDAwMEBAQFBgoGBgUFBgwICQcKDgwPDg4MDQ0PERYTDxAVEQ0NExoTFRcYGRkZDxIbHRsYHRYYGRj/2wBDAQQEBAYFBgsGBgsYEA0QGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBj/wAARCAAYACADASIAAhEBAxEB/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/90ABAAE/9oADAMBAAIAAwAAPwBwIMEGOQBYaCoAPRBggxyALDQVABXAwQY5AFhoKgA9EGCDHIAsNBUAGeBRAoCuT6AM0DMBdIAAsQYIMcgCw0FQAeOCmCmIPBjAtAvhxDoHuCEDgTBoGQwGwagaBQKGAyVCAAGAYIMcgCw0FQAOBFEFMPYHDBCCEOIbB9AmA0EIZDIYDUMAUCAeGT6QgYUoAvQaANgQQCkB4Lwcw3DUCgaLoZDAZDYDg1IItIAZDJAKgYAGwBMDaDxBngmBaAgFDAFAwDAOAoESIEAgsKgFIIFDAENBpAHMAwQY5AFhoKgA9EGCDHIAsNBUAGJBglRSAD0QYJUUgAoAUQOAoCpQB1IMwEoHCwAbYGCDHIAsNBUAHLBG4H6BzwcYF0GcCqDxA0QRAhBYBGCqBwLIIgVARAUOgLAJw3AoHAQCAQDQRgQWgQCAUCghA4CAQDwOAoEA0MgUMAUCgQAiEBglRSAEvoJ4CeUBhprIK7nQLQAqQeYGcCIGkDaBlgrgnDIagUCAmIAFFpAAxIgDXAtgpgaDSBnAcCkCYDgKBAMA8DgMAgFDAYDIYAgFDJVAgFKoEAgB/9k="
 )
