@@ -154,16 +154,19 @@ def generate_jpeg(doc_id: int, w: int = 24, h: int = 16, quality: int = 85) -> b
     """Deterministic baseline-JPEG image per doc (same pixel generator as
     :func:`generate_ppm`, compressed through the library-free encoder —
     real Huffman/DCT bytes for the compressed-decode path). Subsampling
-    cycles 420/444/422 by doc id so the corpus exercises the full
-    real-world envelope (4:2:0 is the web default)."""
+    cycles 420/444/422 by doc id and odd ids emit PROGRESSIVE (SOF2)
+    multi-scan streams, so the corpus exercises the full real-world
+    envelope (4:2:0 baseline and progressive are the web defaults);
+    progressive decode is bit-exact vs baseline (same coefficients)."""
     import numpy as np
 
-    from oscar_ray.stages.jpeg import jpeg_encode
+    from oscar_ray.stages.jpeg import jpeg_encode, jpeg_encode_progressive
     from oscar_ray.stages.multimodal import decode_ppm
 
     img = decode_ppm(generate_ppm(doc_id, w=w, h=h))
     sub = ("420", "444", "422")[int(doc_id) % 3]
-    return jpeg_encode(np.ascontiguousarray(img), quality=quality, subsampling=sub)
+    enc = jpeg_encode_progressive if int(doc_id) % 2 else jpeg_encode
+    return enc(np.ascontiguousarray(img), quality=quality, subsampling=sub)
 
 
 def generate_png(doc_id: int, w: int = 24, h: int = 16) -> bytes:

@@ -8,8 +8,13 @@ fully TABLE-DRIVEN — Huffman and quant tables are read from the file's
 own DHT/DQT segments, and interleaved MCUs honor arbitrary integer
 sampling factors (the real-world web default 4:2:0 included, chroma
 box-replicated up), so it decodes any compliant baseline sequential
-JPEG within its declared envelope (8-bit, no progressive; DRI/RSTn
-restart intervals ARE supported), not just its own output. No external
+JPEG within its declared envelope (8-bit; DRI/RSTn restart intervals
+supported). PROGRESSIVE (SOF2) decode is supported too — spectral
+selection + successive approximation per ITU-T T.81 Annex G, all four
+scan types (DC first/refine, AC first/refine with EOB runs), with
+``jpeg_encode_progressive`` emitting a real multi-scan script for
+round-trip evidence (progressive decode is bit-exact vs baseline decode
+of the same coefficients). No external
 JPEG tool exists in this container, so the subsampled-decode evidence is
 (a) a PINNED byte fixture (frozen stream + frozen source raster, bounded
 MAE) and (b) encoder/decoder paths that handle subsampling with
@@ -436,12 +441,12 @@ def _extend(v: int, size: int) -> int:
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w, 1|3).
 
-    Envelope: 8-bit baseline sequential, 1 or 3 components, sampling
-    factors 1-4 with integer subsampling ratios (4:4:4, 4:2:2, 4:2:0,
-    2x1, ... — chroma planes are box-replicated back up), no progressive
-    scans; DRI/RSTn restart intervals supported — NotImplementedError
-    outside the envelope (disclosed gates, like the other multimodal
-    codecs).
+    Envelope: 8-bit baseline sequential (SOF0) or progressive (SOF2),
+    1 or 3 components, sampling factors 1-4 with integer subsampling
+    ratios (4:4:4, 4:2:2, 4:2:0, 2x1, ... — chroma planes are
+    box-replicated back up); DRI/RSTn restart intervals supported —
+    NotImplementedError outside the envelope (disclosed gates, like the
+    other multimodal codecs).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -495,8 +500,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                     raise ValueError("invalid sampling factors")
                 comps.append((cid, hs, vs, qid))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC2:  # SOF2 progressive — dedicated multi-scan path
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline/progressive (SOF0/SOF2)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -604,3 +611,578 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# -- progressive (SOF2) -----------------------------------------------------
+#
+# Multi-scan decode per ITU-T T.81 Annex G (spectral selection + successive
+# approximation), same table-driven discipline as the baseline path: all
+# Huffman tables come from the stream's DHT segments, coefficients
+# accumulate across scans, one vectorized dequant+IDCT at the end.
+
+
+def _find_scan_end(data: bytes, pos: int) -> int:
+    """Byte offset of the first real marker after entropy data at ``pos``
+    (skips 0xFF00 stuffing, RSTn markers and 0xFF fill bytes)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        else:
+            pos += 1
+    return n
+
+
+def _prog_dc_scan(br, htabs, scan, geom, coefs, Al, refine, restart_interval):
+    """One DC scan (first pass: Huffman-coded diffs of DC>>Al; refinement:
+    one appended bit per block). Interleaved or single-component."""
+    scan_comps, interleaved, mcux, mcuy, comp_geom = geom
+    p1 = 1 << Al
+    prev_dc = [0] * len(scan_comps)
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        cid = scan_comps[0][0]
+        cw, ch, _gw = comp_geom[cid][3:6]
+        n_units = cw * ch
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            prev_dc = [0] * len(scan_comps)
+        for ci, (cid, dc_id, _ac) in enumerate(scan_comps):
+            hs, vs, _qid, cw, ch, gw = comp_geom[cid]
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                blocks = [
+                    (my * vs + by) * gw + (mx * hs + bx)
+                    for by in range(vs)
+                    for bx in range(hs)
+                ]
+            else:
+                by, bx = divmod(m, cw)
+                blocks = [by * gw + bx]
+            for idx in blocks:
+                zz = coefs[cid][idx]
+                if refine:
+                    if br.read(1):
+                        zz[0] |= p1
+                else:
+                    size = _huff_decode(br, htabs[(0, dc_id)])
+                    diff = _extend(br.read(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci] << Al
+
+
+def _prog_ac_first(br, act, zz, Ss, Se, Al, eobrun):
+    """AC first pass for one block (spec G.1.2.2): run/size symbols with
+    EOBn run codes; values enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("AC index out of band")
+        zz[k] = _extend(br.read(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, act, zz, Ss, Se, Al, eobrun):
+    """AC refinement for one block (spec G.1.2.3): correction bits for
+    already-nonzero coefficients, +-1<<Al insertions for newly-significant
+    ones, EOB runs carrying correction bits."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.read(1) else -p1
+            while k <= Se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            c = int(zz[k])
+            if c != 0:
+                if br.read(1) and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JFIF bytes -> uint8 (h, w, 1|3).
+
+    Envelope: 8-bit SOF2, 1 or 3 components, integer subsampling ratios,
+    DRI/RSTn inside scans; arithmetic coding and hierarchical modes stay
+    NotImplementedError gates.
+    """
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    comp_geom: dict[int, tuple] = {}
+    mcux = mcuy = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec_id = body[b]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int32)
+                qtabs[prec_id & 0xF] = t[_UNZIGZAG].reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                values = list(body[b + 17 : b + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 0xF)] = _decode_table(bits, values)
+                b += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit progressive")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hs, vs, qid in comps:
+                gw, gh = mcux * hs, mcuy * vs  # padded interleaved grid
+                cw = ((w * hs + hmax - 1) // hmax + 7) // 8  # real blocks
+                ch = ((h * vs + vmax - 1) // vmax + 7) // 8
+                comp_geom[cid] = (hs, vs, qid, cw, ch, gw)
+                coefs[cid] = np.zeros((gw * gh, 64), dtype=np.int32)
+            frame = (h, w, comps, hmax, vmax)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("mixed/unsupported frame type")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            Ss, Se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            data_start = pos + 2 + seglen
+            br = _BitReader(payload, data_start)
+            interleaved = ns > 1
+            geom = (scan_comps, interleaved, mcux, mcuy, comp_geom)
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                _prog_dc_scan(
+                    br, htabs, scan_comps, geom, coefs, Al, Ah > 0, restart_interval
+                )
+            else:
+                if interleaved:
+                    raise ValueError("AC scans must be single-component")
+                cid, _dc_id, ac_id = scan_comps[0]
+                act = htabs[(1, ac_id)]
+                _hs, _vs, _qid, cw, ch, gw = comp_geom[cid]
+                eobrun = 0
+                fn = _prog_ac_refine if Ah else _prog_ac_first
+                for n in range(cw * ch):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.restart()
+                        eobrun = 0
+                    by, bx = divmod(n, cw)
+                    eobrun = fn(
+                        br, act, coefs[cid][by * gw + bx], Ss, Se, Al, eobrun
+                    )
+            pos = _find_scan_end(payload, data_start)
+            continue
+        pos += 2 + seglen
+    if frame is None:
+        raise ValueError("missing SOF2")
+    h, w, comps, hmax, vmax = frame
+    planes = []
+    for cid, hs, vs, qid in comps:
+        gw = comp_geom[cid][5]
+        gh = coefs[cid].shape[0] // gw
+        deq = coefs[cid][:, _UNZIGZAG].reshape(-1, 8, 8) * qtabs[qid][None, :, :]
+        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, deq, _C.T) + 128.0
+        plane = (
+            blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        ry, rx = vmax // vs, hmax // hs
+        if vmax % vs or hmax % hs:
+            raise NotImplementedError("non-integer subsampling ratio")
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# -- progressive encoder ----------------------------------------------------
+#
+# Emits SOF2 with a typical web scan script (DC first + refine, AC bands
+# with two successive-approximation levels on luma). Each scan gets its
+# own self-generated canonical Huffman table built from the scan's actual
+# symbol set (two passes: count, then write) — same "any prefix-free
+# table is valid, ship it in DHT" policy as the baseline encoder.
+
+
+class _SymCount:
+    """Pass-1 sink: records which symbols a scan emits."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int):
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int):
+        pass
+
+
+class _SymWrite:
+    """Pass-2 sink: Huffman codes + raw bits into a _BitWriter."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]):
+        self.bw, self.codes = bw, codes
+
+    def sym(self, s: int):
+        c, ln = self.codes[s]
+        self.bw.write(c, ln)
+
+    def bits(self, v: int, n: int):
+        if n:
+            self.bw.write(v, n)
+
+
+def _scan_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(bits, values) for a fixed-length canonical table covering exactly
+    the scan's symbols: n symbols at L = bit_length(n) bits, so the
+    all-ones code of every length stays unused (spec C.2)."""
+    syms = sorted(freq) or [0x00]
+    L = max(1, len(syms).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+def _enc_dc_prog(comp_sel, comp_coefs, samps, grids, mcux, mcuy, Al, refine, sink):
+    """DC scan encoder: interleaved over ``comp_sel``; first pass emits
+    size/amplitude of diff(DC >> Al), refinement emits bit Al of each DC."""
+    prev = {ci: 0 for ci in comp_sel}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in comp_sel:
+            sx, sy = samps[ci]
+            gw = grids[ci][0]
+            for by in range(sy):
+                for bx in range(sx):
+                    idx = (my * sy + by) * gw + (mx * sx + bx)
+                    dc = int(comp_coefs[ci][idx][0])
+                    if refine:
+                        sink.bits((dc >> Al) & 1, 1)
+                    else:
+                        v = dc >> Al  # arithmetic shift, like the decoder's <<
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        size = _size_cat(diff)
+                        sink.sym(size)
+                        sink.bits(_amplitude(diff, size), size)
+
+
+def _enc_ac_first_prog(coefs, cw, ch, gw, Ss, Se, Al, sink):
+    """AC first-pass scan encoder (G.1.2.2): run/size over the band's
+    point-transformed values, all-zero bands folded into EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for n in range(cw * ch):
+        by, bx = divmod(n, cw)
+        zz = coefs[by * gw + bx]
+        vals = []
+        for k in range(Ss, Se + 1):
+            v = int(zz[k])
+            a = abs(v) >> Al
+            if a:
+                vals.append((k, v > 0, a))
+        if not vals:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        pos = Ss
+        for k, positive, a in vals:
+            while k - pos >= 16:
+                sink.sym(0xF0)
+                pos += 16
+            size = a.bit_length()
+            sv = a if positive else -a
+            sink.sym(((k - pos) << 4) | size)
+            sink.bits(_amplitude(sv, size), size)
+            pos = k + 1
+        if pos <= Se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine_prog(coefs, cw, ch, gw, Ss, Se, Al, sink):
+    """AC refinement scan encoder (G.1.2.3): correction bits for
+    history-nonzero coefficients, run-coded +-1 insertions for newly
+    significant ones, EOB runs carrying their buffered correction bits."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            for b in pending:
+                sink.bits(b, 1)
+            pending = []
+            eobrun = 0
+
+    for n in range(cw * ch):
+        by, bx = divmod(n, cw)
+        zz = coefs[by * gw + bx]
+        ab = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+        eob_pos = -1
+        for i, a in enumerate(ab):
+            if a == 1:
+                eob_pos = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(ab):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_pos:
+                flush_eob()
+                sink.sym(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush_eob()
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if int(zz[Ss + i]) > 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w, 1|3) -> progressive (SOF2) JFIF bytes.
+
+    Scan script (the shape real encoders emit): interleaved DC at Al=1
+    then a DC refinement; luma AC split into a 1-5 band and a 6-63 band
+    at Al=2 with two refinement passes; chroma AC at Al=1 with one
+    refinement. Exercises all four scan decoders.
+    """
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected (h, w, 1|3) uint8")
+    if subsampling not in _SUBSAMP:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMP)}")
+    h, w, nc = img.shape
+    sx, sy = _SUBSAMP[subsampling] if nc == 3 else (1, 1)
+    qy, qc = _quality_tables(quality)
+    f = img.astype(np.float64)
+    mcux = (w + 8 * sx - 1) // (8 * sx)
+    mcuy = (h + 8 * sy - 1) // (8 * sy)
+    if nc == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sx > 1 or sy > 1:
+            cb, cr = _box_downsample(cb, sx, sy), _box_downsample(cr, sx, sy)
+        planes = [y, cb, cr]
+        qtabs = [qy, qc, qc]
+        qids = [0, 1, 1]
+        samps = [(sx, sy), (1, 1), (1, 1)]
+        grids = [(mcux * sx, mcuy * sy), (mcux, mcuy), (mcux, mcuy)]
+    else:
+        planes, qtabs, qids = [f[:, :, 0]], [qy], [0]
+        samps, grids = [(1, 1)], [(mcux, mcuy)]
+
+    comp_coefs = []
+    for plane, qt, (gw_c, gh_c) in zip(planes, qtabs, grids):
+        blocks = _blocks_grid(plane, gw_c, gh_c) - 128.0
+        coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        quant = np.round(coefs / qt[None, :, :]).astype(np.int32)
+        comp_coefs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+
+    # non-interleaved (AC-scan) block grids per component
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    real_grids = []
+    for ci in range(nc):
+        chs, cvs = samps[ci]
+        cw = ((w * chs + hmax - 1) // hmax + 7) // 8
+        ch_b = ((h * cvs + vmax - 1) // vmax + 7) // 8
+        real_grids.append((cw, ch_b))
+
+    # scan script: (kind, comps, Ss, Se, Ah, Al)
+    if nc == 3:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [1], 1, 63, 0, 1),
+            ("ac", [2], 1, 63, 0, 1),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+            ("ac", [1], 1, 63, 1, 0),
+            ("ac", [2], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dc", [0], 0, 0, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for qid, qt in ((0, qy), (1, qc))[: (2 if nc == 3 else 1)]:
+        zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        csx, csy = samps[ci]
+        out += struct.pack("BBB", ci + 1, (csx << 4) | csy, qids[ci])
+
+    for kind, comps_sel, Ss, Se, Ah, Al in script:
+        refine = Ah > 0
+
+        def run(sink):
+            if kind == "dc":
+                _enc_dc_prog(
+                    comps_sel, comp_coefs, samps, grids, mcux, mcuy, Al, refine, sink
+                )
+            else:
+                ci = comps_sel[0]
+                cw, ch_b = real_grids[ci]
+                gw = grids[ci][0]
+                fn = _enc_ac_refine_prog if refine else _enc_ac_first_prog
+                fn(comp_coefs[ci], cw, ch_b, gw, Ss, Se, Al, sink)
+
+        counter = _SymCount()
+        run(counter)
+        needs_table = not (kind == "dc" and refine)
+        if needs_table:
+            bits, values = _scan_table(counter.freq)
+            tc = 0 if kind == "dc" else 1
+            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc << 4)
+            out += bytes(bits) + bytes(values)
+            codes = _canonical_codes(bits, values)
+        else:
+            codes = {}
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_sel), len(comps_sel))
+        for ci in comps_sel:
+            out += struct.pack("BB", ci + 1, 0x00)
+        out += struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+        bw = _BitWriter()
+        run(_SymWrite(bw, codes))
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

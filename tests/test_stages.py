@@ -463,10 +463,11 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             jpeg_decode(b"not a jpeg")
-        # progressive (SOF2) must be a disclosed NotImplementedError
+        # lossless (SOF3) must be a disclosed NotImplementedError; SOF2 is
+        # now a real decode path (TestJpegProgressive), not a gate
         buf = bytearray(jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8)))
         i = bytes(buf).index(b"\xff\xc0")
-        buf[i + 1] = 0xC2
+        buf[i + 1] = 0xC3
         with pytest.raises(NotImplementedError):
             jpeg_decode(bytes(buf))
         # unknown encoder subsampling string
@@ -604,6 +605,82 @@ class TestJpegCodec:
         assert float(np.abs(dec0.astype(int) - src0.astype(int)).mean()) < 20.0
         src1, dec1 = decode_ppm(generate_ppm(1)), jpeg_decode(generate_jpeg(1))
         assert float(np.abs(dec1.astype(int) - src1.astype(int)).mean()) < 12.0
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) JPEG: multi-scan decode (DC first/refine, AC
+    first/refine with EOB runs, spec Annex G) must be bit-exact vs the
+    baseline decode of the same quantized coefficients."""
+
+    def _grad(self, h, w, nc, seed=7):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 / w + yy * 128 / h) % 256
+        return np.clip(
+            base[:, :, None] + rng.normal(0, 12, (h, w, nc)), 0, 255
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize(
+        "shape,sub",
+        [
+            ((40, 56, 3), "444"),
+            ((40, 56, 3), "420"),
+            ((37, 51, 3), "422"),
+            ((33, 47, 1), "444"),
+        ],
+    )
+    def test_matches_baseline_decode(self, shape, sub):
+        from oscar_ray.stages.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        img = self._grad(*shape)
+        for q in (50, 90):
+            dp = jpeg_decode(jpeg_encode_progressive(img, quality=q, subsampling=sub))
+            db = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+            np.testing.assert_array_equal(dp, db)
+
+    def test_extreme_content_exact(self):
+        from oscar_ray.stages.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+
+        rng = np.random.default_rng(3)
+        cases = [
+            rng.integers(0, 256, (48, 64, 3)).astype(np.uint8),  # ZRL-heavy
+            np.full((24, 24, 3), 130, np.uint8),  # pure EOB runs
+            (np.indices((32, 40)).sum(0) % 2 * 255)
+            .astype(np.uint8)[:, :, None]
+            .repeat(3, 2),  # high-frequency
+            rng.integers(0, 256, (1, 1, 3)).astype(np.uint8),  # single MCU
+        ]
+        for img in cases:
+            for q in (10, 95):
+                dp = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+                db = jpeg_decode(jpeg_encode(img, quality=q))
+                np.testing.assert_array_equal(dp, db)
+
+    def test_stream_is_progressive(self):
+        from oscar_ray.stages.jpeg import jpeg_encode_progressive
+
+        data = jpeg_encode_progressive(self._grad(24, 24, 3))
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") == 10  # full 10-scan script
+
+    def test_synth_corpus_cycles_progressive(self):
+        from oscar_ray.sources.synth import generate_jpeg
+        from oscar_ray.stages.jpeg import jpeg_decode
+        from oscar_ray.stages.multimodal import decode_ppm
+        from oscar_ray.sources.synth import generate_ppm
+
+        assert b"\xff\xc2" in generate_jpeg(1) and b"\xff\xc0" in generate_jpeg(0)
+        # progressive payload still tracks the uncompressed source
+        src, dec = decode_ppm(generate_ppm(1)), jpeg_decode(generate_jpeg(1))
+        assert float(np.abs(dec.astype(int) - src.astype(int)).mean()) < 12.0
 
 
 class TestGifCodec:
