@@ -33,6 +33,8 @@ HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
 NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 DECONTAM_MOD = 97  # synthetic benchmark subset: doc_id % 97 == 0
+SCRUB_DENYLIST = ("dup", "slow", "spark")  # sorted; whole-word blocklist
+SCRUB_PLANT_MOD = 3  # every 3rd doc gets deterministic planted PII
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -477,6 +479,50 @@ def _text_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, n=NGRAM_N, concurrency=4).sort("doc_id")
 
 
+def _text_scrub(sf_dir: str):
+    """PII + denylist scrubbing. The corpus has no natural PII, so every
+    SCRUB_PLANT_MOD-th doc gets a deterministic planted suffix (email +
+    IPv4 + phone derived from doc_id) — appended identically in the SQL
+    oracle — before the RE2 redaction stage runs; the remaining docs
+    exercise the no-match and denylist-only branches."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from oscar_ray.stages.scrub import scrub_documents
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+
+        def s(a) -> pa.Array:
+            return pa.array(a.astype(np.int64)).cast(pa.string())
+
+        suffix = pc.binary_join_element_wise(
+            " contact user",
+            s(ids),
+            "@mail.example.com from 10.",
+            s(ids % 200),
+            ".",
+            s(ids * 7 % 200),
+            ".",
+            s(ids % 250),
+            " or call +1 (555) 010-",
+            s(1000 + ids % 9000),
+            "",
+        )
+        planted = pc.binary_join_element_wise(t["text"], suffix, "")
+        text = pc.if_else(pa.array(ids % SCRUB_PLANT_MOD == 0), planted, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return scrub_documents(ds, denylist=SCRUB_DENYLIST).sort("doc_id")
+
+
 def _queries_embeddings(sf_dir: str):
     import os
 
@@ -778,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hll_distinct": _text_hll_distinct,
         "text_fingerprint": _text_fingerprint,
         "text_decontaminate": _text_decontaminate,
+        "text_scrub": _text_scrub,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1367,6 +1414,61 @@ def oracle_sql() -> dict[str, str]:
             FROM sz s JOIN hits h USING (doc_id)
             WHERE h.n_contaminated > 0
             ORDER BY s.doc_id
+        """,
+        "text_scrub": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % {SCRUB_PLANT_MOD} = 0 THEN
+                           text || ' contact user' || doc_id
+                                || '@mail.example.com from 10.'
+                                || (doc_id % 200) || '.' || (doc_id * 7 % 200)
+                                || '.' || (doc_id % 250)
+                                || ' or call +1 (555) 010-'
+                                || (1000 + doc_id % 9000)
+                       ELSE text END AS text
+                FROM documents
+            ),
+            -- staged redaction in the SAME fixed order as ScrubStage
+            -- (email -> ipv4 -> phone -> denylist); RE2 on both sides
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))::BIGINT
+                           AS n_email,
+                       regexp_replace(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                           '<EMAIL>', 'g') AS t
+                FROM base
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t,
+                           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b'))::BIGINT
+                           AS n_ipv4,
+                       regexp_replace(t,
+                           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       len(regexp_extract_all(t,
+                           '\\+?[0-9][0-9()\\-\\s]{{6,}}[0-9]'))::BIGINT AS n_phone,
+                       regexp_replace(t, '\\+?[0-9][0-9()\\-\\s]{{6,}}[0-9]',
+                           '<PHONE>', 'g') AS t
+                FROM s2
+            ),
+            s4 AS (
+                SELECT doc_id, n_email, n_ipv4, n_phone,
+                       len(regexp_extract_all(t,
+                           '\\b(?:{'|'.join(SCRUB_DENYLIST)})\\b'))::BIGINT
+                           AS n_denied,
+                       regexp_replace(t, '\\b(?:{'|'.join(SCRUB_DENYLIST)})\\b',
+                           '<DENIED>', 'g') AS text_scrubbed
+                FROM s3
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone, n_denied, text_scrubbed
+            FROM s4 ORDER BY doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

@@ -408,6 +408,81 @@ class TestDecontaminate:
         assert decontaminate(dup_ds, empty, concurrency=1).count() == 0
 
 
+class TestScrub:
+    """PII + denylist scrubbing (stages/scrub.py): RE2 redaction counts
+    and outputs on planted fixtures, plus DuckDB regexp parity (both
+    engines are RE2 — the staged-replace oracle must agree byte-for-byte)."""
+
+    FIXTURES = [
+        "the fast spark table contact user17@mail.example.com "
+        "from 10.17.119.17 or call +1 (555) 010-2034 now",
+        "no pii here just slow dup words",
+        "edge a@b.co 1.2.3.4 +44 20 7946 0958 end",
+        "spark sparky dup.dup slow",  # whole-word boundaries only
+        "",
+    ]
+
+    def _table(self):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(len(self.FIXTURES)), type=pa.int64()),
+                "text": self.FIXTURES,
+            }
+        )
+
+    def test_counts_and_redaction(self):
+        from oscar_ray.stages.scrub import ScrubStage
+
+        st = ScrubStage(denylist=("spark", "dup", "slow"))
+        rows = st(self._table()).to_pylist()
+        assert [r["n_email"] for r in rows] == [1, 0, 1, 0, 0]
+        assert [r["n_ipv4"] for r in rows] == [1, 0, 1, 0, 0]
+        assert [r["n_phone"] for r in rows] == [1, 0, 1, 0, 0]
+        assert [r["n_denied"] for r in rows] == [1, 2, 0, 4, 0]
+        assert rows[0]["text_scrubbed"] == (
+            "the fast <DENIED> table contact <EMAIL> from <IP> or call <PHONE> now"
+        )
+        # 'sparky' must survive (whole-word), 'dup.dup' masks both sides
+        assert rows[3]["text_scrubbed"] == "<DENIED> sparky <DENIED>.<DENIED> <DENIED>"
+
+    def test_duckdb_parity(self):
+        import duckdb
+
+        from oscar_ray.stages.scrub import PII_PATTERNS, ScrubStage
+
+        st = ScrubStage(denylist=("spark", "dup", "slow"))
+        got = st(self._table()).to_pylist()
+        con = duckdb.connect()
+        con.register("d", self._table())
+        sql_cols, t = [], "text"
+        for name, pat, repl in st.patterns:
+            sql_cols.append(
+                f"len(regexp_extract_all({t}, '{pat}'))::BIGINT AS n_{name}, "
+                f"regexp_replace({t}, '{pat}', '{repl}', 'g') AS t_{name}"
+            )
+            t = f"t_{name}"
+        q = "SELECT doc_id, text FROM d"
+        for c in sql_cols:
+            q = f"SELECT *, {c} FROM ({q})"
+        orc = con.execute(f"SELECT * FROM ({q}) ORDER BY doc_id").fetch_arrow_table()
+        orc_rows = orc.to_pylist()
+        for g, o in zip(got, orc_rows):
+            for name, _, _ in st.patterns:
+                assert g[f"n_{name}"] == o[f"n_{name}"], (g, o)
+            assert g["text_scrubbed"] == o[f"t_{st.patterns[-1][0]}"]
+        assert len(PII_PATTERNS) == 3
+
+    def test_dataset_stage(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.scrub import scrub_documents
+
+        ds = ray.data.from_arrow(self._table())
+        out = scrub_documents(ds, denylist=("spark",), concurrency=1).take_all()
+        assert len(out) == len(self.FIXTURES)
+        assert {r["doc_id"] for r in out} == set(range(len(self.FIXTURES)))
+
+
 _PINNED_420_JPEG_B64 = (
     "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQDAwMDAgQDAwMEBAQFBgoGBgUFBgwICQcKDgwPDg4MDQ0PERYTDxAVEQ0NExoTFRcYGRkZDxIbHRsYHRYYGRj/2wBDAQQEBAYFBgsGBgsYEA0QGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBj/wAARCAAYACADASIAAhEBAxEB/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/90ABAAE/9oADAMBAAIAAwAAPwBwIMEGOQBYaCoAPRBggxyALDQVABXAwQY5AFhoKgA9EGCDHIAsNBUAGeBRAoCuT6AM0DMBdIAAsQYIMcgCw0FQAeOCmCmIPBjAtAvhxDoHuCEDgTBoGQwGwagaBQKGAyVCAAGAYIMcgCw0FQAOBFEFMPYHDBCCEOIbB9AmA0EIZDIYDUMAUCAeGT6QgYUoAvQaANgQQCkB4Lwcw3DUCgaLoZDAZDYDg1IItIAZDJAKgYAGwBMDaDxBngmBaAgFDAFAwDAOAoESIEAgsKgFIIFDAENBpAHMAwQY5AFhoKgA9EGCDHIAsNBUAGJBglRSAD0QYJUUgAoAUQOAoCpQB1IMwEoHCwAbYGCDHIAsNBUAHLBG4H6BzwcYF0GcCqDxA0QRAhBYBGCqBwLIIgVARAUOgLAJw3AoHAQCAQDQRgQWgQCAUCghA4CAQDwOAoEA0MgUMAUCgQAiEBglRSAEvoJ4CeUBhprIK7nQLQAqQeYGcCIGkDaBlgrgnDIagUCAmIAFFpAAxIgDXAtgpgaDSBnAcCkCYDgKBAMA8DgMAgFDAYDIYAgFDJVAgFKoEAgB/9k="
 )
