@@ -35,6 +35,7 @@ NGRAM_N, JACCARD_TAU, MAX_SHINGLE_DF = 3, 0.2, 100
 DECONTAM_MOD = 97  # synthetic benchmark subset: doc_id % 97 == 0
 SCRUB_DENYLIST = ("dup", "slow", "spark")  # sorted; whole-word blocklist
 SCRUB_PLANT_MOD = 3  # every 3rd doc gets deterministic planted PII
+SEQ_BUDGET = 512  # tokens per packed training sequence
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -523,6 +524,23 @@ def _text_scrub(sf_dir: str):
     return scrub_documents(ds, denylist=SCRUB_DENYLIST).sort("doc_id")
 
 
+def _text_pack_sequences(sf_dir: str):
+    """Training-layout sequence packing: a hierarchical distributed
+    prefix-sum (per-part sums -> driver exclusive scan -> broadcast base
+    + per-part vectorized cumsum). part_span is shrunk far below the
+    at-scale default so even sf0.001 exercises the multi-part path."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, budget=SEQ_BUDGET, part_span=64).sort("doc_id")
+
+
 def _queries_embeddings(sf_dir: str):
     import os
 
@@ -825,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_decontaminate": _text_decontaminate,
         "text_scrub": _text_scrub,
+        "text_pack_sequences": _text_pack_sequences,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1469,6 +1488,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_email, n_ipv4, n_phone, n_denied, text_scrubbed
             FROM s4 ORDER BY doc_id
+        """,
+        "text_pack_sequences": f"""
+            WITH {_TOK_CTE},
+            c AS (
+                SELECT d.doc_id, coalesce(cnt.n, 0)::BIGINT AS n_tokens
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+                ) cnt USING (doc_id)
+            ),
+            w AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS cum_before
+                FROM c
+            )
+            SELECT doc_id, n_tokens, cum_before,
+                   (cum_before // {SEQ_BUDGET})::BIGINT AS seq_id,
+                   (cum_before % {SEQ_BUDGET})::BIGINT AS seq_offset,
+                   (CASE WHEN n_tokens > 0
+                         THEN ((cum_before + n_tokens - 1) // {SEQ_BUDGET})
+                              - (cum_before // {SEQ_BUDGET}) + 1
+                         ELSE 0 END)::BIGINT AS n_seqs
+            FROM w ORDER BY doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

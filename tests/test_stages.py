@@ -483,6 +483,54 @@ class TestScrub:
         assert {r["doc_id"] for r in out} == set(range(len(self.FIXTURES)))
 
 
+class TestPackSequences:
+    """Sequence packing (stages/packing.py): the hierarchical prefix sum
+    must equal a single-partition run and the plain numpy scan."""
+
+    def _ds(self, n=57):
+        import ray.data
+
+        texts = [" ".join(f"w{j}" for j in range((i * 7) % 13)) for i in range(n)]
+        # include empty docs (i%13==0 -> 0 tokens) and shuffled block order
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64()), "text": texts})
+        ).repartition(5)
+
+    def test_matches_numpy_scan(self, ray_session):
+        from oscar_ray.stages.packing import pack_sequences
+
+        budget = 10
+        rows = sorted(
+            pack_sequences(self._ds(), budget=budget, part_span=8, concurrency=1)
+            .take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        n = np.array([(i * 7) % 13 for i in range(57)], dtype=np.int64)
+        cb = np.concatenate([[0], np.cumsum(n)[:-1]])
+        for i, r in enumerate(rows):
+            assert r["n_tokens"] == n[i]
+            assert r["cum_before"] == cb[i]
+            assert r["seq_id"] == cb[i] // budget
+            assert r["seq_offset"] == cb[i] % budget
+            want = (cb[i] + n[i] - 1) // budget - cb[i] // budget + 1 if n[i] else 0
+            assert r["n_seqs"] == want
+
+    def test_part_span_invariant(self, ray_session):
+        from oscar_ray.stages.packing import pack_sequences
+
+        a = sorted(
+            pack_sequences(self._ds(), budget=7, part_span=4, concurrency=1).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            pack_sequences(
+                self._ds(), budget=7, part_span=1 << 40, concurrency=1
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+
+
 _PINNED_420_JPEG_B64 = (
     "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQDAwMDAgQDAwMEBAQFBgoGBgUFBgwICQcKDgwPDg4MDQ0PERYTDxAVEQ0NExoTFRcYGRkZDxIbHRsYHRYYGRj/2wBDAQQEBAYFBgsGBgsYEA0QGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBj/wAARCAAYACADASIAAhEBAxEB/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/90ABAAE/9oADAMBAAIAAwAAPwBwIMEGOQBYaCoAPRBggxyALDQVABXAwQY5AFhoKgA9EGCDHIAsNBUAGeBRAoCuT6AM0DMBdIAAsQYIMcgCw0FQAeOCmCmIPBjAtAvhxDoHuCEDgTBoGQwGwagaBQKGAyVCAAGAYIMcgCw0FQAOBFEFMPYHDBCCEOIbB9AmA0EIZDIYDUMAUCAeGT6QgYUoAvQaANgQQCkB4Lwcw3DUCgaLoZDAZDYDg1IItIAZDJAKgYAGwBMDaDxBngmBaAgFDAFAwDAOAoESIEAgsKgFIIFDAENBpAHMAwQY5AFhoKgA9EGCDHIAsNBUAGJBglRSAD0QYJUUgAoAUQOAoCpQB1IMwEoHCwAbYGCDHIAsNBUAHLBG4H6BzwcYF0GcCqDxA0QRAhBYBGCqBwLIIgVARAUOgLAJw3AoHAQCAQDQRgQWgQCAUCghA4CAQDwOAoEA0MgUMAUCgQAiEBglRSAEvoJ4CeUBhprIK7nQLQAqQeYGcCIGkDaBlgrgnDIagUCAmIAFFpAAxIgDXAtgpgaDSBnAcCkCYDgKBAMA8DgMAgFDAYDIYAgFDJVAgFKoEAgB/9k="
 )
