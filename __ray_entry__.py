@@ -36,6 +36,10 @@ DECONTAM_MOD = 97  # synthetic benchmark subset: doc_id % 97 == 0
 SCRUB_DENYLIST = ("dup", "slow", "spark")  # sorted; whole-word blocklist
 SCRUB_PLANT_MOD = 3  # every 3rd doc gets deterministic planted PII
 SEQ_BUDGET = 512  # tokens per packed training sequence
+SAMPLE_SEED = "s42"  # seeded-hash sampling namespace
+SAMPLE_RATES_MICRO = {"en": 600_000, "es": 350_000, "zh": 200_000}
+SAMPLE_DEFAULT_MICRO = 100_000
+SOURCE_CAP = 15  # max docs kept per source (testdata: ~25/source, so it bites)
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -541,6 +545,38 @@ def _text_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=SEQ_BUDGET, part_span=64).sort("doc_id")
 
 
+def _text_sample_stratified(sf_dir: str):
+    """Seeded per-language downsampling (training-mix shaping): keep
+    docs whose md5(seed:id) bucket clears the language's micro-rate."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        ds, SAMPLE_RATES_MICRO, SAMPLE_DEFAULT_MICRO, seed=SAMPLE_SEED
+    ).sort("doc_id")
+
+
+def _text_source_cap(sf_dir: str):
+    """Per-source quota (per-domain caps): <= SOURCE_CAP docs per source
+    by seeded-hash order, two-phase partial + groupby finalize."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.sampling import cap_per_source
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return cap_per_source(ds, SOURCE_CAP, seed=SAMPLE_SEED).sort("doc_id")
+
+
 def _queries_embeddings(sf_dir: str):
     import os
 
@@ -844,6 +880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": _text_decontaminate,
         "text_scrub": _text_scrub,
         "text_pack_sequences": _text_pack_sequences,
+        "text_sample_stratified": _text_sample_stratified,
+        "text_source_cap": _text_source_cap,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1513,6 +1551,34 @@ def oracle_sql() -> dict[str, str]:
                               - (cum_before // {SEQ_BUDGET}) + 1
                          ELSE 0 END)::BIGINT AS n_seqs
             FROM w ORDER BY doc_id
+        """,
+        "text_sample_stratified": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       (md5_number_lower('{SAMPLE_SEED}:' || doc_id)::HUGEINT
+                        % 1000000)::BIGINT AS bucket,
+                       CASE lang
+                           {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_MICRO.items())}
+                           ELSE {SAMPLE_DEFAULT_MICRO} END AS thresh
+                FROM documents
+            )
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < thresh ORDER BY doc_id
+        """,
+        "text_source_cap": f"""
+            WITH b AS (
+                SELECT doc_id, source,
+                       (md5_number_lower('{SAMPLE_SEED}:' || doc_id)::HUGEINT
+                        % 1000000)::BIGINT AS bucket
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY bucket, doc_id
+                )::BIGINT AS rk FROM b
+            )
+            SELECT doc_id, source, bucket, rk FROM r
+            WHERE rk <= {SOURCE_CAP} ORDER BY doc_id
         """,
         "ann_cosine_topk": f"""
             WITH q AS (

@@ -531,6 +531,63 @@ class TestPackSequences:
         assert a == b
 
 
+class TestSampling:
+    """Seeded stratified sampling + per-source caps (stages/sampling.py)."""
+
+    def test_stratified_rate_and_determinism(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.sampling import stratified_sample
+
+        n = 4000
+        langs = [("en", "de", "fr")[i % 3] for i in range(n)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64()), "lang": langs})
+        ).repartition(4)
+        rates = {"en": 500_000, "de": 100_000}
+        out1 = sorted(
+            r["doc_id"]
+            for r in stratified_sample(ds, rates, 250_000, concurrency=1).take_all()
+        )
+        out2 = sorted(
+            r["doc_id"]
+            for r in stratified_sample(ds, rates, 250_000, concurrency=1).take_all()
+        )
+        assert out1 == out2  # pure function of (seed, id)
+        kept = {"en": 0, "de": 0, "fr": 0}
+        for i in out1:
+            kept[langs[i]] += 1
+        per = n // 3
+        assert abs(kept["en"] / per - 0.5) < 0.05
+        assert abs(kept["de"] / per - 0.1) < 0.03
+        assert abs(kept["fr"] / per - 0.25) < 0.05
+
+    def test_source_cap_matches_global_sort(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.sampling import _hash_buckets, cap_per_source
+
+        n, cap = 600, 7
+        srcs = [f"s{i % 9}" for i in range(n)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64()), "source": srcs})
+        ).repartition(6)  # each block sees ~11 rows/source > cap: partial bites
+        got = {
+            r["doc_id"]: (r["source"], r["rk"])
+            for r in cap_per_source(ds, cap, concurrency=1).take_all()
+        }
+        b = _hash_buckets("s42", np.arange(n, dtype=np.int64))
+        want = {}
+        for s in set(srcs):
+            members = sorted(
+                (i for i in range(n) if srcs[i] == s), key=lambda i: (b[i], i)
+            )
+            for rk, i in enumerate(members[:cap], 1):
+                want[i] = (s, rk)
+        assert got == want
+        assert len(got) == 9 * cap
+
+
 _PINNED_420_JPEG_B64 = (
     "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQDAwMDAgQDAwMEBAQFBgoGBgUFBgwICQcKDgwPDg4MDQ0PERYTDxAVEQ0NExoTFRcYGRkZDxIbHRsYHRYYGRj/2wBDAQQEBAYFBgsGBgsYEA0QGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBj/wAARCAAYACADASIAAhEBAxEB/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/90ABAAE/9oADAMBAAIAAwAAPwBwIMEGOQBYaCoAPRBggxyALDQVABXAwQY5AFhoKgA9EGCDHIAsNBUAGeBRAoCuT6AM0DMBdIAAsQYIMcgCw0FQAeOCmCmIPBjAtAvhxDoHuCEDgTBoGQwGwagaBQKGAyVCAAGAYIMcgCw0FQAOBFEFMPYHDBCCEOIbB9AmA0EIZDIYDUMAUCAeGT6QgYUoAvQaANgQQCkB4Lwcw3DUCgaLoZDAZDYDg1IItIAZDJAKgYAGwBMDaDxBngmBaAgFDAFAwDAOAoESIEAgsKgFIIFDAENBpAHMAwQY5AFhoKgA9EGCDHIAsNBUAGJBglRSAD0QYJUUgAoAUQOAoCpQB1IMwEoHCwAbYGCDHIAsNBUAHLBG4H6BzwcYF0GcCqDxA0QRAhBYBGCqBwLIIgVARAUOgLAJw3AoHAQCAQDQRgQWgQCAUCghA4CAQDwOAoEA0MgUMAUCgQAiEBglRSAEvoJ4CeUBhprIK7nQLQAqQeYGcCIGkDaBlgrgnDIagUCAmIAFFpAAxIgDXAtgpgaDSBnAcCkCYDgKBAMA8DgMAgFDAYDIYAgFDJVAgFKoEAgB/9k="
 )
