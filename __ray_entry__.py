@@ -40,6 +40,7 @@ SAMPLE_SEED = "s42"  # seeded-hash sampling namespace
 SAMPLE_RATES_MICRO = {"en": 600_000, "es": 350_000, "zh": 200_000}
 SAMPLE_DEFAULT_MICRO = 100_000
 SOURCE_CAP = 15  # max docs kept per source (testdata: ~25/source, so it bites)
+SPAN_K = 8  # tokens per dedup span (C4-style repeated-span removal)
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -545,6 +546,23 @@ def _text_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=SEQ_BUDGET, part_span=64).sort("doc_id")
 
 
+def _text_dedup_spans(sf_dir: str):
+    """C4-style span-level dedup: every repeated K-token span is dropped
+    except its first occurrence (ordered by doc_id, span_idx), then docs
+    are rewritten from their surviving spans. Globally exact: each span
+    hash is routed to exactly one partition."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.spans import dedup_spans
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup_spans(ds, k=SPAN_K, num_parts=32, rewrite=True).sort("doc_id")
+
+
 def _text_sample_stratified(sf_dir: str):
     """Seeded per-language downsampling (training-mix shaping): keep
     docs whose md5(seed:id) bucket clears the language's micro-rate."""
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": _text_decontaminate,
         "text_scrub": _text_scrub,
         "text_pack_sequences": _text_pack_sequences,
+        "text_dedup_spans": _text_dedup_spans,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1551,6 +1570,30 @@ def oracle_sql() -> dict[str, str]:
                               - (cum_before // {SEQ_BUDGET}) + 1
                          ELSE 0 END)::BIGINT AS n_seqs
             FROM w ORDER BY doc_id
+        """,
+        "text_dedup_spans": f"""
+            WITH tokarr AS (
+                SELECT doc_id, str_split(text, ' ') AS arr FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, ((i - 1) // {SPAN_K})::BIGINT AS span_idx,
+                       string_agg(arr[i], ' ' ORDER BY i) AS span
+                FROM tokarr, unnest(range(1, len(arr) + 1)) AS t(i)
+                GROUP BY doc_id, (i - 1) // {SPAN_K}
+            ),
+            kept AS (
+                SELECT doc_id, span_idx, span,
+                       row_number() OVER (
+                           PARTITION BY
+                               (md5_number_lower(span)::HUGEINT % {FP_MOD_SQL})
+                           ORDER BY doc_id, span_idx) AS rn
+                FROM spans
+            )
+            SELECT doc_id,
+                   string_agg(span, ' ' ORDER BY span_idx) AS text,
+                   count(*)::BIGINT AS n_spans
+            FROM kept WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "text_sample_stratified": f"""
             WITH b AS (

@@ -531,6 +531,96 @@ class TestPackSequences:
         assert a == b
 
 
+class TestSpanDedup:
+    """C4-style K-token span dedup (stages/spans.py): global
+    first-occurrence semantics vs a brute-force Python oracle, and the
+    rewrite path's document reassembly."""
+
+    DOCS = [
+        "a b c d e f",  # spans (k=3): "a b c", "d e f"
+        "a b c x y z",  # "a b c" repeats -> dropped here
+        "d e f",  # whole doc is a repeated span -> doc disappears
+        "x y z a b c",  # "x y z" is NOT a span of doc1 ("x y z" starts at idx 1 there)
+        "q",  # short doc, 1 partial span
+        "a b c d e f",  # full duplicate of doc 0 -> disappears
+    ]
+
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), type=pa.int64()),
+                    "text": self.DOCS,
+                }
+            )
+        ).repartition(3)
+
+    def _oracle(self, k):
+        seen, out = set(), {}
+        for did, text in enumerate(self.DOCS):
+            toks = text.split(" ")
+            kept = []
+            for si in range(0, len(toks), k):
+                span = " ".join(toks[si : si + k])
+                if span not in seen:
+                    seen.add(span)
+                    kept.append(span)
+            if kept:
+                out[did] = (" ".join(kept), len(kept))
+        return out
+
+    @pytest.mark.parametrize("k", [3, 8])
+    def test_rewrite_matches_bruteforce(self, ray_session, k):
+        from oscar_ray.stages.spans import dedup_spans
+
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans"])
+            for r in dedup_spans(
+                self._ds(), k=k, num_parts=8, rewrite=True, concurrency=1
+            ).take_all()
+        }
+        assert got == self._oracle(k)
+
+    def test_kept_hashes_unique_and_first(self, ray_session):
+        from oscar_ray.stages.spans import dedup_spans
+
+        rows = dedup_spans(self._ds(), k=3, num_parts=8, concurrency=1).take_all()
+        hashes = [r["span_hash"] for r in rows]
+        assert len(hashes) == len(set(hashes))  # one survivor per span
+        # doc 2 == span "d e f" which first occurs in doc 0 -> no rows
+        assert all(r["doc_id"] != 2 for r in rows)
+        assert all(r["doc_id"] != 5 for r in rows)
+
+    def test_num_parts_invariant(self, ray_session):
+        from oscar_ray.stages.spans import dedup_spans
+
+        a = sorted(
+            map(
+                tuple,
+                (
+                    (r["doc_id"], r["text"], r["n_spans"])
+                    for r in dedup_spans(
+                        self._ds(), k=3, num_parts=1, rewrite=True, concurrency=1
+                    ).take_all()
+                ),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                (
+                    (r["doc_id"], r["text"], r["n_spans"])
+                    for r in dedup_spans(
+                        self._ds(), k=3, num_parts=16, rewrite=True, concurrency=1
+                    ).take_all()
+                ),
+            )
+        )
+        assert a == b
+
+
 class TestSampling:
     """Seeded stratified sampling + per-source caps (stages/sampling.py)."""
 
