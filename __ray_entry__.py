@@ -41,6 +41,7 @@ SAMPLE_RATES_MICRO = {"en": 600_000, "es": 350_000, "zh": 200_000}
 SAMPLE_DEFAULT_MICRO = 100_000
 SOURCE_CAP = 15  # max docs kept per source (testdata: ~25/source, so it bites)
 SPAN_K = 8  # tokens per dedup span (C4-style repeated-span removal)
+CURATE_QMIN_MICRO = 300_000  # quality gate for the end-to-end curation pipeline
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
 MAX_PREFIX_EXPANSIONS_SQL = 256  # == oscar_ray.query.engine.MAX_PREFIX_EXPANSIONS
@@ -563,6 +564,37 @@ def _text_dedup_spans(sf_dir: str):
     return dedup_spans(ds, k=SPAN_K, num_parts=32, rewrite=True).sort("doc_id")
 
 
+def _pipeline_curate(sf_dir: str):
+    """End-to-end curation: scrub -> quality gate -> seeded sample (one
+    fused row-local actor stage) -> exact dedup keep-first -> span dedup
+    rewrite -> sequence packing. One lazy streaming Dataset graph; the
+    composite DuckDB oracle applies the same stages in the same pinned
+    order."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.pipelines.curate import curate_corpus
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return curate_corpus(
+        ds,
+        denylist=SCRUB_DENYLIST,
+        quality_min_micro=CURATE_QMIN_MICRO,
+        rates_micro=SAMPLE_RATES_MICRO,
+        default_micro=SAMPLE_DEFAULT_MICRO,
+        seed=SAMPLE_SEED,
+        span_k=SPAN_K,
+        budget=SEQ_BUDGET,
+        part_span=64,
+        concurrency=2,  # two pools (gate + span explode): 4 actors, leave
+        # CPU headroom for read/groupby tasks at the driver's num_cpus=8
+    ).sort("doc_id")
+
+
 def _text_sample_stratified(sf_dir: str):
     """Seeded per-language downsampling (training-mix shaping): keep
     docs whose md5(seed:id) bucket clears the language's micro-rate."""
@@ -899,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_scrub": _text_scrub,
         "text_pack_sequences": _text_pack_sequences,
         "text_dedup_spans": _text_dedup_spans,
+        "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1594,6 +1627,125 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_spans
             FROM kept WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "pipeline_curate": f"""
+            -- same pinned stage order as pipelines/curate.py:
+            -- scrub -> quality gate -> seeded sample -> exact dedup
+            -- keep-first -> span dedup rewrite -> sequence packing
+            WITH s1 AS (
+                SELECT doc_id, lang,
+                       regexp_replace(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                           '<EMAIL>', 'g') AS t
+                FROM documents
+            ),
+            s2 AS (
+                SELECT doc_id, lang,
+                       regexp_replace(t,
+                           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, lang,
+                       regexp_replace(t, '\\+?[0-9][0-9()\\-\\s]{{6,}}[0-9]',
+                           '<PHONE>', 'g') AS t
+                FROM s2
+            ),
+            scrubbed AS (
+                SELECT doc_id, lang,
+                       regexp_replace(t, '\\b(?:{'|'.join(SCRUB_DENYLIST)})\\b',
+                           '<DENIED>', 'g') AS text
+                FROM s3
+            ),
+            tokq AS (
+                SELECT doc_id, t.term
+                FROM scrubbed,
+                     unnest(regexp_split_to_array(lower(text),
+                            '{TOKEN_SPLIT_SQL}')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            stq AS (
+                SELECT doc_id,
+                       count(*)::DOUBLE AS n,
+                       sum(CASE WHEN term IN ({_sql_stoplist('en')})
+                           THEN 1 ELSE 0 END)::DOUBLE AS hits,
+                       count(DISTINCT term)::DOUBLE AS u,
+                       sum(length(term))::DOUBLE AS sl
+                FROM tokq GROUP BY doc_id
+            ),
+            gate AS (
+                SELECT s.doc_id, s.text
+                FROM scrubbed s JOIN stq USING (doc_id)
+                WHERE floor((
+                          0.25 * least(stq.n / 256.0, 1.0)
+                          + 0.25 * least(stq.u / stq.n, 1.0)
+                          + 0.25 * least((stq.hits / stq.n) * 5.0, 1.0)
+                          + 0.25 * least(greatest(((stq.sl / stq.n) - 2.0)
+                                                  / 8.0, 0.0), 1.0)
+                      ) * 1e6)::BIGINT >= {CURATE_QMIN_MICRO}
+                  AND (md5_number_lower('{SAMPLE_SEED}:' || s.doc_id)::HUGEINT
+                       % 1000000)
+                      < CASE s.lang
+                          {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_MICRO.items())}
+                          ELSE {SAMPLE_DEFAULT_MICRO} END
+            ),
+            ed AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (
+                               PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM gate
+                ) WHERE rn = 1
+            ),
+            sparr AS (SELECT doc_id, str_split(text, ' ') AS arr FROM ed),
+            spans AS (
+                SELECT doc_id, ((i - 1) // {SPAN_K})::BIGINT AS span_idx,
+                       string_agg(arr[i], ' ' ORDER BY i) AS span
+                FROM sparr, unnest(range(1, len(arr) + 1)) AS t(i)
+                GROUP BY doc_id, (i - 1) // {SPAN_K}
+            ),
+            spkept AS (
+                SELECT doc_id, span_idx, span,
+                       row_number() OVER (
+                           PARTITION BY
+                               (md5_number_lower(span)::HUGEINT % {FP_MOD_SQL})
+                           ORDER BY doc_id, span_idx) AS rn
+                FROM spans
+            ),
+            rw AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY span_idx) AS text
+                FROM spkept WHERE rn = 1 GROUP BY doc_id
+            ),
+            tok2 AS (
+                SELECT doc_id, t.term
+                FROM rw, unnest(regexp_split_to_array(lower(text),
+                                '{TOKEN_SPLIT_SQL}')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            c AS (
+                SELECT rw.doc_id, coalesce(cnt.n, 0)::BIGINT AS n_tokens
+                FROM rw LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id
+                ) cnt USING (doc_id)
+            ),
+            w AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS cum_before
+                FROM c
+            )
+            SELECT doc_id, n_tokens, cum_before,
+                   (cum_before // {SEQ_BUDGET})::BIGINT AS seq_id,
+                   (cum_before % {SEQ_BUDGET})::BIGINT AS seq_offset,
+                   (CASE WHEN n_tokens > 0
+                         THEN ((cum_before + n_tokens - 1) // {SEQ_BUDGET})
+                              - (cum_before // {SEQ_BUDGET}) + 1
+                         ELSE 0 END)::BIGINT AS n_seqs
+            FROM w ORDER BY doc_id
         """,
         "text_sample_stratified": f"""
             WITH b AS (

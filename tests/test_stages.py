@@ -621,6 +621,116 @@ class TestSpanDedup:
         assert a == b
 
 
+class TestCuratePipeline:
+    """End-to-end curation composition (pipelines/curate.py): the
+    distributed graph must equal a single-batch sequential run of the
+    same stage callables, and exact_dedup_keep must carry columns."""
+
+    def _table(self, n=40):
+        # duplicate texts (i % 7) so exact dedup bites; lang mix so the
+        # sampler's per-stratum rates bite
+        texts = [
+            " ".join(f"w{(i % 7) * 3 + j % 5} common tail" for j in range(6))
+            for i in range(n)
+        ]
+        langs = [["en", "es", "zh", "fr"][i % 4] for i in range(n)]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+
+    def test_exact_dedup_keep_carries_columns(self, ray_session):
+        import ray.data
+
+        from oscar_ray.pipelines.curate import exact_dedup_keep
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2, 0], type=pa.int64()),
+                "text": ["a", "b", "a", "b"],
+                "lang": ["en", "es", "en", "es"],
+            }
+        )
+        rows = sorted(
+            exact_dedup_keep(ray.data.from_arrow(t).repartition(2)).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [(r["doc_id"], r["text"], r["lang"]) for r in rows] == [
+            (0, "b", "es"),
+            (2, "a", "en"),
+        ]
+
+    def test_pipeline_equals_sequential_single_batch(self, ray_session):
+        import ray.data
+
+        from oscar_ray.pipelines.curate import CurateGate, curate_corpus
+        from oscar_ray.stages.packing import pack_sequences
+        from oscar_ray.stages.spans import dedup_spans
+
+        kw = dict(
+            denylist=("common",),
+            quality_min_micro=100_000,
+            rates_micro={"en": 900_000, "es": 700_000},
+            default_micro=500_000,
+            seed="s42",
+        )
+        t = self._table()
+        got = sorted(
+            curate_corpus(
+                ray.data.from_arrow(t).repartition(4),
+                span_k=3,
+                budget=10,
+                num_parts=8,
+                part_span=4,
+                concurrency=1,
+                **kw,
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+
+        # sequential reference: gate in one batch, then brute-force
+        # dedup / span dedup / packing in plain Python
+        gated = CurateGate(**kw)(t)
+        seen_text, rows = set(), []
+        for did, text in zip(
+            gated["doc_id"].to_pylist(), gated["text"].to_pylist()
+        ):
+            if text in seen_text:
+                continue
+            seen_text.add(text)
+            rows.append((did, text))
+        seen_span, rewritten = set(), []
+        for did, text in rows:
+            toks = text.split(" ")
+            keep = []
+            for si in range(0, len(toks), 3):
+                sp = " ".join(toks[si : si + 3])
+                if sp not in seen_span:
+                    seen_span.add(sp)
+                    keep.append(sp)
+            if keep:
+                rewritten.append((did, " ".join(keep)))
+        want_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in rewritten], type=pa.int64()),
+                    "text": [t for _, t in rewritten],
+                }
+            )
+        )
+        want = sorted(
+            pack_sequences(want_ds, budget=10, part_span=4, concurrency=1).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == want
+        assert len(got) > 0
+        # dedup actually dropped duplicate-text docs
+        assert len(got) < len(gated)
+
+
 class TestSampling:
     """Seeded stratified sampling + per-source caps (stages/sampling.py)."""
 
