@@ -1,0 +1,147 @@
+"""CLI for the end-to-end training-data curation pipeline.
+
+Usage:
+  python scripts/oscar_curate.py -i /path/to/documents(.parquet|dir) \
+      -o /tmp/curated [--quality-min-micro 300000] [--rates en=600000,es=350000] \
+      [--default-rate 100000] [--span-k 8] [--budget 512] \
+      [--denylist dup,slow] [--num-cpus 32] [--num-parts 32]
+
+Runs scrub -> quality gate -> seeded sample -> exact dedup -> span dedup
+-> sequence packing (pipelines/curate.py) as one streaming Dataset graph
+and writes partitioned parquet. The output commit is ATOMIC: blocks
+stream into ``<out>.tmp`` and the directory is renamed into place with a
+JSON manifest only after the write completes, so an interrupted run
+never leaves a half-written output that a downstream consumer could
+mistake for finished (the same atomic-marker discipline as the index
+builder's per-partition resume markers, index/build.py).
+
+Reference analog: the single-config multi-stage processing chain of
+``oscar-create/oscarcreate.cpp:82-116``, pointed at corpus curation
+instead of index construction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_rates(s: str | None) -> dict[str, int]:
+    if not s:
+        return {}
+    out = {}
+    for kv in s.split(","):
+        k, v = kv.split("=")
+        out[k.strip()] = int(v)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Curate a documents corpus")
+    ap.add_argument("--input", "-i", required=True, help="documents parquet file/dir")
+    ap.add_argument("--out", "-o", required=True, help="output directory")
+    ap.add_argument("--quality-min-micro", type=int, default=300_000)
+    ap.add_argument("--rates", help="per-lang micro keep rates, e.g. en=600000,es=350000")
+    ap.add_argument("--default-rate", type=int, default=1_000_000,
+                    help="micro keep rate for langs not in --rates (default: keep all)")
+    ap.add_argument("--seed", default="s42")
+    ap.add_argument("--span-k", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=512, help="tokens per packed sequence")
+    ap.add_argument("--denylist", help="comma-separated blocklist terms")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--num-parts", type=int, default=32, help="dedup routing partitions")
+    ap.add_argument("--concurrency", type=int, default=4, help="actors per stateful stage")
+    ap.add_argument("--force", action="store_true", help="overwrite a finished output")
+    args = ap.parse_args()
+
+    manifest_path = os.path.join(args.out, "_MANIFEST.json")
+    if os.path.exists(manifest_path) and not args.force:
+        print(f"output already finished ({manifest_path}); use --force to redo",
+              file=sys.stderr)
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": repo_root}},
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from oscar_ray.pipelines.curate import curate_corpus
+
+    path = args.input
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    ds = ray.data.read_parquet(files, columns=["doc_id", "text", "lang"])
+
+    t0 = time.time()
+    curated = curate_corpus(
+        ds,
+        denylist=tuple(sorted(args.denylist.split(","))) if args.denylist else (),
+        quality_min_micro=args.quality_min_micro,
+        rates_micro=_parse_rates(args.rates),
+        default_micro=args.default_rate,
+        seed=args.seed,
+        span_k=args.span_k,
+        budget=args.budget,
+        num_parts=args.num_parts,
+        concurrency=args.concurrency,
+    )
+
+    tmp = args.out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    curated.write_parquet(tmp)
+    wall = time.time() - t0
+
+    # row count from footers only (no data read)
+    import pyarrow.parquet as pq
+
+    out_files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
+
+    if os.path.exists(args.out):
+        shutil.rmtree(args.out)
+    os.replace(tmp, args.out)
+    manifest = {
+        "n_rows": n_rows,
+        "n_files": len(out_files),
+        "wall_s": round(wall, 3),
+        "config": {
+            "quality_min_micro": args.quality_min_micro,
+            "rates_micro": _parse_rates(args.rates),
+            "default_rate_micro": args.default_rate,
+            "seed": args.seed,
+            "span_k": args.span_k,
+            "budget": args.budget,
+            "denylist": sorted(args.denylist.split(",")) if args.denylist else [],
+            "num_parts": args.num_parts,
+        },
+        "input_files": len(files),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(json.dumps(manifest))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
