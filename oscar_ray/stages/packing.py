@@ -79,6 +79,11 @@ def pack_sequences(
         ),
         batch_format="pyarrow",
     )
+    # counts is consumed TWICE (per-part totals, then the finish
+    # groupby); pin the small (id, n_tokens, part) table in the object
+    # store so the upstream lineage — which may be a whole curation
+    # graph — executes once, not once per pass
+    counts = counts.materialize()
 
     # pass 1: per-part totals (small), exclusive scan on the driver
     part_rows = counts.groupby("part").sum("n_tokens").take_all()
