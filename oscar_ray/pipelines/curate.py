@@ -66,7 +66,9 @@ class CurateGate:
     ):
         self.id_col, self.text_col, self.lang_col = id_col, text_col, lang_col
         self.qmin = quality_min_micro
-        self.scrub = ScrubStage(denylist=denylist, id_col=id_col, text_col=text_col)
+        self.scrub = ScrubStage(
+            denylist=denylist, id_col=id_col, text_col=text_col, counts=False
+        )
         self.scorer = QualityScorer(id_col=id_col, text_col=text_col)
         self.sampler = StratifiedSampleStage(
             rates_micro, default_micro, seed, id_col=id_col, stratum_col=lang_col
@@ -141,10 +143,16 @@ def curate_corpus(
     num_parts: int = 32,
     part_span: int = DEFAULT_PART_SPAN,
     concurrency: int = 4,
+    output: str = "packed",
 ) -> ray.data.Dataset:
     """documents(doc_id, text, lang) -> packed training-sequence layout
     (doc_id, n_tokens, cum_before, seq_id, seq_offset, n_seqs) over the
-    scrubbed, quality-gated, sampled, exact- and span-deduped corpus."""
+    scrubbed, quality-gated, sampled, exact- and span-deduped corpus.
+
+    ``output="corpus"`` stops after the span-dedup rewrite and returns
+    the curated corpus itself (doc_id, text, n_spans) — the shape the
+    index builder consumes (``oscar_create --id-column doc_id``), so
+    curation chains straight into index construction."""
     gated = ds.map_batches(
         CurateGate,
         fn_constructor_kwargs={
@@ -159,8 +167,16 @@ def curate_corpus(
     )
     deduped = exact_dedup_keep(gated, num_parts=num_parts)
     rewritten = dedup_spans(
-        deduped, k=span_k, num_parts=num_parts, rewrite=True, concurrency=concurrency
+        deduped,
+        k=span_k,
+        num_parts=num_parts,
+        rewrite=True,
+        concurrency=concurrency,
+        # corpus output keeps lang so the index builder can field-index it
+        carry_cols=("lang",) if output == "corpus" else (),
     )
+    if output == "corpus":
+        return rewritten
     return pack_sequences(
         rewritten, budget=budget, part_span=part_span, concurrency=concurrency
     )

@@ -47,8 +47,10 @@ class ScrubStage:
         id_col: str = "doc_id",
         text_col: str = "text",
         mask: str = "<DENIED>",
+        counts: bool = True,
     ):
         self.id_col, self.text_col = id_col, text_col
+        self.counts = counts  # False halves the RE2 passes (replace only)
         self.patterns = list(PII_PATTERNS)
         if denylist:
             # whole-word alternation; terms sorted for a pinned pattern
@@ -63,9 +65,10 @@ class ScrubStage:
             self.id_col: batch[self.id_col]
         }
         for name, pat, repl in self.patterns:
-            cols[f"n_{name}"] = pc.cast(
-                pc.count_substring_regex(text, pat), pa.int64()
-            )
+            if self.counts:
+                cols[f"n_{name}"] = pc.cast(
+                    pc.count_substring_regex(text, pat), pa.int64()
+                )
             text = pc.replace_substring_regex(text, pat, repl)
         cols["text_scrubbed"] = text
         return pa.table(cols)

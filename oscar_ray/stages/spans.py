@@ -73,9 +73,11 @@ class SpanExplodeStage:
         id_col: str = "doc_id",
         text_col: str = "text",
         carry_text: bool = False,
+        carry_cols: tuple[str, ...] = (),
     ):
         self.k, self.num_parts = k, num_parts
         self.id_col, self.text_col, self.carry_text = id_col, text_col, carry_text
+        self.carry_cols = carry_cols  # per-doc columns repeated onto span rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
@@ -108,6 +110,12 @@ class SpanExplodeStage:
         }
         if self.carry_text:
             cols["span"] = spans
+        take = pa.array(doc_of)
+        for c in self.carry_cols:
+            col_c = batch[c]
+            cols[c] = (
+                col_c.combine_chunks() if isinstance(col_c, pa.ChunkedArray) else col_c
+            ).take(take)
         return pa.table(cols)
 
 
@@ -129,12 +137,15 @@ def dedup_spans(
     text_col: str = "text",
     rewrite: bool = False,
     concurrency: int = 4,
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Global first-occurrence dedup of K-token spans.
 
     Returns kept ``(doc_id, span_idx, span_hash)`` rows, or — with
     ``rewrite=True`` — the corpus rewritten as ``(doc_id, text,
     n_spans)`` with duplicate spans removed (fully-emptied docs drop).
+    ``carry_cols`` names per-doc columns to thread through the rewrite
+    (repeated onto span rows, re-collapsed per doc on reassembly).
     """
     exploded = ds.map_batches(
         SpanExplodeStage,
@@ -144,6 +155,7 @@ def dedup_spans(
             "id_col": id_col,
             "text_col": text_col,
             "carry_text": rewrite,
+            "carry_cols": carry_cols if rewrite else (),
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -170,13 +182,15 @@ def dedup_spans(
         span_list = pa.ListArray.from_arrays(
             pa.array(bounds, type=pa.int32()), spans
         )
-        return pa.table(
-            {
-                id_col: pa.array(ds_s[starts], type=pa.int64()),
-                text_col: pc.binary_join(span_list, " "),
-                "n_spans": pa.array(np.diff(bounds), type=pa.int64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(ds_s[starts], type=pa.int64()),
+            text_col: pc.binary_join(span_list, " "),
+            "n_spans": pa.array(np.diff(bounds), type=pa.int64()),
+        }
+        first_rows = pa.array(order[starts])
+        for c in carry_cols:
+            cols[c] = g[c].combine_chunks().take(first_rows)
+        return pa.table(cols)
 
     return (
         kept.map_batches(tag_doc_part, batch_format="pyarrow")

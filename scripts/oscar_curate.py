@@ -59,6 +59,14 @@ def main():
     ap.add_argument("--num-parts", type=int, default=32, help="dedup routing partitions")
     ap.add_argument("--concurrency", type=int, default=4, help="actors per stateful stage")
     ap.add_argument("--force", action="store_true", help="overwrite a finished output")
+    ap.add_argument(
+        "--output",
+        choices=["packed", "corpus"],
+        default="packed",
+        help="'packed' = training-sequence layout; 'corpus' = the curated "
+        "(doc_id, text, n_spans) corpus, indexable via oscar_create "
+        "--id-column doc_id",
+    )
     args = ap.parse_args()
 
     manifest_path = os.path.join(args.out, "_MANIFEST.json")
@@ -103,6 +111,7 @@ def main():
         budget=args.budget,
         num_parts=args.num_parts,
         concurrency=args.concurrency,
+        output=args.output,
     )
 
     tmp = args.out + ".tmp"
@@ -133,6 +142,7 @@ def main():
             "budget": args.budget,
             "denylist": sorted(args.denylist.split(",")) if args.denylist else [],
             "num_parts": args.num_parts,
+            "output": args.output,
         },
         "input_files": len(files),
     }
