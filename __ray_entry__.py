@@ -547,6 +547,22 @@ def _text_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=SEQ_BUDGET, part_span=64).sort("doc_id")
 
 
+def _text_bigram_lm(sf_dir: str):
+    """Corpus-trained add-one bigram LM scores per doc (CCNet-style
+    perplexity-filter primitive): integer micro-logprob totals, exact
+    vs the SQL oracle."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.lm import bigram_lm_scores
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bigram_lm_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
+
+
 def _text_dedup_spans(sf_dir: str):
     """C4-style span-level dedup: every repeated K-token span is dropped
     except its first occurrence (ordered by doc_id, span_idx), then docs
@@ -930,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": _text_decontaminate,
         "text_scrub": _text_scrub,
         "text_pack_sequences": _text_pack_sequences,
+        "text_bigram_lm": _text_bigram_lm,
         "text_dedup_spans": _text_dedup_spans,
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
@@ -1603,6 +1620,43 @@ def oracle_sql() -> dict[str, str]:
                               - (cum_before // {SEQ_BUDGET}) + 1
                          ELSE 0 END)::BIGINT AS n_seqs
             FROM w ORDER BY doc_id
+        """,
+        "text_bigram_lm": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+                FROM tokarr, unnest(range(1, len(arr))) AS t(i)
+            ),
+            cab AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
+            caa AS (SELECT a, sum(c)::BIGINT AS ca FROM cab GROUP BY a),
+            v AS (
+                SELECT count(DISTINCT t.term)::BIGINT AS v
+                FROM tokarr, unnest(arr) AS t(term)
+            ),
+            -- ln over exact-integer float64 operands, floored to an
+            -- int64 micro-logprob ONCE per distinct bigram: every
+            -- downstream sum is integer arithmetic (order-independent)
+            lp AS (
+                SELECT cab.a, cab.b,
+                       floor(ln((cab.c + 1)::DOUBLE / (caa.ca + v.v)::DOUBLE)
+                             * 1e6)::BIGINT AS lp
+                FROM cab JOIN caa USING (a) CROSS JOIN v
+            ),
+            docb AS (
+                SELECT doc_id, a, b, count(*)::BIGINT AS n
+                FROM big GROUP BY doc_id, a, b
+            )
+            SELECT doc_id,
+                   sum(n)::BIGINT AS n_bigrams,
+                   sum(n * lp.lp)::BIGINT AS lp_total_micro
+            FROM docb JOIN lp USING (a, b)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "text_dedup_spans": f"""
             WITH tokarr AS (

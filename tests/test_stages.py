@@ -621,6 +621,85 @@ class TestSpanDedup:
         assert a == b
 
 
+class TestBigramLM:
+    """Corpus-trained bigram LM scores (stages/lm.py) vs a brute-force
+    Python reference (math.log per bigram, exact integer sums)."""
+
+    DOCS = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a mat",
+        "the",  # single token -> no bigrams -> no row
+        "cat cat cat cat",  # repeated bigram occurrences
+        "",  # empty -> no row
+    ]
+
+    def _expected(self):
+        import math
+        from collections import Counter, defaultdict
+
+        toks = [t.split() if t else [] for t in self.DOCS]
+        vocab = {w for ts in toks for w in ts}
+        cab, ca = Counter(), Counter()
+        for ts in toks:
+            for x, y in zip(ts, ts[1:]):
+                cab[(x, y)] += 1
+                ca[x] += 1
+        lp = {
+            k: math.floor(math.log((c + 1.0) / (ca[k[0]] + float(len(vocab)))) * 1e6)
+            for k, c in cab.items()
+        }
+        out = defaultdict(lambda: [0, 0])
+        for did, ts in enumerate(toks):
+            for x, y in zip(ts, ts[1:]):
+                out[did][0] += 1
+                out[did][1] += lp[(x, y)]
+        return {d: tuple(v) for d, v in out.items()}
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.lm import bigram_lm_scores
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), type=pa.int64()),
+                    "text": self.DOCS,
+                }
+            )
+        ).repartition(3)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lp_total_micro"])
+            for r in bigram_lm_scores(ds, num_parts=4, concurrency=1).take_all()
+        }
+        assert got == self._expected()
+        assert 3 not in got and 5 not in got  # bigram-less docs emit no row
+
+    def test_num_parts_invariant(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.lm import bigram_lm_scores
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), type=pa.int64()),
+                    "text": self.DOCS,
+                }
+            )
+        )
+        a = sorted(
+            (r["doc_id"], r["n_bigrams"], r["lp_total_micro"])
+            for r in bigram_lm_scores(ds, num_parts=1, concurrency=1).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_bigrams"], r["lp_total_micro"])
+            for r in bigram_lm_scores(ds, num_parts=16, concurrency=1).take_all()
+        )
+        assert a == b
+
+
 class TestCuratePipeline:
     """End-to-end curation composition (pipelines/curate.py): the
     distributed graph must equal a single-batch sequential run of the
