@@ -41,6 +41,7 @@ SAMPLE_RATES_MICRO = {"en": 600_000, "es": 350_000, "zh": 200_000}
 SAMPLE_DEFAULT_MICRO = 100_000
 SOURCE_CAP = 15  # max docs kept per source (testdata: ~25/source, so it bites)
 SPAN_K = 8  # tokens per dedup span (C4-style repeated-span removal)
+SUBSTR_W = 8  # window width for ExactSubstr sliding-window dedup
 CURATE_QMIN_MICRO = 300_000  # quality gate for the end-to-end curation pipeline
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
@@ -580,6 +581,25 @@ def _text_dedup_spans(sf_dir: str):
     return dedup_spans(ds, k=SPAN_K, num_parts=32, rewrite=True).sort("doc_id")
 
 
+def _text_dedup_substr(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2022): windows slide at stride 1,
+    so any duplicated run of >= W tokens is cut from every occurrence
+    but the globally first (ordered by doc_id, pos) — duplicate ranges
+    at ARBITRARY alignment, strictly finer than C4 span dedup. Window
+    keys are position-weighted prefix-sum hashes in the mod-2^64 ring,
+    computed identically by numpy uint64 wrap and DuckDB HUGEINT."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.substr import dedup_substrings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup_substrings(ds, w=SUBSTR_W, num_parts=32, rewrite=True).sort("doc_id")
+
+
 def _pipeline_curate(sf_dir: str):
     """End-to-end curation: scrub -> quality gate -> seeded sample (one
     fused row-local actor stage) -> exact dedup keep-first -> span dedup
@@ -948,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_sequences": _text_pack_sequences,
         "text_bigram_lm": _text_bigram_lm,
         "text_dedup_spans": _text_dedup_spans,
+        "text_dedup_substr": _text_dedup_substr,
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
@@ -1657,6 +1678,73 @@ def oracle_sql() -> dict[str, str]:
                    sum(n * lp.lp)::BIGINT AS lp_total_micro
             FROM docb JOIN lp USING (a, b)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_dedup_substr": f"""
+            WITH tokarr AS (
+                SELECT doc_id, str_split(text, ' ') AS arr FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+                FROM tokarr, unnest(range(1, len(arr) + 1)) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id, pos, tok,
+                       md5_number_lower(tok)::HUGEINT % 2305843009213693951 AS th
+                FROM toks
+            ),
+            pre AS (
+                SELECT doc_id, pos, th,
+                       sum(th) OVER w AS s1,
+                       sum(th * (pos + 1)) OVER w AS s2,
+                       sum(th * (pos + 1) * (pos + 1)) OVER w AS s3
+                FROM h
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            wins AS (
+                SELECT doc_id, pos,
+                       lead(s1, {SUBSTR_W - 1}) OVER d - s1 + th AS a,
+                       lead(s2, {SUBSTR_W - 1}) OVER d - s2
+                           + th * (pos + 1) AS b,
+                       lead(s3, {SUBSTR_W - 1}) OVER d - s3
+                           + th * (pos + 1) * (pos + 1) AS c
+                FROM pre
+                WINDOW d AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            keys AS (
+                SELECT doc_id, pos,
+                       (b - pos * a)
+                           % CAST('18446744073709551616' AS HUGEINT) AS key1,
+                       (c - 2 * pos * b + pos * pos * a)
+                           % CAST('18446744073709551616' AS HUGEINT) AS key2
+                FROM wins WHERE a IS NOT NULL
+            ),
+            dup AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY key1, key2
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM keys)
+                WHERE rn > 1
+            ),
+            flags AS (
+                SELECT t.doc_id, t.pos, t.tok,
+                       coalesce(max(d.one) OVER (
+                           PARTITION BY t.doc_id ORDER BY t.pos
+                           ROWS BETWEEN {SUBSTR_W - 1} PRECEDING
+                                AND CURRENT ROW), 0) AS cut
+                FROM toks t
+                LEFT JOIN (SELECT doc_id, pos, 1 AS one FROM dup) d
+                  USING (doc_id, pos)
+            )
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos)
+                       FILTER (WHERE cut = 0) AS text,
+                   sum(cut)::BIGINT AS n_cut
+            FROM flags
+            GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE cut = 0) > 0
+            ORDER BY doc_id
         """,
         "text_dedup_spans": f"""
             WITH tokarr AS (

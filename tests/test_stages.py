@@ -1721,3 +1721,123 @@ class TestSketches:
         true = len({t for d in docs for t in d.split()})
         est = hll_distinct_terms(ds, p=12)
         assert abs(est - true) / true < 0.05, (est, true)
+
+
+class TestSubstrDedup:
+    """ExactSubstr sliding-window dedup (stages/substr.py): stride-1
+    duplicate-range removal vs a brute-force Python oracle, including
+    duplicates at arbitrary alignment (the case stride-K span dedup
+    misses when a passage straddles a span boundary)."""
+
+    @staticmethod
+    def _brute(docs, w):
+        seen, cuts = set(), {d: [] for d, _ in docs}
+        for d, t in sorted(docs):
+            toks = t.split(" ")
+            for p in range(len(toks) - w + 1):
+                key = tuple(toks[p : p + w])
+                if key in seen:
+                    cuts[d].append(p)
+                else:
+                    seen.add(key)
+        out = {}
+        for d, t in docs:
+            toks = t.split(" ")
+            cov = np.zeros(len(toks), dtype=bool)
+            for p in cuts[d]:
+                cov[p : min(p + w, len(toks))] = True
+            kept = [x for x, c in zip(toks, cov) if not c]
+            if kept:
+                out[d] = (" ".join(kept), int(cov.sum()))
+        return out
+
+    @staticmethod
+    def _ds(docs):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                    "text": pa.array([t for _, t in docs], type=pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    def _run(self, docs, w, num_parts=8):
+        from oscar_ray.stages.substr import dedup_substrings
+
+        return {
+            r["doc_id"]: (r["text"], r["n_cut"])
+            for r in dedup_substrings(
+                self._ds(docs), w=w, num_parts=num_parts, concurrency=1
+            ).take_all()
+        }
+
+    def test_arbitrary_alignment(self, ray_session):
+        """A passage repeated at a DIFFERENT offset is cut; span dedup
+        (stride K, K == w) would keep it because no aligned span repeats."""
+        docs = [
+            (0, "a b c d e f g h"),
+            (1, "x a b c d y z w"),  # "a b c d" repeats at offset 1
+            (2, "p q r s t u v"),
+        ]
+        got = self._run(docs, w=4)
+        assert got == self._brute(docs, w=4)
+        assert got[1] == ("x y z w", 4)
+        # contrast: aligned span dedup leaves doc 1 whole
+        from oscar_ray.stages.spans import dedup_spans
+
+        spans = {
+            r["doc_id"]: r["text"]
+            for r in dedup_spans(
+                self._ds(docs), k=4, num_parts=8, rewrite=True, concurrency=1
+            ).take_all()
+        }
+        assert spans[1] == "x a b c d y z w"
+
+    def test_full_duplicate_drops_and_short_docs_survive(self, ray_session):
+        docs = [
+            (0, "a b c d e"),
+            (1, "a b c d e"),  # exact duplicate -> fully cut -> drops
+            (2, "a b"),  # shorter than w -> no windows -> untouched
+        ]
+        got = self._run(docs, w=5)
+        assert got == self._brute(docs, w=5)
+        assert 1 not in got and got[2] == ("a b", 0)
+
+    def test_overlapping_self_repetition(self, ray_session):
+        """'abc abc abc ...' collapses to one period (cut intervals
+        merge across overlapping duplicate windows)."""
+        docs = [(0, " ".join(["a", "b", "c"] * 5)), (1, "u v w x y z")]
+        got = self._run(docs, w=3)
+        assert got == self._brute(docs, w=3)
+        assert got[0] == ("a b c", 12)
+
+    @pytest.mark.parametrize("w", [3, 5])
+    def test_random_corpus_matches_bruteforce(self, ray_session, w):
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(10)]
+        shared = " ".join(rng.choice(vocab, 7))
+        docs = []
+        for d in range(60):
+            toks = list(rng.choice(vocab, int(rng.integers(1, 40))))
+            if d % 4 == 0:
+                off = int(rng.integers(0, len(toks)))
+                toks = toks[:off] + shared.split(" ") + toks[off:]
+            docs.append((d, " ".join(toks)))
+        assert self._run(docs, w=w) == self._brute(docs, w=w)
+
+    def test_num_parts_invariant_and_cut_rows(self, ray_session):
+        from oscar_ray.stages.substr import dedup_substrings
+
+        docs = [(d, " ".join(f"d{d}t{i}" for i in range(20))) for d in range(20)]
+        docs.append((20, docs[3][1]))  # exact duplicate of doc 3
+        a = self._run(docs, w=4, num_parts=1)
+        b = self._run(docs, w=4, num_parts=32)
+        assert a == b
+        cuts = dedup_substrings(
+            self._ds(docs), w=4, num_parts=8, rewrite=False, concurrency=1
+        ).take_all()
+        assert all(r["doc_id"] != 3 for r in cuts)  # first occurrence kept
+        assert {r["doc_id"] for r in cuts} >= {20}
