@@ -113,6 +113,23 @@ def main():
     dt = sub.add_parser("dump-term")
     dt.add_argument("-t", "--term", required=True)
     dt.add_argument("--head", type=int, default=10)
+    dd = sub.add_parser(
+        "dump-doc", help="print one doc's docmeta row (dumpItem analog)"
+    )
+    dd.add_argument("-d", "--docid", type=int, required=True)
+    cq = sub.add_parser(
+        "cqr-size",
+        help="index bytes backing a query's result (printCQRDataSize analog)",
+    )
+    cq.add_argument("-q", "--query", required=True)
+    cq.add_argument("--head", type=int, default=10, help="largest terms printed")
+    it = sub.add_parser(
+        "interactive",
+        help="REPL completion loop; empty line quits (LiveCompletion analog)",
+    )
+    it.add_argument("-k", type=int, default=10)
+    it.add_argument("--mode", choices=["auto", "exhaustive"], default="auto")
+    it.add_argument("--show-docs", action="store_true")
     sub.add_parser("dump-dict")
     sub.add_parser("stats")
     ck = sub.add_parser("check")
@@ -319,6 +336,102 @@ def main():
         return
 
     reader = IndexReader(args.index)
+    if args.cmd == "dump-doc":
+        # the reference's -di work item (oscar-cmd/Workfunctions.cpp:892-895,
+        # store().at(id).print): resolve one docid against docmeta.
+        from oscar_ray.pipelines.facets import docmeta_lookup
+
+        import numpy as _np
+
+        rows = docmeta_lookup(args.index, _np.array([args.docid])).to_pylist()
+        if not rows:
+            print(json.dumps({"docid": args.docid, "found": False}))
+            return
+        print(json.dumps(rows[0] | {"found": True}))
+        return
+    if args.cmd == "cqr-size":
+        # the reference's --print-cqr-data-size work item
+        # (oscar-cmd/Workfunctions.cpp:254-292): per-result-set index
+        # sizes — here, the posting payload + metadata bytes of every
+        # term the query touches after prefix/suffix expansion.
+        from oscar_ray.query.engine import QueryEngine, expand_prefixes
+        from oscar_ray.query.parser import parse_query, query_terms
+
+        engine = QueryEngine(args.index, reader)
+        try:
+            tree = expand_prefixes(parse_query(args.query), reader)
+        except Exception as e:  # don't-crash contract, like query
+            print(f"# parse error: {e}", file=sys.stderr)
+            return
+        per_term = []
+        for term in sorted(set(query_terms(tree))):
+            tp = reader.postings(term)
+            nbytes = 0
+            for i in range(len(tp.block_ids)):
+                if tp._docs[i] is None and tp._fetch is not None:
+                    tp._docs[i], tp._tfs[i], tp._dls[i] = tp._fetch(i)
+                nbytes += len(tp._docs[i]) + len(tp._tfs[i]) + len(tp._dls[i])
+            meta_bytes = 8 * 3 * len(tp.block_ids)  # block_id/count/max_tfn
+            per_term.append((term, tp.df, len(tp.block_ids), nbytes, meta_bytes))
+        ids, _ = engine.search(args.query, k=1 << 62, mode="auto")
+        total_payload = sum(t[3] for t in per_term)
+        total_meta = sum(t[4] for t in per_term)
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "terms": len(per_term),
+                    "matched_docs": int(len(ids)),
+                    "payload_bytes": total_payload,
+                    "metadata_bytes": total_meta,
+                    "total_bytes": total_payload + total_meta,
+                }
+            )
+        )
+        for term, df, nblocks, nbytes, mbytes in sorted(
+            per_term, key=lambda t: -t[3]
+        )[: args.head]:
+            print(f"{term}\tdf={df}\tblocks={nblocks}\tpayload_bytes={nbytes}")
+        return
+    if args.cmd == "interactive":
+        # the reference's interactive completion REPL
+        # (oscar-cmd/LiveCompleter.cpp:276-310 doFullCompletion): read a
+        # query per line, evaluate, print top-k + phase timings; empty
+        # line (or EOF) quits.
+        from oscar_ray.query.engine import QueryEngine
+
+        engine = QueryEngine(args.index, reader, parallel_fetch=True)
+        if sys.stdin.isatty():
+            print("query> ", end="", flush=True)
+        for line in sys.stdin:
+            qstr = line.strip()
+            if not qstr:
+                break
+            ids, scores, timings = engine.search_timed(
+                qstr, k=args.k, mode=args.mode
+            )
+            if args.show_docs and len(ids):
+                from oscar_ray.pipelines.facets import docmeta_lookup
+
+                by_id = {
+                    r["docid"]: r
+                    for r in docmeta_lookup(args.index, ids).to_pylist()
+                }
+                for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+                    r = by_id.get(d, {})
+                    print(f"{rank}\t{d}\t{s:.6f}\t{r.get('url', '?')}")
+            else:
+                for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+                    print(f"{rank}\t{d}\t{s:.6f}")
+            phases = " ".join(
+                f"{k_}={v:.0f}us"
+                for k_, v in timings.items()
+                if not isinstance(v, bool)
+            )
+            print(f"# {len(ids)} results; {phases}", file=sys.stderr)
+            if sys.stdin.isatty():
+                print("query> ", end="", flush=True)
+        return
     if args.cmd == "mdrop":
         n = reader.drop_caches(page_cache=True)
         print(json.dumps({"fadvised_files": n}))

@@ -437,3 +437,55 @@ class TestFieldSearchFuzz:
                 assert abs(got[d] - want[d]) < 1e-12
             n_nonempty += bool(len(p_ids))
         assert n_nonempty > 20
+
+
+class TestCmdCliWorkItems:
+    """Smoke tests for the single-process oscar_cmd work items added for
+    reference parity: dump-doc (Workfunctions.cpp:892-895), cqr-size
+    (Workfunctions.cpp:254-292), interactive (LiveCompleter.cpp:276-310)."""
+
+    def _run(self, built_index_t1, argv, stdin=""):
+        import os
+        import subprocess
+        import sys as _sys
+
+        idx_dir = built_index_t1[0]
+        proc = subprocess.run(
+            [_sys.executable, "scripts/oscar_cmd.py", "-i", idx_dir, *argv],
+            input=stdin,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr
+        return proc.stdout
+
+    def test_dump_doc(self, built_index_t1):
+        import json
+
+        row = json.loads(self._run(built_index_t1, ["dump-doc", "-d", "0"]))
+        assert row["found"] and row["docid"] == 0 and "url" in row
+        miss = json.loads(self._run(built_index_t1, ["dump-doc", "-d", "99999999"]))
+        assert miss == {"docid": 99999999, "found": False}
+
+    def test_cqr_size(self, built_index_t1):
+        import json
+
+        out = self._run(built_index_t1, ["cqr-size", "-q", "waaa + wbaa"])
+        head = json.loads(out.splitlines()[0])
+        assert head["terms"] == 2
+        assert head["matched_docs"] > 0
+        assert head["total_bytes"] == head["payload_bytes"] + head["metadata_bytes"]
+        assert head["payload_bytes"] > 0
+
+    def test_interactive_repl(self, built_index_t1):
+        out = self._run(
+            built_index_t1,
+            ["interactive", "-k", "3"],
+            stdin="waaa wbaa\n\nignored after quit\n",
+        )
+        lines = [l for l in out.splitlines() if l]
+        assert 1 <= len(lines) <= 3
+        rank, docid, score = lines[0].split("\t")
+        assert rank == "1" and float(score) > 0
