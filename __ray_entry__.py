@@ -42,6 +42,7 @@ SAMPLE_DEFAULT_MICRO = 100_000
 SOURCE_CAP = 15  # max docs kept per source (testdata: ~25/source, so it bites)
 SPAN_K = 8  # tokens per dedup span (C4-style repeated-span removal)
 SUBSTR_W = 8  # window width for ExactSubstr sliding-window dedup
+BPE_MERGES = 64  # merges learned by the corpus-trained BPE tokenizer
 CURATE_QMIN_MICRO = 300_000  # quality gate for the end-to-end curation pipeline
 COSINE_TAU = 0.4  # testdata embeddings are near-orthogonal (max pair ~0.51)
 ANN_K, ANN_NQ = 10, 3
@@ -600,6 +601,30 @@ def _text_dedup_substr(sf_dir: str):
     return dedup_substrings(ds, w=SUBSTR_W, num_parts=32, rewrite=True).sort("doc_id")
 
 
+def _text_bpe_tokens(sf_dir: str):
+    """Corpus-trained BPE tokenizer (Sennrich et al. 2016 Algorithm 1)
+    applied back to the corpus: one hash-routed exact word-count
+    exchange collapses the corpus to a vocab-sized table, iterative
+    merge learning runs on sharded persistent actors exchanging sparse
+    pair-count deltas (driver holds only the pair-count table), then an
+    actor-pool encode emits per-doc BPE token counts. No SQL oracle —
+    iterative merge training is not DuckDB-expressible; pytest pins
+    parity with a sequential reference implementation."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.bpe import bpe_token_counts, train_bpe
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    model = train_bpe(
+        ds, num_merges=BPE_MERGES, min_count=2, num_shards=4, concurrency=2
+    )
+    return bpe_token_counts(ds, model, concurrency=2).sort("doc_id")
+
+
 def _pipeline_curate(sf_dir: str):
     """End-to-end curation: scrub -> quality gate -> seeded sample (one
     fused row-local actor stage) -> exact dedup keep-first -> span dedup
@@ -969,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": _text_bigram_lm,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
+        "text_bpe_tokens": _text_bpe_tokens,
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,

@@ -1841,3 +1841,116 @@ class TestSubstrDedup:
         ).take_all()
         assert all(r["doc_id"] != 3 for r in cuts)  # first occurrence kept
         assert {r["doc_id"] for r in cuts} >= {20}
+
+
+class TestBPE:
+    """Distributed BPE training (stages/bpe.py) vs a sequential
+    reference implementation of Sennrich Algorithm 1 with the same
+    pinned tie-break (count desc, symbol-string pair asc)."""
+
+    TEXTS = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "that cat is the best cat",
+        "matting the mats",
+        "on and on and on",
+        "cat cat cat dog dog",
+    ] * 3
+
+    @staticmethod
+    def _ref_bpe(texts, num_merges, min_count=1):
+        from collections import Counter
+
+        from oscar_ray.spec.tokenizer import tokenize_text
+        from oscar_ray.stages.bpe import EOW_ID, MERGE_BASE
+
+        wc = Counter()
+        for t in texts:
+            for w in tokenize_text(t):
+                wc[w] += 1
+        wc = {w: c for w, c in wc.items() if c >= min_count}
+        seqs = {w: [ord(ch) for ch in w] + [EOW_ID] for w in wc}
+        sym = {}
+
+        def s2s(x):
+            if x in sym:
+                return sym[x]
+            return "</w>" if x == EOW_ID else chr(x)
+
+        merges = []
+        for m in range(num_merges):
+            pc_ = Counter()
+            for w, c in wc.items():
+                for p in zip(seqs[w], seqs[w][1:]):
+                    pc_[p] += c
+            live = [(p, c) for p, c in pc_.items() if c >= 2]
+            if not live:
+                break
+            (a, b), _ = min(
+                live, key=lambda kv: (-kv[1], s2s(kv[0][0]), s2s(kv[0][1]))
+            )
+            nid = MERGE_BASE + m
+            merges.append((a, b))
+            sym[nid] = s2s(a) + s2s(b)
+            for w in wc:
+                seq, out, i = seqs[w], [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(nid)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seqs[w] = out
+        return merges, sym, seqs
+
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.TEXTS)), type=pa.int64()),
+                    "text": pa.array(self.TEXTS),
+                }
+            )
+        ).repartition(4)
+
+    @pytest.mark.parametrize("num_shards", [1, 4])
+    def test_merges_match_reference(self, ray_session, num_shards):
+        from oscar_ray.stages.bpe import train_bpe
+
+        model = train_bpe(
+            self._ds(), num_merges=30, num_shards=num_shards, concurrency=1
+        )
+        want, _, _ = self._ref_bpe(self.TEXTS, 30)
+        assert model.merges == want
+
+    def test_min_count_prunes_tail(self, ray_session):
+        from oscar_ray.stages.bpe import train_bpe
+
+        model = train_bpe(self._ds(), num_merges=10, min_count=3, concurrency=1)
+        want, _, _ = self._ref_bpe(self.TEXTS, 10, min_count=3)
+        assert model.merges == want
+
+    def test_encode_reproduces_training_segmentation(self, ray_session):
+        from oscar_ray.stages.bpe import encode_word, train_bpe
+
+        model = train_bpe(self._ds(), num_merges=30, num_shards=2, concurrency=1)
+        _, _, seqs = self._ref_bpe(self.TEXTS, 30)
+        for w, seq in seqs.items():
+            assert encode_word(w, model.ranks) == seq, w
+
+    def test_token_counts(self, ray_session):
+        from oscar_ray.spec.tokenizer import tokenize_text
+        from oscar_ray.stages.bpe import bpe_token_counts, train_bpe
+
+        model = train_bpe(self._ds(), num_merges=12, num_shards=2, concurrency=1)
+        _, _, seqs = self._ref_bpe(self.TEXTS, 12)
+        rows = bpe_token_counts(self._ds(), model, concurrency=1).sort(
+            "doc_id"
+        ).take_all()
+        for r in rows:
+            toks = tokenize_text(self.TEXTS[r["doc_id"]])
+            assert r["n_words"] == len(toks)
+            assert r["n_bpe_tokens"] == sum(len(seqs[w]) for w in toks)
