@@ -565,6 +565,23 @@ def _text_bigram_lm(sf_dir: str):
     return bigram_lm_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _text_topk_terms_by_lang(sf_dir: str):
+    """Exact per-language top-10 terms by collection frequency: routed
+    partial counts (hash(term) % P keeps every (lang, term) pair in one
+    partition), per-partition per-group local top-k, group-count-bounded
+    driver merge."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.sketches import topk_terms_by_group
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    return topk_terms_by_group(ds, group_col="lang", k=10)
+
+
 def _text_dedup_spans(sf_dir: str):
     """C4-style span-level dedup: every repeated K-token span is dropped
     except its first occurrence (ordered by doc_id, span_idx), then docs
@@ -995,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
         "text_bpe_tokens": _text_bpe_tokens,
+        "text_topk_terms_by_lang": _text_topk_terms_by_lang,
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
@@ -1434,6 +1452,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK_CTE}
             SELECT term, count(*)::BIGINT AS cf FROM tok
             GROUP BY term ORDER BY cf DESC, term LIMIT 20
+        """,
+        "text_topk_terms_by_lang": f"""
+            WITH tokl AS (
+                SELECT d.lang, t.term
+                FROM documents d,
+                     unnest(regexp_split_to_array(lower(d.text),
+                            '{TOKEN_SPLIT_SQL}')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            cnt AS (
+                SELECT lang, term, count(*)::BIGINT AS cf
+                FROM tokl GROUP BY lang, term
+            ),
+            ranked AS (
+                SELECT lang, term, cf,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cf DESC, term) AS rn
+                FROM cnt
+            )
+            SELECT lang, term, cf FROM ranked WHERE rn <= 10
+            ORDER BY lang, cf DESC, term
         """,
         "text_repetition": f"""
             WITH tokarr AS (

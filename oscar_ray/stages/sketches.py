@@ -321,3 +321,93 @@ def hll_distinct_terms(
     if est <= 2.5 * m and zeros:  # small-range correction
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def topk_terms_by_group(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    k: int = 10,
+    text_col: str = "text",
+    concurrency: int = 2,
+    num_parts: int = 16,
+) -> pa.Table:
+    """EXACT per-group top-k terms by collection frequency ->
+    (group, term, cf), ordered (group asc, cf desc, term asc).
+
+    Same discipline as :func:`topk_frequent_terms`, with the routing key
+    hash(term) alone: every (group, term) combination still lands in
+    exactly one partition (a term's rows all share a part, whatever
+    their group), each partition emits its local per-group top-k, and
+    the driver merges <= P * |groups| * k rows. Group cardinality is
+    assumed facet-like (languages, sources); the driver merge is
+    group-count-bounded, never vocabulary-bounded.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gcol = batch[group_col]
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        parent, tokens_a = flatten_tokens(batch[text_col])
+        groups = gcol.take(parent)
+        t = pa.table({"g": groups, "term": tokens_a})
+        agg = t.group_by(["g", "term"]).aggregate([([], "count_all")])
+        from oscar_ray.stages.dedup import hash_strings_u64
+
+        parts = (
+            hash_strings_u64(agg["term"].combine_chunks())
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                group_col: agg["g"],
+                "term": agg["term"],
+                "cf": agg["count_all"].cast(pa.int64()),
+                "part": pa.array(parts),
+            }
+        )
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(
+            g[[group_col, "term", "cf"]], preserve_index=False
+        )
+        agg = t.group_by([group_col, "term"]).aggregate([("cf", "sum")])
+        gv = agg[group_col].to_numpy(zero_copy_only=False)
+        terms = agg["term"].to_numpy(zero_copy_only=False)
+        cf = agg["cf_sum"].to_numpy()
+        order = np.lexsort((terms, -cf, gv))
+        gv, terms, cf = gv[order], terms[order], cf[order]
+        starts = np.concatenate([[True], gv[1:] != gv[:-1]])
+        rank = np.arange(len(gv)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(gv)), -1)
+        )
+        keep = rank < k
+        return pd.DataFrame(
+            {group_col: gv[keep], "term": terms[keep], "cf": cf[keep].astype(np.int64)}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .take_all()
+    )  # <= P * |groups| * k rows
+    if not rows:
+        return pa.table(
+            {
+                group_col: pa.array([], type=pa.string()),
+                "term": pa.array([], type=pa.string()),
+                "cf": pa.array([], type=pa.int64()),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df = df.sort_values(
+        [group_col, "cf", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    df = df.groupby(group_col, sort=True).head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            group_col: pa.array(df[group_col], type=pa.string()),
+            "term": pa.array(df["term"], type=pa.string()),
+            "cf": pa.array(df["cf"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -279,6 +279,16 @@ def dedup_substrings(
     unioned = ds.map_batches(docs_side, batch_format="pyarrow").union(
         cuts.map_batches(cuts_side, batch_format="pyarrow")
     )
+    # Bound the block count entering the doc-routed exchange: Ray's sort
+    # shuffle cuts each map block into one piece per reduce partition
+    # (reduce partitions == input blocks), and pieces under the ~100 KB
+    # inline threshold bypass plasma and accumulate in the OWNER
+    # process's heap — a many-small-blocks union would put ~corpus bytes
+    # on the driver transiently. Coalescing to O(num_parts) blocks keeps
+    # every piece plasma-sized; 64 distinct routing keys never need more
+    # reduce partitions than that anyway. (Measured: 2M docs, 128-block
+    # union -> 1.8 GB driver peak; coalesced -> plasma-resident.)
+    unioned = unioned.repartition(num_parts)
     return unioned.groupby("dpart").map_groups(
         lambda g: _apply_cuts(g.drop_columns(["dpart"]), w, id_col, text_col),
         batch_format="pyarrow",

@@ -123,6 +123,16 @@ def main():
     )
     cq.add_argument("-q", "--query", required=True)
     cq.add_argument("--head", type=int, default=10, help="largest terms printed")
+    cp = sub.add_parser(
+        "complete",
+        help="top term completions for a prefix, ranked by collection "
+        "frequency (the CellTextCompleter trie-descent analog)",
+    )
+    cp.add_argument("-p", "--prefix", required=True)
+    cp.add_argument("-n", type=int, default=10)
+    cp.add_argument(
+        "--scan-cap", type=int, default=4096, help="max dictionary range scanned"
+    )
     it = sub.add_parser(
         "interactive",
         help="REPL completion loop; empty line quits (LiveCompletion analog)",
@@ -392,6 +402,29 @@ def main():
             per_term, key=lambda t: -t[3]
         )[: args.head]:
             print(f"{term}\tdf={df}\tblocks={nblocks}\tpayload_bytes={nbytes}")
+        return
+    if args.cmd == "complete":
+        # oscar's signature operation: prefix -> ranked completions. The
+        # reference resolves a prefix to a trie subtree
+        # (sserialize HashBasedFlatTrie; CompletionStringCreators.cpp);
+        # here it's the sorted-dictionary range scan + per-term (df, cf)
+        # stats, ranked by cf desc then term asc.
+        from oscar_ray.spec.tokenizer import tokenize_text
+
+        toks = tokenize_text(args.prefix)
+        prefix = toks[0] if toks else ""
+        if not prefix:
+            print("# empty prefix after normalization", file=sys.stderr)
+            return
+        terms = reader.terms_with_prefix(prefix, limit=args.scan_cap)
+        stats = [(t, *reader.term_stats(t)) for t in terms]
+        stats.sort(key=lambda x: (-x[2], x[0]))
+        for t, df, cf in stats[: args.n]:
+            print(f"{t}\tcf={cf}\tdf={df}")
+        print(
+            f"# {len(terms)} terms in range (scan cap {args.scan_cap})",
+            file=sys.stderr,
+        )
         return
     if args.cmd == "interactive":
         # the reference's interactive completion REPL

@@ -95,7 +95,7 @@ def main():
         .sum("n")
     )
     rec["groupby_control"] = {
-        "rows": int(ctrl["sum(n)"]),
+        "rows": int(ctrl),
         "secs": round(time.perf_counter() - t0, 1),
         "driver_rss_growth_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 - rss0, 1

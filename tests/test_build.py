@@ -515,3 +515,58 @@ class TestConfigFuzz:
                 b_ids, b_sc = eng.search(q, k=30, mode="exhaustive")
                 assert a_ids.tolist() == b_ids.tolist(), (trial, q)
                 np.testing.assert_allclose(a_sc, b_sc)
+
+
+class TestKillResumeCli:
+    """True fault injection on the CLI build: SIGKILL the oscar_create
+    subprocess at an arbitrary point mid-build, then resume (the default)
+    — artifacts must be byte-identical to an uninterrupted build. The
+    per-partition atomic markers make any kill point safe (FIXTURES §4.4
+    extends the constructed-partial-state resume tests with a real kill)."""
+
+    def test_sigkill_mid_build_then_resume_identical(self, pages_t1, tmp_path):
+        import glob
+        import signal
+        import subprocess
+        import sys as _sys
+        import time
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        clean_dir = str(tmp_path / "clean")
+        kill_dir = str(tmp_path / "killed")
+        argv = [
+            _sys.executable,
+            "scripts/oscar_create.py",
+            "-i",
+            pages_t1,
+            "--num-cpus",
+            "4",
+            "--partitions",
+            "8",
+            "--block-span-bits",
+            "8",
+        ]
+        subprocess.run(
+            argv + ["-o", clean_dir], cwd=repo, capture_output=True, timeout=300, check=True
+        )
+        proc = subprocess.Popen(
+            argv + ["-o", kill_dir], cwd=repo,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        # kill as soon as the build has written SOMETHING (arbitrary point)
+        deadline = time.time() + 240
+        while time.time() < deadline and proc.poll() is None:
+            if glob.glob(os.path.join(kill_dir, "**", "*"), recursive=True):
+                break
+            time.sleep(0.05)
+        if proc.poll() is None:
+            time.sleep(0.5)  # let it get somewhere nondeterministic
+            proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+        # resume (default behavior) must complete and match the clean build
+        subprocess.run(
+            argv + ["-o", kill_dir], cwd=repo, capture_output=True, timeout=300, check=True
+        )
+        ha = _artifact_hashes(clean_dir)
+        hb = _artifact_hashes(kill_dir)
+        assert ha == hb and len(ha) > 0

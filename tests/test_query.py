@@ -489,3 +489,17 @@ class TestCmdCliWorkItems:
         assert 1 <= len(lines) <= 3
         rank, docid, score = lines[0].split("\t")
         assert rank == "1" and float(score) > 0
+
+    def test_complete(self, built_index_t1):
+        out = self._run(built_index_t1, ["complete", "-p", "wa", "-n", "5"])
+        lines = out.strip().splitlines()
+        assert 1 <= len(lines) <= 5
+        cfs = []
+        for line in lines:
+            term, cf_s, df_s = line.split("\t")
+            assert term.startswith("wa")
+            cf = int(cf_s.removeprefix("cf="))
+            df = int(df_s.removeprefix("df="))
+            assert cf >= df > 0
+            cfs.append(cf)
+        assert cfs == sorted(cfs, reverse=True)

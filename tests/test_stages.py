@@ -1954,3 +1954,50 @@ class TestBPE:
             toks = tokenize_text(self.TEXTS[r["doc_id"]])
             assert r["n_words"] == len(toks)
             assert r["n_bpe_tokens"] == sum(len(seqs[w]) for w in toks)
+
+
+class TestTopkTermsByGroup:
+    """Per-group exact top-k terms (sketches.py): routed partials vs a
+    brute-force Counter, including the per-partition local-top-k cut."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from oscar_ray.spec.tokenizer import tokenize_text
+        from oscar_ray.stages.sketches import topk_terms_by_group
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(40)]
+        langs = ["en", "de", "fr"]
+        docs = [
+            (langs[i % 3], " ".join(rng.choice(vocab, 30)))
+            for i in range(300)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([l for l, _ in docs]),
+                    "text": pa.array([t for _, t in docs]),
+                }
+            )
+        ).repartition(4)
+        k = 5
+        got = topk_terms_by_group(ds, group_col="lang", k=k, concurrency=1)
+        got_rows = list(
+            zip(
+                got["lang"].to_pylist(),
+                got["term"].to_pylist(),
+                got["cf"].to_pylist(),
+            )
+        )
+        cnt: dict = collections.defaultdict(collections.Counter)
+        for l, t in docs:
+            for w in tokenize_text(t):
+                cnt[l][w] += 1
+        want = []
+        for l in sorted(cnt):
+            ranked = sorted(cnt[l].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            want += [(l, t, c) for t, c in ranked]
+        assert got_rows == want
