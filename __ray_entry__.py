@@ -241,6 +241,12 @@ def _rel_events_asof(sf_dir: str):
     return events_asof_join(sf_dir)
 
 
+def _rel_events_sessions(sf_dir: str):
+    from oscar_ray.pipelines.relational import events_sessions
+
+    return events_sessions(sf_dir)
+
+
 def _rel_events_json(sf_dir: str):
     from oscar_ray.pipelines.relational import events_json_stats
 
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": _rel_events_window,
         "rel_events_sliding": _rel_events_sliding,
         "rel_events_asof": _rel_events_asof,
+        "rel_events_sessions": _rel_events_sessions,
         "rel_events_json": _rel_events_json,
         "emb_label_centroids": _emb_label_centroids,
         "dedup_exact": _dedup_exact,
@@ -1396,6 +1403,31 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
             ORDER BY a.event_id
+        """,
+        "rel_events_sessions": """
+            -- gap-based sessions: >12h inter-event gap opens a new session
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 43200000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts_us, value,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                       ) AS session_idx
+                FROM e
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   min(ts_us)::BIGINT AS session_start_us,
+                   max(ts_us)::BIGINT AS session_end_us,
+                   count(*)::BIGINT AS n_events,
+                   sum(floor(value * 1000000)::BIGINT)::BIGINT
+                       AS sum_value_micro
+            FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
         """,
         "rel_events_json": """
             SELECT event_type,

@@ -111,11 +111,15 @@ def exact_dedup_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int = 32,
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Rewrite-style exact dedup: keep the min-id row per identical text,
     carrying all columns through. Identical texts share a routing part by
     construction (part = hash(text) % P), so the keep-first decision is
-    globally exact with a bounded-cardinality groupby."""
+    globally exact with a bounded-cardinality groupby.
+
+    ``coalesce_blocks`` sizes the pre-groupby coalesce (see
+    ``stages/spans.dedup_spans`` for the piece-size arithmetic)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         h = hash_strings_u64(t[text_col])
@@ -125,6 +129,12 @@ def exact_dedup_keep(
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
+        # bound block count so sort sub-blocks exceed Ray's ~100 KB inline
+        # threshold and stay plasma-resident (see stages/substr.py rewrite
+        # note: corpus-text shuffles with many small blocks otherwise put
+        # ~corpus bytes on the owner heap transiently; piece size is
+        # ~corpus_bytes/B², so small corpora should pass a lower count)
+        .repartition(coalesce_blocks or num_parts)
         .groupby("part")
         .map_groups(lambda g: _keep_first_per_text(g, id_col), batch_format="pyarrow")
     )
@@ -144,6 +154,7 @@ def curate_corpus(
     part_span: int = DEFAULT_PART_SPAN,
     concurrency: int = 4,
     output: str = "packed",
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """documents(doc_id, text, lang) -> packed training-sequence layout
     (doc_id, n_tokens, cum_before, seq_id, seq_offset, n_seqs) over the
@@ -165,13 +176,16 @@ def curate_corpus(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    deduped = exact_dedup_keep(gated, num_parts=num_parts)
+    deduped = exact_dedup_keep(
+        gated, num_parts=num_parts, coalesce_blocks=coalesce_blocks
+    )
     rewritten = dedup_spans(
         deduped,
         k=span_k,
         num_parts=num_parts,
         rewrite=True,
         concurrency=concurrency,
+        coalesce_blocks=coalesce_blocks,
         # corpus output keeps lang so the index builder can field-index it
         carry_cols=("lang",) if output == "corpus" else (),
     )

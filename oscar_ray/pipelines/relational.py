@@ -452,3 +452,17 @@ def events_asof_join(sf_dir: str) -> pa.Table:
         joined.map_batches(finish, batch_format="pyarrow").to_pandas(),
         preserve_index=False,
     ).sort_by("event_id")
+
+
+def events_sessions(sf_dir: str, gap_us: int = 43_200_000_000) -> pa.Table:
+    """Gap-based sessionization over the events stream (windowed
+    aggregate / clickstream sequence-building; DuckDB window-function
+    oracle). -> (user_id, session_idx, session_start_us, session_end_us,
+    n_events, sum_value_micro)."""
+    from oscar_ray.stages.joins import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = sessionize(ev, gap_us=gap_us, num_parts=16)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by(
+        [("user_id", "ascending"), ("session_idx", "ascending")]
+    )

@@ -94,3 +94,95 @@ def asof_join(
         return pd.DataFrame(out)
 
     return merged.groupby("part").map_groups(join_partition, batch_format="pandas")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    gap_us: int = 43_200_000_000,
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: consecutive events of one key belong to
+    the same session while the inter-event gap is <= ``gap_us``; a larger
+    gap (or the key's first event) opens a new session.  The classic
+    clickstream/sequence-building op (the reference's per-item grouped
+    scans have no direct analog; this is the webtext-pipeline windowed
+    aggregate the brief's "windowed aggregate" row asks for).
+
+    -> (key, session_idx [1-based per key], session_start_us,
+    session_end_us, n_events, sum_value_micro).
+
+    Distributed shape: ONE hash(key) exchange (every event of a key in
+    one partition — the same partitioning assumption as asof_join), then
+    a per-partition vectorized pass: lexsort (key, ts, id), boundary
+    flags from diff, per-session aggregates via add.reduceat.  Session
+    identity never crosses partitions, so the result is globally exact.
+    ``sum_value_micro = sum(floor(value * 1e6))`` keeps the aggregate an
+    order-independent integer (the lm.py micro discipline).
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__key": t[key].combine_chunks().cast(pa.int64()),
+                "__ts": t[ts].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                "__id": t[id_col].combine_chunks().cast(pa.int64()),
+                "__vmicro": pa.array(
+                    np.floor(t[value].to_numpy(zero_copy_only=False) * 1e6).astype(
+                        np.int64
+                    )
+                ),
+                "part": pa.array(_part_col(t[key].to_numpy(), num_parts)),
+            }
+        )
+
+    def sess_partition(g: pa.Table) -> pa.Table:
+        k = g["__key"].to_numpy()
+        t = g["__ts"].to_numpy()
+        i = g["__id"].to_numpy()
+        v = g["__vmicro"].to_numpy()
+        if len(k) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=pa.int64()),
+                    "session_idx": pa.array([], type=pa.int64()),
+                    "session_start_us": pa.array([], type=pa.int64()),
+                    "session_end_us": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((i, t, k))
+        ks, ts_, vs = k[order], t[order], v[order]
+        n = len(ks)
+        new_key = np.concatenate([[True], ks[1:] != ks[:-1]])
+        is_new = new_key | np.concatenate([[True], (ts_[1:] - ts_[:-1]) > gap_us])
+        starts = np.flatnonzero(is_new)
+        bounds = np.append(starts, n)
+        # 1-based session ordinal per key: global session number minus the
+        # session number at the key's first row
+        sess_global = np.cumsum(is_new) - 1
+        key_first_sess = sess_global[np.flatnonzero(new_key)]
+        key_id = np.cumsum(new_key) - 1
+        sess_idx = sess_global[starts] - key_first_sess[key_id[starts]] + 1
+        return pa.table(
+            {
+                key: pa.array(ks[starts], type=pa.int64()),
+                "session_idx": pa.array(sess_idx, type=pa.int64()),
+                "session_start_us": pa.array(ts_[starts], type=pa.int64()),
+                "session_end_us": pa.array(ts_[bounds[1:] - 1], type=pa.int64()),
+                "n_events": pa.array(np.diff(bounds), type=pa.int64()),
+                "sum_value_micro": pa.array(
+                    np.add.reduceat(vs, starts), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sess_partition, batch_format="pyarrow")
+    )

@@ -138,6 +138,7 @@ def dedup_spans(
     rewrite: bool = False,
     concurrency: int = 4,
     carry_cols: tuple[str, ...] = (),
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Global first-occurrence dedup of K-token spans.
 
@@ -146,7 +147,17 @@ def dedup_spans(
     n_spans)`` with duplicate spans removed (fully-emptied docs drop).
     ``carry_cols`` names per-doc columns to thread through the rewrite
     (repeated onto span rows, re-collapsed per doc on reassembly).
+
+    ``coalesce_blocks`` (default ``num_parts``) bounds the block count
+    entering each text-carrying shuffle.  Ray's sort shuffle cuts each
+    of B map blocks into B reduce pieces, and pieces under the ~100 KB
+    inline threshold bypass plasma and land on the owner heap — so the
+    piece size is ~corpus_bytes / B².  Size it to keep pieces ≥ ~0.5 MB:
+    ``B ≈ sqrt(corpus_bytes / 5e5)``, clamped to [8, num_parts].  At
+    100-TB scale the default is always plasma-sized; only small corpora
+    need a lower value.
     """
+    cb = coalesce_blocks or num_parts
     exploded = ds.map_batches(
         SpanExplodeStage,
         fn_constructor_kwargs={
@@ -160,6 +171,11 @@ def dedup_spans(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    if rewrite:
+        # span rows carry text here: bound block count so sort sub-blocks
+        # exceed Ray's ~100 KB inline threshold and stay plasma-resident
+        # (see stages/substr.py rewrite note)
+        exploded = exploded.repartition(cb)
     kept = exploded.groupby("part").map_groups(
         lambda g: _first_occurrence(g, id_col), batch_format="pyarrow"
     )
@@ -194,6 +210,7 @@ def dedup_spans(
 
     return (
         kept.map_batches(tag_doc_part, batch_format="pyarrow")
+        .repartition(cb)  # same inline-threshold discipline
         .groupby("dpart")
         .map_groups(lambda g: reassemble(g.drop_columns(["dpart"])), batch_format="pyarrow")
     )

@@ -77,6 +77,10 @@ def main():
     probe_before = bench._alu_probe()
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     t0 = time.perf_counter()
+    # size the text-shuffle coalesce so sort-shuffle pieces
+    # (~corpus_bytes / B²) stay past Ray's ~100 KB inline threshold:
+    # B = sqrt(est_bytes / 0.5 MB), est ~250 B/doc, clamped to [8, 64]
+    coalesce = max(8, min(64, int((n_docs * 250 / 5e5) ** 0.5)))
     curated = curate_corpus(
         ds,
         denylist=("waaa", "wbab"),
@@ -87,6 +91,7 @@ def main():
         budget=2048,
         num_parts=64,
         concurrency=8,
+        coalesce_blocks=coalesce,
     )
     curated.write_parquet(out)
     wall = time.perf_counter() - t0

@@ -1673,6 +1673,68 @@ class TestAsofJoin:
         assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
 
 
+class TestSessionize:
+    def test_sessionize_vs_pandas(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.joins import sessionize
+
+        rng = np.random.default_rng(29)
+        n = 500
+        gap = 1_000_000  # 1 s in us
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": rng.integers(0, 12, n),
+                "ts": pd.to_datetime(rng.integers(0, 30 * 10**6, n), unit="us"),
+                "value": rng.random(n),
+            }
+        )
+        got = (
+            sessionize(
+                ray.data.from_arrow(pa.Table.from_pandas(df)),
+                gap_us=gap,
+                num_parts=4,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+        )
+        # pure-pandas reference
+        d = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ts_us = d["ts"].astype("int64") // 1000  # ns -> us
+        new = (d["user_id"].diff() != 0) | (ts_us.diff() > gap)
+        new.iloc[0] = True
+        d["sid"] = new.cumsum()
+        d["vmicro"] = np.floor(d["value"].to_numpy() * 1e6).astype(np.int64)
+        want = (
+            d.groupby(["user_id", "sid"], sort=True)
+            .agg(
+                start=("ts", "min"),
+                end=("ts", "max"),
+                n=("event_id", "size"),
+                sv=("vmicro", "sum"),
+            )
+            .reset_index()
+        )
+        want["session_idx"] = want.groupby("user_id").cumcount() + 1
+        want = want.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["session_idx"].tolist() == want["session_idx"].tolist()
+        assert (
+            got["session_start_us"].tolist()
+            == (want["start"].astype("int64") // 1000).tolist()
+        )
+        assert (
+            got["session_end_us"].tolist()
+            == (want["end"].astype("int64") // 1000).tolist()
+        )
+        assert got["n_events"].tolist() == want["n"].tolist()
+        assert got["sum_value_micro"].tolist() == want["sv"].tolist()
+
+
 class TestSketches:
     def test_topk_frequent_exact(self, dup_ds):
         from collections import Counter
