@@ -571,6 +571,41 @@ def _text_bigram_lm(sf_dir: str):
     return bigram_lm_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _text_nb_quality(sf_dir: str):
+    """Model-based quality filter (NBSVM log-count ratios over hashed
+    unigrams, curated-source weak labels): closed-form training + doc
+    scoring in one routed exchange, integer-micro scores exact vs SQL."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.classify import nb_quality_scores
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return nb_quality_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
+
+
+def _text_tfidf_keywords(sf_dir: str):
+    """Per-doc top-5 keywords by tf-idf: routed df exchange + per-doc
+    top-k, integer-micro idf exact vs the SQL window oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from oscar_ray.stages.sketches import tfidf_keywords
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows  # footer only
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return tfidf_keywords(ds, n_docs=n_docs, k=5, num_parts=32, concurrency=2).sort(
+        ["doc_id", "rank"]
+    )
+
+
 def _text_topk_terms_by_lang(sf_dir: str):
     """Exact per-language top-10 terms by collection frequency: routed
     partial counts (hash(term) % P keeps every (lang, term) pair in one
@@ -1016,6 +1051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_scrub": _text_scrub,
         "text_pack_sequences": _text_pack_sequences,
         "text_bigram_lm": _text_bigram_lm,
+        "text_nb_quality": _text_nb_quality,
+        "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
         "text_bpe_tokens": _text_bpe_tokens,
@@ -1775,6 +1812,79 @@ def oracle_sql() -> dict[str, str]:
                    sum(n * lp.lp)::BIGINT AS lp_total_micro
             FROM docb JOIN lp USING (a, b)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_tfidf_keywords": f"""
+            WITH {_TOK_CTE},
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            -- integer-micro idf: ln once per distinct term on exact-
+            -- integer float64 operands; scores stay integer arithmetic
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       (tf.tf * floor(ln((n.n + 1)::DOUBLE
+                                         / (df.df + 1)::DOUBLE)
+                                      * 1e6)::BIGINT)::BIGINT AS score_micro
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score_micro DESC, term
+                ) AS rnk FROM s
+            )
+            SELECT doc_id, term, tf, score_micro, rnk::BIGINT AS rank
+            FROM r WHERE rnk <= 5 ORDER BY doc_id, rank
+        """,
+        "text_nb_quality": f"""
+            WITH {_TOK_CTE},
+            lab AS (
+                SELECT doc_id,
+                       source IN ('src0','src1','src2','src3','src4') AS pos
+                FROM documents
+            ),
+            feats AS (
+                SELECT DISTINCT tok.doc_id,
+                       (md5_number_lower(term)::HUGEINT % 1048576)::BIGINT AS f
+                FROM tok
+            ),
+            tot AS (
+                SELECT (SELECT count(*) FROM lab WHERE pos)::BIGINT AS npos,
+                       (SELECT count(*) FROM lab WHERE NOT pos)::BIGINT AS nneg,
+                       count(*) FILTER (WHERE pos)::BIGINT AS pos_rows,
+                       count(*) FILTER (WHERE NOT pos)::BIGINT AS neg_rows
+                FROM feats JOIN lab USING (doc_id)
+            ),
+            -- NB log-count ratio, ln once per distinct feature on
+            -- float64 operands with the pinned association order; every
+            -- downstream sum is integer arithmetic
+            r AS (
+                SELECT f,
+                       floor(ln(((count(*) FILTER (WHERE pos) + 1)::DOUBLE
+                                 * (1048576 + tot.neg_rows)::DOUBLE)
+                                / ((count(*) FILTER (WHERE NOT pos) + 1)::DOUBLE
+                                   * (1048576 + tot.pos_rows)::DOUBLE))
+                             * 1e6)::BIGINT AS r_micro
+                FROM feats JOIN lab USING (doc_id) CROSS JOIN tot
+                GROUP BY f, tot.pos_rows, tot.neg_rows
+            ),
+            bias AS (
+                SELECT floor(ln(npos::DOUBLE / nneg::DOUBLE) * 1e6)::BIGINT AS b
+                FROM tot
+            )
+            SELECT feats.doc_id,
+                   max(lab.pos::BIGINT)::BIGINT AS label,
+                   count(*)::BIGINT AS n_feats,
+                   (sum(r.r_micro) + max(bias.b))::BIGINT AS nb_score_micro,
+                   ((sum(r.r_micro) + max(bias.b)) > 0)::BIGINT AS pred
+            FROM feats
+            JOIN r USING (f)
+            JOIN lab USING (doc_id)
+            CROSS JOIN bias
+            GROUP BY feats.doc_id
+            ORDER BY feats.doc_id
         """,
         "text_dedup_substr": f"""
             WITH tokarr AS (

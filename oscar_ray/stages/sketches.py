@@ -411,3 +411,131 @@ def topk_terms_by_group(
             "cf": pa.array(df["cf"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# -- TF-IDF keyword extraction ------------------------------------------------
+
+
+def tfidf_keywords(
+    ds,
+    n_docs: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+    concurrency: int = 2,
+):
+    """EXACT per-doc top-k keywords by tf-idf ->
+    (doc_id, term, tf, score_micro, rank), rank 1..k per doc ordered
+    (score desc, term asc). Ties are term-lexicographic, so the result
+    is total-order deterministic.
+
+        idf_micro = floor(ln((n_docs + 1) / (df + 1)) * 1e6)   int64
+        score     = tf * idf_micro                             int64
+
+    The integer-micro idf (ln once per DISTINCT term on float64 operands
+    built from exact integers) keeps every downstream comparison integer
+    arithmetic — hash-exact against the SQL oracle's window function.
+
+    Distributed shape (two bounded-part exchanges, the bigram-LM
+    pattern): per-batch (doc, term, tf) rows route by hash(term) % P,
+    so each part holds every occurrence row of its terms and df is
+    part-local; scored rows re-route by doc % P where a vectorized
+    lexsort keeps the per-doc top-k. The df table never leaves its
+    partition and the driver holds nothing — output is a Dataset of
+    <= n_docs * k rows.
+
+    ``n_docs`` is the corpus document count (parquet metadata at the
+    caller — no extra pass). Reference analog: the per-item top-scored
+    tag surface of KVStats (`oscar-cmd/Workfunctions.cpp` kvstats),
+    upgraded from facet counts to tf-idf relevance.
+    """
+    import pyarrow.compute as pc
+
+    from oscar_ray.stages.dedup import hash_strings_u64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        parent_a, tokens_a = flatten_tokens(batch[text_col])
+        parent = np.asarray(parent_a, dtype=np.int64)
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        denc = pc.dictionary_encode(tokens_a)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        nv = np.int64(len(denc.dictionary))
+        key = parent * nv + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        u_doc, u_code = uniq // nv, uniq % nv
+        terms = denc.dictionary.take(pa.array(u_code))
+        parts = (hash_strings_u64(terms) % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[u_doc], type=pa.int64()),
+                "term": terms,
+                "tf": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(parts),
+            }
+        )
+
+    def score_part(g: pa.Table) -> pa.Table:
+        terms = g["term"]
+        denc = pc.dictionary_encode(
+            terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        )
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        df_per_term = np.bincount(codes, minlength=len(denc.dictionary))
+        # ln once per distinct term; exact-integer float64 operands
+        idf_micro = np.floor(
+            np.log((n_docs + 1.0) / (df_per_term + 1.0)) * 1_000_000
+        ).astype(np.int64)
+        tf = g["tf"].to_numpy()
+        ids = g[id_col].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "term": denc.dictionary.take(pa.array(codes)),
+                "tf": pa.array(tf.astype(np.int64)),
+                "score_micro": pa.array(tf * idf_micro[codes]),
+                "dpart": pa.array(ids % np.int64(num_parts)),
+            }
+        )
+
+    def doc_topk(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy()
+        score = g["score_micro"].to_numpy()
+        order = np.lexsort((terms, -score, ids))
+        ids, terms, tf, score = ids[order], terms[order], tf[order], score[order]
+        starts = np.concatenate([[True], ids[1:] != ids[:-1]])
+        rank = np.arange(len(ids)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(ids)), -1)
+        )
+        keep = rank < k
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                "term": pa.array(terms[keep], type=pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64)),
+                "score_micro": pa.array(score[keep].astype(np.int64)),
+                "rank": pa.array((rank[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    scored = (
+        ds.map_batches(explode, batch_format="pyarrow", concurrency=concurrency)
+        .groupby("part")
+        .map_groups(lambda g: score_part(g.drop_columns(["part"])), batch_format="pyarrow")
+    )
+    return scored.groupby("dpart").map_groups(
+        lambda g: doc_topk(g.drop_columns(["dpart"])), batch_format="pyarrow"
+    )

@@ -1673,6 +1673,214 @@ class TestAsofJoin:
         assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
 
 
+class TestTfidfKeywords:
+    """Per-doc tf-idf top-k (stages/sketches.py) vs a brute-force
+    Python reference."""
+
+    DOCS = [
+        "cat cat dog mat",
+        "dog dog dog bird",
+        "cat mat mat zebra",
+        "",  # no tokens -> no rows
+        "unique singleton words here",
+    ]
+
+    def _expected(self, k=3):
+        import math
+        from collections import Counter
+
+        toks = [d.split() for d in self.DOCS]
+        n = len(self.DOCS)
+        df = Counter()
+        for ts in toks:
+            df.update(set(ts))
+        out = []
+        for did, ts in enumerate(toks):
+            tf = Counter(ts)
+            scored = [
+                (
+                    t,
+                    c,
+                    c * math.floor(math.log((n + 1.0) / (df[t] + 1.0)) * 1e6),
+                )
+                for t, c in tf.items()
+            ]
+            scored.sort(key=lambda x: (-x[2], x[0]))
+            for r, (t, c, s) in enumerate(scored[:k], 1):
+                out.append((did, t, c, s, r))
+        return sorted(out)
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.sketches import tfidf_keywords
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), type=pa.int64()),
+                    "text": self.DOCS,
+                }
+            )
+        ).repartition(2)
+        got = sorted(
+            (r["doc_id"], r["term"], r["tf"], r["score_micro"], r["rank"])
+            for r in tfidf_keywords(
+                ds, n_docs=len(self.DOCS), k=3, num_parts=4, concurrency=1
+            ).take_all()
+        )
+        assert got == self._expected(k=3)
+
+    def test_num_parts_invariant(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.sketches import tfidf_keywords
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), type=pa.int64()),
+                    "text": self.DOCS,
+                }
+            )
+        )
+        runs = [
+            sorted(
+                (r["doc_id"], r["term"], r["rank"])
+                for r in tfidf_keywords(
+                    ds, n_docs=len(self.DOCS), k=2, num_parts=p, concurrency=1
+                ).take_all()
+            )
+            for p in (1, 8)
+        ]
+        assert runs[0] == runs[1]
+
+
+class TestNBQuality:
+    """NB log-count-ratio quality classifier (stages/classify.py) vs a
+    brute-force Python reference, plus planted-signal separation."""
+
+    def _corpus(self, n=120, seed=7):
+        # planted signal: curated sources use 'clean' vocab, crawl
+        # sources mix in 'junk' vocab — the classifier must separate
+        rng = np.random.default_rng(seed)
+        clean = ["merge", "index", "query", "stream", "batch", "shard"]
+        junk = ["zzspam", "qqclick", "xxwin", "vvfree"]
+        docs, srcs = [], []
+        for i in range(n):
+            pos = i % 2 == 0
+            srcs.append("src1" if pos else "src9")
+            base = [clean[int(j)] for j in rng.integers(0, len(clean), 8)]
+            if not pos:
+                base += [junk[int(j)] for j in rng.integers(0, len(junk), 5)]
+            docs.append(" ".join(base))
+        return docs, srcs
+
+    def _expected(self, docs, srcs, n_buckets=1 << 20):
+        import hashlib
+        import math
+        from collections import Counter
+
+        def fid(t):
+            return (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                % n_buckets
+            )
+
+        feats = [sorted({fid(t) for t in d.split() if t}) for d in docs]
+        pos = [s == "src1" for s in srcs]
+        pc, nc = Counter(), Counter()
+        for fs, p in zip(feats, pos):
+            (pc if p else nc).update(fs)
+        npos, nneg = sum(pos), len(pos) - sum(pos)
+        ps = n_buckets + sum(pc.values())
+        qs = n_buckets + sum(nc.values())
+        bias = math.floor(math.log(float(npos) / float(nneg)) * 1e6)
+        out = {}
+        for did, (fs, p) in enumerate(zip(feats, pos)):
+            if not fs:
+                continue
+            s = bias + sum(
+                math.floor(
+                    math.log(
+                        ((pc[f] + 1.0) * float(qs)) / ((nc[f] + 1.0) * float(ps))
+                    )
+                    * 1e6
+                )
+                for f in fs
+            )
+            out[did] = (int(p), len(fs), s, int(s > 0))
+        return out
+
+    def test_matches_bruteforce_and_separates(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.classify import nb_quality_scores
+
+        docs, srcs = self._corpus()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": docs,
+                    "source": srcs,
+                }
+            )
+        ).repartition(3)
+        got = {
+            r["doc_id"]: (r["label"], r["n_feats"], r["nb_score_micro"], r["pred"])
+            for r in nb_quality_scores(ds, num_parts=4, concurrency=1).take_all()
+        }
+        assert got == self._expected(docs, srcs)
+        # planted signal: every junk-vocab doc must score below every
+        # clean doc (complete ranking separation, threshold-free)
+        pos_scores = [v[2] for v in got.values() if v[0] == 1]
+        neg_scores = [v[2] for v in got.values() if v[0] == 0]
+        assert min(pos_scores) > max(neg_scores)
+
+    def test_num_parts_invariant(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.classify import nb_quality_scores
+
+        docs, srcs = self._corpus(n=60)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": docs,
+                    "source": srcs,
+                }
+            )
+        )
+        a = sorted(
+            (r["doc_id"], r["nb_score_micro"], r["pred"])
+            for r in nb_quality_scores(ds, num_parts=1, concurrency=1).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["nb_score_micro"], r["pred"])
+            for r in nb_quality_scores(ds, num_parts=16, concurrency=1).take_all()
+        )
+        assert a == b
+
+    def test_single_class_raises(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.classify import nb_quality_scores
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": ["a b", "c d"],
+                    "source": ["src1", "src1"],
+                }
+            )
+        )
+        with pytest.raises(ValueError):
+            nb_quality_scores(ds, num_parts=2, concurrency=1).take_all()
+
+
 class TestSessionize:
     def test_sessionize_vs_pandas(self, ray_session):
         import pandas as pd
