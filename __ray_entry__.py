@@ -588,6 +588,24 @@ def _text_nb_quality(sf_dir: str):
     return nb_quality_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _emb_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): spherical k-means partitioning +
+    within-cluster greedy cosine near-dup removal (lowest id wins).
+    No SQL oracle (iterative k-means); pytest brute-force parity."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(
+        ds, k=8, threshold=COSINE_TAU, n_iter=4, concurrency=2
+    ).sort("vec_id")
+
+
 def _text_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 keywords by tf-idf: routed df exchange + per-doc
     top-k, integer-micro idf exact vs the SQL window oracle."""
@@ -1064,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_dup_pairs": _emb_dup_pairs,
+        "emb_semantic_dedup": _emb_semantic_dedup,
         "mm_image_features": _mm_image_features,
         "mm_image_features_jpeg": _mm_image_features_jpeg,
         "mm_image_features_png": _mm_image_features_png,

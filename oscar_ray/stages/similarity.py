@@ -676,3 +676,129 @@ def knn_lsh_partitioned(
         concurrency=concurrency,
     ).take_all()
     return _merge_topk(partials, len(q), k, id_col)
+
+
+# -- SemDeDup: cluster-partitioned semantic dedup ----------------------------
+
+
+def _greedy_keep(vecs: np.ndarray, threshold: float, block: int = 512) -> np.ndarray:
+    """Greedy lowest-id-wins near-dup removal over NORMALIZED rows
+    (already sorted by id ascending): row j is dropped iff some KEPT
+    earlier row i < j has cos(i, j) >= threshold. Returns a bool keep
+    mask. Blocked: O(n^2 / block) matmuls against the kept prefix plus a
+    short within-block resolution loop (sequential dependence is real —
+    a dropped row must not veto later rows)."""
+    n = len(vecs)
+    keep = np.ones(n, dtype=bool)
+    kept_rows: list[np.ndarray] = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        blk = vecs[s:e]
+        # killed by any kept row from EARLIER blocks (one matmul)
+        if kept_rows:
+            prev = np.concatenate(kept_rows, axis=0)
+            dead = (blk @ prev.T).max(axis=1) >= threshold
+        else:
+            dead = np.zeros(e - s, dtype=bool)
+        # within-block sequential resolution on the block self-sims
+        sims = blk @ blk.T
+        for j in range(e - s):
+            if dead[j]:
+                continue
+            alive_before = np.flatnonzero(~dead[:j])
+            if len(alive_before) and sims[j, alive_before].max() >= threshold:
+                dead[j] = True
+        keep[s:e] = ~dead
+        if (e - s) - int(dead.sum()):
+            kept_rows.append(blk[~dead])
+    return keep
+
+
+class _ClusterAssignStage:
+    """map_batches: (id, vec) -> (id, vec, cluster) with argmax-cosine
+    assignment against broadcast centroids (ties to the lowest cluster
+    id, the kmeans_fit contract)."""
+
+    def __init__(self, centroids_ref, id_col: str, vec_col: str):
+        self.centroids = np.asarray(ray.get(centroids_ref))
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        if len(m) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=pa.int64()),
+                    self.vec_col: batch[self.vec_col],
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        cluster = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].cast(pa.int64()),
+                self.vec_col: batch[self.vec_col],
+                "cluster": pa.array(cluster),
+            }
+        )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    threshold: float = 0.85,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): distributed spherical k-means
+    partitions the embedding space; WITHIN each cluster a greedy
+    lowest-id-wins sweep drops any vector with cosine >= ``threshold``
+    to an earlier kept vector. -> (vec_id, cluster, keep) for every
+    input row.
+
+    Deterministic at any parallelism: kmeans_fit is order-independent,
+    assignment ties break to the lowest cluster id, and the keep
+    decision depends only on the cluster's id-sorted member list.
+
+    Distributed shape: centroids broadcast once (``ray.put``); ONE
+    cluster-routed exchange co-locates each cluster's members; the
+    quadratic work is per-cluster (the SemDeDup accepted cost — the
+    paper's pairwise pass is exactly this), blocked matmuls against the
+    kept prefix. Partitioning assumption: k is sized so one cluster's
+    vectors fit a worker (n/k x dim on average); skewed clusters degrade
+    wall-clock, not correctness.
+    """
+    centroids = kmeans_fit(
+        ds, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        concurrency=concurrency,
+    )
+    assigned = ds.map_batches(
+        _ClusterAssignStage,
+        fn_constructor_kwargs={
+            "centroids_ref": ray.put(centroids),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        vecs = _normalize(_batch_matrix(g, vec_col))[order]
+        keep = _greedy_keep(vecs, threshold)
+        cl = g["cluster"].to_numpy()[order]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                "cluster": pa.array(cl, type=pa.int64()),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow"
+    )

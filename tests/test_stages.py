@@ -1673,6 +1673,78 @@ class TestAsofJoin:
         assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
 
 
+class TestSemanticDedup:
+    """SemDeDup composition (stages/similarity.py::semantic_dedup) vs a
+    plain-python reference over the same fitted centroids."""
+
+    def _data(self, seed=3, n_dirs=4, per_dir=20, dups=6, dim=12):
+        # well-separated direction groups with planted near-duplicates
+        rng = np.random.default_rng(seed)
+        dirs = np.linalg.qr(rng.standard_normal((dim, n_dirs)))[0].T
+        rows = []
+        for d in range(n_dirs):
+            base = dirs[d]
+            for _ in range(per_dir):
+                rows.append(base + rng.standard_normal(dim) * 0.15)
+        for j in range(dups):  # near-dup of row j (same direction group)
+            rows.append(rows[j] * 1.3 + rng.standard_normal(dim) * 1e-3)
+        return np.asarray(rows)
+
+    def _expected(self, m, centroids, threshold):
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cl = np.argmax(mn @ centroids.T, axis=1)
+        keep = np.ones(len(m), dtype=bool)
+        for c in np.unique(cl):
+            idx = np.flatnonzero(cl == c)  # already id-ascending
+            kept = []
+            for j in idx:
+                if kept and max(float(mn[j] @ mn[i]) for i in kept) >= threshold:
+                    keep[j] = False
+                else:
+                    kept.append(j)
+        return {i: (int(cl[i]), int(keep[i])) for i in range(len(m))}
+
+    def test_matches_reference_and_drops_planted(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.similarity import kmeans_fit, semantic_dedup
+
+        m = self._data()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(m)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in m], type=pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(3)
+        thr = 0.95
+        got = {
+            r["vec_id"]: (r["cluster"], r["keep"])
+            for r in semantic_dedup(ds, k=4, threshold=thr, n_iter=4).take_all()
+        }
+        cents = kmeans_fit(ds, k=4, n_iter=4)
+        # float32 storage: reference must see the same rounded vectors
+        want = self._expected(m.astype(np.float32).astype(np.float64), cents, thr)
+        assert got == want
+        # every planted near-dup (appended after its original) is dropped
+        n_orig = len(m) - 6
+        assert all(got[i][1] == 0 for i in range(n_orig, len(m)))
+        # and originals survive
+        assert all(got[i][1] == 1 for i in range(6))
+
+    def test_block_boundary_invariance(self, ray_session):
+        from oscar_ray.stages.similarity import _greedy_keep, _normalize
+
+        rng = np.random.default_rng(9)
+        m = _normalize(rng.standard_normal((300, 8)))
+        a = _greedy_keep(m, 0.9, block=7)
+        b = _greedy_keep(m, 0.9, block=512)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestTfidfKeywords:
     """Per-doc tf-idf top-k (stages/sketches.py) vs a brute-force
     Python reference."""
