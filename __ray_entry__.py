@@ -824,6 +824,24 @@ def _ann_ivf_topk(sf_dir: str):
     return ivf_search(ivf_dir, _queries_embeddings(sf_dir), k=ANN_K, nprobe=3)
 
 
+def _ann_pq_topk(sf_dir: str):
+    """PQ (product-quantization) ANN: per-subspace k-means codebooks,
+    m-byte codes, asymmetric-distance top-k (Jegou et al. 2011). The
+    memory-scale path: a 64-float vector becomes 8 bytes. Rows-only;
+    exact-codebook == brute-force parity is pytest-verified."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import knn_pq, pq_encode, pq_train
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, nbits=6, n_iter=5, concurrency=2)
+    codes = pq_encode(ds, books, concurrency=2)
+    return knn_pq(codes, books, _queries_embeddings(sf_dir), k=ANN_K)
+
+
 def _emb_dup_pairs(sf_dir: str):
     import os
 
@@ -1081,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "emb_dup_pairs": _emb_dup_pairs,
         "emb_semantic_dedup": _emb_semantic_dedup,
         "mm_image_features": _mm_image_features,

@@ -802,3 +802,214 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow"
     )
+
+
+# -- Product quantization (PQ) ANN -------------------------------------------
+
+
+class _PQAssignPartial:
+    """map_batches: per-batch partial (sub, code, count, sum) rows for
+    every subspace at once — the mergeable k-means shape, m times."""
+
+    def __init__(self, books_ref, vec_col: str):
+        b = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+        self.books = b  # (m, ncodes, dsub)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        m, ncodes, dsub = self.books.shape
+        if not len(mat):
+            return pa.table(
+                {
+                    "sub": pa.array([], type=pa.int64()),
+                    "code": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        subs, codes, ns, sums = [], [], [], []
+        for s in range(m):
+            x = mat[:, s * dsub : (s + 1) * dsub]
+            # L2 assignment, ties to the lowest code id (argmin contract)
+            d = ((x[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            u, inv = np.unique(assign, return_inverse=True)
+            sm = np.zeros((len(u), dsub))
+            np.add.at(sm, inv, x)
+            subs.append(np.full(len(u), s, dtype=np.int64))
+            codes.append(u.astype(np.int64))
+            ns.append(np.bincount(inv, minlength=len(u)).astype(np.int64))
+            sums.append(sm)
+        return pa.table(
+            {
+                "sub": pa.array(np.concatenate(subs)),
+                "code": pa.array(np.concatenate(codes)),
+                "n": pa.array(np.concatenate(ns)),
+                "vsum": pa.array(
+                    [r.tolist() for r in np.concatenate(sums, axis=0)],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+
+def pq_train(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    nbits: int = 6,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> np.ndarray:
+    """Product-quantization codebooks -> (m, 2**nbits, dim/m), Lloyd's
+    k-means per subspace over the L2-NORMALIZED vectors (so inner-product
+    ADC approximates cosine). All m subspaces train in the SAME streaming
+    pass per iteration: per-batch partial (sub, code, n, sum) rows,
+    driver combine is (m * 2**nbits) x dsub — never corpus-sized.
+    Deterministic: seeds from smallest splitmix64(vec_id), argmin ties to
+    the lowest code, empty codes keep their previous centroid.
+
+    Jegou, Douze & Schmid 2011, "Product quantization for nearest
+    neighbor search" (TPAMI) — the standard billion-scale memory path:
+    a dim-float vector becomes m codes (m bytes at nbits<=8).
+    """
+    ncodes = 1 << nbits
+    seeds = _deterministic_seed_vectors(ds, ncodes, id_col, vec_col)  # (ncodes, dim)
+    if seeds.shape[0] < ncodes:
+        raise ValueError(f"need >= {ncodes} vectors to train {nbits}-bit PQ")
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+    for _ in range(n_iter):
+        partials = ds.map_batches(
+            _PQAssignPartial,
+            fn_constructor_kwargs={"books_ref": ray.put(books), "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).take_all()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ncodes))
+        for r in partials:
+            sums[int(r["sub"]), int(r["code"])] += np.asarray(r["vsum"])
+            counts[int(r["sub"]), int(r["code"])] += r["n"]
+        new = books.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        if np.allclose(new, books, atol=1e-12):
+            break
+        books = new
+    return books
+
+
+class _PQEncodeStage:
+    """map_batches actor: (id, vec) -> (id, codes list<uint8>)."""
+
+    def __init__(self, books_ref, id_col: str, vec_col: str):
+        self.books = ray.get(books_ref)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        m, ncodes, dsub = self.books.shape
+        codes = np.zeros((len(mat), m), dtype=np.uint8)
+        for s in range(m):
+            x = mat[:, s * dsub : (s + 1) * dsub]
+            d = ((x[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].cast(pa.int64()),
+                "codes": pa.array(
+                    [r.tolist() for r in codes], type=pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """-> (vec_id, codes): the compressed index, m bytes per vector."""
+    return ds.map_batches(
+        _PQEncodeStage,
+        fn_constructor_kwargs={
+            "books_ref": ray.put(books),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class _PQAdcTopK:
+    """Actor-pool stage: asymmetric-distance (ADC) top-k per batch of
+    codes against broadcast per-query lookup tables. One table build per
+    actor (q x m x ncodes), per-batch work is pure gather + sum."""
+
+    def __init__(self, books_ref, qref, k: int, id_col: str):
+        books = ray.get(books_ref)  # (m, ncodes, dsub)
+        q = _normalize(np.asarray(ray.get(qref), dtype=np.float64))
+        m, ncodes, dsub = books.shape
+        # inner-product tables: tab[qi, s, c] = q_s . book[s, c]
+        qs = q.reshape(len(q), m, dsub)
+        self.tab = np.einsum("qsd,scd->qsc", qs, books)
+        self.k, self.id_col = k, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        col = batch["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.asarray(col.flatten(), dtype=np.int64).reshape(len(ids), -1)
+        nq, m, ncodes = self.tab.shape
+        # score[qi, row] = sum_s tab[qi, s, codes[row, s]]
+        flat = codes + (np.arange(m) * ncodes)[None, :]
+        scores = self.tab.reshape(nq, -1)[:, flat].sum(axis=2)  # (nq, rows)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            sel = _tie_safe_topk(scores[qi], ids, self.k)
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(scores[qi][sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_pq(
+    codes_ds: ray.data.Dataset,
+    books: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+) -> pa.Table:
+    """ADC top-k over a PQ-encoded corpus -> (query_id, vec_id, score),
+    (query_id asc, score desc, id asc). Approximate by construction;
+    the pytest contract is recall vs brute force, plus exactness when
+    the codebook reconstructs the corpus exactly."""
+    partials = codes_ds.map_batches(
+        _PQAdcTopK,
+        fn_constructor_kwargs={
+            "books_ref": ray.put(books),
+            "qref": ray.put(queries),
+            "k": k,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, len(queries), k, id_col)

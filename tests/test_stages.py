@@ -1673,6 +1673,105 @@ class TestAsofJoin:
         assert got["prev_rv"].tolist() == want["rv"].astype(int).tolist()
 
 
+class TestProductQuantization:
+    """PQ ANN (stages/similarity.py): exact parity with brute force when
+    the codebook reconstructs the corpus exactly, plus training
+    determinism."""
+
+    def _proto_corpus(self, seed=5, n=96, m=4, dsub=4, nproto=4):
+        # every subvector is EXACTLY one of nproto prototypes per
+        # subspace -> a (m, nproto) codebook reconstructs losslessly
+        rng = np.random.default_rng(seed)
+        protos = rng.standard_normal((m, nproto, dsub))
+        # unit-norm prototypes -> every row has norm sqrt(m), so whole-
+        # vector normalization keeps subvectors in a small distinct set
+        protos /= np.linalg.norm(protos, axis=2, keepdims=True)
+        picks = rng.integers(0, nproto, (n, m))
+        rows = np.concatenate(
+            [protos[s][picks[:, s]] for s in range(m)], axis=1
+        )
+        return rows, protos
+
+    def test_adc_exact_with_lossless_codebook(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.similarity import (
+            _normalize,
+            knn_brute_force,
+            knn_pq,
+            pq_encode,
+        )
+
+        rows, protos = self._proto_corpus()
+        # PQ assigns on NORMALIZED vectors: rebuild per-row normalized
+        # subvector prototypes. Normalization is whole-vector, so scale
+        # differs per row — instead hand-build the codebook from the
+        # normalized corpus's distinct subvectors.
+        norm = _normalize(rows)
+        m, dsub = 4, 4
+        books = []
+        for s in range(m):
+            sub = norm[:, s * dsub : (s + 1) * dsub]
+            uniq = np.unique(np.round(sub, 12), axis=0)
+            pad = np.zeros((64 - len(uniq), dsub))  # 6-bit book, padded
+            books.append(np.concatenate([uniq, pad + 1e9], axis=0))
+        books = np.stack(books)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in rows], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ).repartition(3)
+        q = rows[:5]
+        codes = pq_encode(ds, books, concurrency=1)
+        got = knn_pq(codes, books, q, k=7, concurrency=1).to_pandas()
+        want = knn_brute_force(ds, q, k=7, concurrency=1).to_pandas()
+        assert got["query_id"].tolist() == want["query_id"].tolist()
+        assert got["vec_id"].tolist() == want["vec_id"].tolist()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+        )
+
+    def test_train_deterministic_and_recall(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.similarity import (
+            knn_brute_force,
+            knn_pq,
+            pq_encode,
+            pq_train,
+        )
+
+        rows, _ = self._proto_corpus(seed=11, n=120)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in rows], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ).repartition(2)
+        b1 = pq_train(ds, m=4, nbits=4, n_iter=4, concurrency=1)
+        b2 = pq_train(ds, m=4, nbits=4, n_iter=4, concurrency=2)
+        np.testing.assert_array_equal(b1, b2)  # parallelism-invariant
+        q = rows[:4]
+        got = knn_pq(pq_encode(ds, b1, concurrency=1), b1, q, k=10, concurrency=1)
+        want = knn_brute_force(ds, q, k=10, concurrency=1)
+        gd = got.to_pandas().groupby("query_id")["vec_id"].apply(set)
+        wd = want.to_pandas().groupby("query_id")["vec_id"].apply(set)
+        recall = np.mean(
+            [len(gd[i] & wd[i]) / len(wd[i]) for i in range(len(q))]
+        )
+        # 16 codes per 4-dim subspace on 4-prototype data: near-lossless
+        assert recall >= 0.9
+
+
 class TestSemanticDedup:
     """SemDeDup composition (stages/similarity.py::semantic_dedup) vs a
     plain-python reference over the same fitted centroids."""
