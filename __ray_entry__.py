@@ -241,6 +241,15 @@ def _rel_events_asof(sf_dir: str):
     return events_asof_join(sf_dir)
 
 
+def _rel_events_range_join(sf_dir: str):
+    """Self range-join: per event, count + micro-value sum of same-user
+    events in the following hour — the interval-join custom operator
+    (rank-trick composite searchsorted, one key exchange)."""
+    from oscar_ray.pipelines.relational import events_follow_window
+
+    return events_follow_window(sf_dir)
+
+
 def _rel_events_sessions(sf_dir: str):
     from oscar_ray.pipelines.relational import events_sessions
 
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": _rel_events_window,
         "rel_events_sliding": _rel_events_sliding,
         "rel_events_asof": _rel_events_asof,
+        "rel_events_range_join": _rel_events_range_join,
         "rel_events_sessions": _rel_events_sessions,
         "rel_events_json": _rel_events_json,
         "emb_label_centroids": _emb_label_centroids,
@@ -1478,6 +1488,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
             ORDER BY a.event_id
+        """,
+        "rel_events_range_join": """
+            SELECT a.event_id,
+                   count(b.event_id)::BIGINT AS n_follow,
+                   coalesce(sum(floor(b.value * 1000000)::BIGINT), 0)::BIGINT
+                       AS sum_value_micro
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.event_id ORDER BY a.event_id
         """,
         "rel_events_sessions": """
             -- gap-based sessions: >12h inter-event gap opens a new session

@@ -466,3 +466,38 @@ def events_sessions(sf_dir: str, gap_us: int = 43_200_000_000) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by(
         [("user_id", "ascending"), ("session_idx", "ascending")]
     )
+
+
+def events_follow_window(sf_dir: str, window_us: int = 3_600_000_000) -> pa.Table:
+    """Range-join demo: for every event, the count + micro-value sum of
+    SAME-USER events in the following hour ``(ts, ts + 1h]`` (burst
+    size). Self range-join via :func:`range_count_join` with half-open
+    integer-us bounds [ts+1, ts+1h+1). -> (event_id, n_follow,
+    sum_value_micro); DuckDB inequality-join oracle."""
+    import numpy as np
+
+    from oscar_ray.stages.joins import range_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        tsn = ts.to_numpy()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "lo": pa.array(tsn + 1),
+                "hi": pa.array(tsn + np.int64(window_us) + 1),
+            }
+        )
+
+    iv = ev.map_batches(to_iv, batch_format="pyarrow")
+    out = range_count_join(
+        iv, ev, key="user_id", id_col="event_id", lo_col="lo", hi_col="hi",
+        num_parts=16,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by(
+        "event_id"
+    )
+    return t.rename_columns(["event_id", "n_follow", "sum_value_micro"])

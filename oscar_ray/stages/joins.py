@@ -186,3 +186,123 @@ def sessionize(
         .groupby("part")
         .map_groups(sess_partition, batch_format="pyarrow")
     )
+
+
+def range_count_join(
+    intervals: ray.data.Dataset,
+    events: ray.data.Dataset,
+    key: str,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    ts: str = "ts",
+    value: str = "value",
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Range (interval) join: for every interval row, the count and
+    integer-micro value sum of same-key events with ``lo <= ts < hi``
+    (half-open). LEFT semantics — intervals with no match keep a zero
+    row. -> (id_col, n_events, sum_value_micro).
+
+    The brief's "range join" custom operator. Distributed shape: ONE
+    hash(key) exchange co-locates a key's intervals and events; within a
+    partition the join is O((n+m) log n) with NO per-row Python — the
+    rank trick: replace ts by its left-insertion rank in the partition's
+    sorted event-ts array, so the composite (user_index, rank) fits an
+    int64 and BOTH interval bounds become two vectorized searchsorted
+    probes against the composite-sorted event order; counts are index
+    differences and value sums are prefix-sum differences. Every
+    comparison is on exact integers (timestamps in us, values floored
+    to micros), so the result is hash-exact against the SQL oracle.
+    """
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__key": t[key].combine_chunks().cast(pa.int64()),
+                "__ts": t[ts].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                "__vmicro": pa.array(
+                    np.floor(t[value].to_numpy(zero_copy_only=False) * 1e6).astype(
+                        np.int64
+                    )
+                ),
+                "__id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "__lo": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__hi": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "part": pa.array(_part_col(t[key].to_numpy(), num_parts)),
+            }
+        )
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        def us(c):
+            c = t[c].combine_chunks()
+            if pa.types.is_timestamp(c.type):
+                c = c.cast(pa.timestamp("us"))
+            return c.cast(pa.int64())
+
+        return pa.table(
+            {
+                "__key": t[key].combine_chunks().cast(pa.int64()),
+                "__ts": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__vmicro": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__id": t[id_col].combine_chunks().cast(pa.int64()),
+                "__lo": us(lo_col),
+                "__hi": us(hi_col),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "part": pa.array(_part_col(t[key].to_numpy(), num_parts)),
+            }
+        )
+
+    merged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy()
+        is_iv = side == 1
+        ids = g["__id"].to_numpy()[is_iv]
+        ik = g["__key"].to_numpy()[is_iv]
+        lo = g["__lo"].to_numpy()[is_iv]
+        hi = g["__hi"].to_numpy()[is_iv]
+        ek = g["__key"].to_numpy()[~is_iv]
+        et = g["__ts"].to_numpy()[~is_iv]
+        ev = g["__vmicro"].to_numpy()[~is_iv]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        n = len(ek)
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        vsum = np.zeros(len(ids), dtype=np.int64)
+        if n:
+            users = np.unique(ek)
+            uidx_ev = np.searchsorted(users, ek)
+            sorted_ts = np.sort(et)
+            rank_ev = np.searchsorted(sorted_ts, et, side="left")
+            comp = uidx_ev * np.int64(n + 1) + rank_ev
+            order = np.argsort(comp, kind="stable")
+            comp_s = comp[order]
+            prefix = np.concatenate([[0], np.cumsum(ev[order])])
+            iu = np.searchsorted(users, ik)
+            ok = (iu < len(users)) & (users[np.minimum(iu, len(users) - 1)] == ik)
+            r_lo = np.searchsorted(sorted_ts, lo, side="left")
+            r_hi = np.searchsorted(sorted_ts, hi, side="left")
+            base = np.minimum(iu, len(users) - 1) * np.int64(n + 1)
+            p_lo = np.searchsorted(comp_s, base + r_lo, side="left")
+            p_hi = np.searchsorted(comp_s, base + r_hi, side="left")
+            cnt = np.where(ok, p_hi - p_lo, 0).astype(np.int64)
+            vsum = np.where(ok, prefix[p_hi] - prefix[p_lo], 0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "n_events": pa.array(cnt),
+                "sum_value_micro": pa.array(vsum),
+            }
+        )
+
+    return merged.groupby("part").map_groups(join_partition, batch_format="pyarrow")

@@ -2052,6 +2052,61 @@ class TestNBQuality:
             nb_quality_scores(ds, num_parts=2, concurrency=1).take_all()
 
 
+class TestRangeCountJoin:
+    def test_vs_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.joins import range_count_join
+
+        rng = np.random.default_rng(17)
+        n_ev, n_iv = 400, 150
+        ev = pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, 10, n_ev), type=pa.int64()),
+                "ts": pa.array(rng.integers(0, 1000, n_ev), type=pa.int64()),
+                "value": pa.array(rng.random(n_ev)),
+            }
+        )
+        iv = pa.table(
+            {
+                "iid": pa.array(range(n_iv), type=pa.int64()),
+                # user 99 never has events -> zero row must survive
+                "user_id": pa.array(
+                    np.where(np.arange(n_iv) % 30 == 0, 99, rng.integers(0, 10, n_iv)),
+                    type=pa.int64(),
+                ),
+                "lo": pa.array(rng.integers(0, 900, n_iv), type=pa.int64()),
+            }
+        )
+        iv = iv.append_column(
+            "hi", pa.array(iv["lo"].to_numpy() + rng.integers(1, 200, n_iv))
+        )
+        got = {
+            r["iid"]: (r["n_events"], r["sum_value_micro"])
+            for r in range_count_join(
+                ray.data.from_arrow(iv).repartition(3),
+                ray.data.from_arrow(ev).repartition(2),
+                key="user_id",
+                id_col="iid",
+                lo_col="lo",
+                hi_col="hi",
+                num_parts=4,
+            ).take_all()
+        }
+        eu, et = ev["user_id"].to_numpy(), ev["ts"].to_numpy()
+        evm = np.floor(ev["value"].to_numpy() * 1e6).astype(np.int64)
+        want = {}
+        for i in range(n_iv):
+            m = (
+                (eu == iv["user_id"][i].as_py())
+                & (et >= iv["lo"][i].as_py())
+                & (et < iv["hi"][i].as_py())
+            )
+            want[i] = (int(m.sum()), int(evm[m].sum()))
+        assert got == want
+        assert all(got[i] == (0, 0) for i in range(0, n_iv, 30))  # user 99
+
+
 class TestSessionize:
     def test_sessionize_vs_pandas(self, ray_session):
         import pandas as pd
