@@ -851,6 +851,29 @@ def _ann_pq_topk(sf_dir: str):
     return knn_pq(codes, books, _queries_embeddings(sf_dir), k=ANN_K)
 
 
+def _ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN (FAISS IVFADC shape): coarse k-means partitions hold
+    only m-byte PQ codes; probes ADC-score the nprobe nearest clusters.
+    Rows-only; lossless-codebook full-probe == brute force is
+    pytest-verified."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+    from oscar_ray.stages.similarity import ivf_pq_build, ivf_pq_search
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint(list_fragments(src))
+    d = f"/tmp/oscar_ray_cache/ivfpq-{fp}"
+    if not os.path.exists(os.path.join(d, "ivfpq_manifest.json")):
+        ivf_pq_build(
+            ray.data.read_parquet(src, columns=["vec_id", "embedding"]),
+            d, n_clusters=8, m=8, nbits=6, n_iter=4,
+        )
+    return ivf_pq_search(d, _queries_embeddings(sf_dir), k=ANN_K, nprobe=3)
+
+
 def _emb_dup_pairs(sf_dir: str):
     import os
 
@@ -1110,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "emb_dup_pairs": _emb_dup_pairs,
         "emb_semantic_dedup": _emb_semantic_dedup,
         "mm_image_features": _mm_image_features,

@@ -1013,3 +1013,152 @@ def knn_pq(
         concurrency=concurrency,
     ).take_all()
     return _merge_topk(partials, len(queries), k, id_col)
+
+
+def ivf_pq_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    nbits: int = 6,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+    books: np.ndarray | None = None,
+) -> str:
+    """IVF-PQ artifact (the FAISS IVFADC shape, Jegou et al. 2011 §V):
+    coarse k-means centroids partition the corpus (hive `cluster=<c>/`),
+    and each partition stores only (id, m-byte PQ codes) — at 100 TB the
+    float vectors never persist in the index, a 64-float embedding
+    costs m bytes + the docid. PQ codes quantize the raw NORMALIZED
+    vector (not the residual), so ADC inner-product scores are directly
+    comparable across probed clusters.
+
+    ``books`` overrides codebook training (test hook / precomputed)."""
+    import json
+    import os
+
+    centroids = kmeans_fit(ds, n_clusters, n_iter, id_col, vec_col, concurrency)
+    if books is None:
+        books = pq_train(
+            ds, m=m, nbits=nbits, n_iter=n_iter, id_col=id_col,
+            vec_col=vec_col, concurrency=concurrency,
+        )
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class AssignEncode:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.books = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(t, vec_col))
+            mm, ncodes, dsub = self.books.shape
+            if not len(mat):
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "codes": pa.array([], type=pa.list_(pa.uint8())),
+                        "cluster": pa.array([], type=pa.int64()),
+                    }
+                )
+            cl = np.argmax(mat @ self.c.T, axis=1).astype(np.int64)
+            codes = np.zeros((len(mat), mm), dtype=np.uint8)
+            for s in range(mm):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                d = ((x[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: t[id_col].cast(pa.int64()),
+                    "codes": pa.array(
+                        [r.tolist() for r in codes], type=pa.list_(pa.uint8())
+                    ),
+                    "cluster": pa.array(cl),
+                }
+            )
+
+    ds.map_batches(
+        AssignEncode, batch_format="pyarrow", concurrency=concurrency
+    ).write_parquet(out_dir, partition_cols=["cluster"])
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(out_dir, "pq_books.npy"), books)
+    with open(os.path.join(out_dir, "ivfpq_manifest.json"), "w") as f:
+        json.dump(
+            {"n_clusters": int(n_clusters), "m": int(m), "nbits": int(nbits),
+             "id_col": id_col}, f
+        )
+    return out_dir
+
+
+def ivf_pq_search(
+    ivfpq_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+) -> pa.Table:
+    """Probe the nprobe nearest coarse clusters, ADC-score their PQ
+    codes. Output schema == knn_brute_force. With nprobe == n_clusters
+    and a lossless codebook the result is EXACTLY brute force (tested)."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(ivfpq_dir, "centroids.npy"))
+    books = np.load(os.path.join(ivfpq_dir, "pq_books.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    sims = q @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    adm = [np.sort(p) for p in probe]
+    want = np.unique(probe.reshape(-1))
+    paths = []
+    for c in want:
+        d = os.path.join(ivfpq_dir, f"cluster={int(c)}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return _merge_topk([], len(q), k, id_col)
+    ds = ray.data.read_parquet(paths, columns=[id_col, "codes", "cluster"])
+    bref, qref, aref = ray.put(books), ray.put(q), ray.put(adm)
+
+    class ProbeAdc(_PQAdcTopK):
+        def __init__(self):
+            super().__init__(bref, qref, k, id_col)
+            self.adm = ray.get(aref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy()
+            clusters = batch["cluster"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            col = batch["codes"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = np.asarray(col.flatten(), dtype=np.int64).reshape(len(ids), -1)
+            nq, mm, ncodes = self.tab.shape
+            flat = codes + (np.arange(mm) * ncodes)[None, :]
+            qids, out_ids, out_sc = [], [], []
+            for qi in range(nq):
+                sel = np.flatnonzero(np.isin(clusters, self.adm[qi]))
+                if not len(sel):
+                    continue
+                row = self.tab[qi].reshape(-1)[flat[sel]].sum(axis=1)
+                pick = _tie_safe_topk(row, ids[sel], self.k)
+                qids.extend([qi] * len(pick))
+                out_ids.extend(ids[sel][pick].tolist())
+                out_sc.extend(row[pick].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(qids, type=pa.int64()),
+                    self.id_col: pa.array(out_ids, type=pa.int64()),
+                    "score": pa.array(out_sc, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        ProbeAdc, batch_format="pyarrow", concurrency=concurrency
+    ).take_all()
+    return _merge_topk(partials, len(q), k, id_col)

@@ -1772,6 +1772,88 @@ class TestProductQuantization:
         assert recall >= 0.9
 
 
+class TestIvfPq:
+    def test_full_probe_lossless_codebook_is_exact(self, ray_session, tmp_path):
+        import ray.data
+
+        from oscar_ray.stages.similarity import (
+            _normalize,
+            ivf_pq_build,
+            ivf_pq_search,
+            knn_brute_force,
+        )
+
+        tpq = TestProductQuantization()
+        rows, _ = tpq._proto_corpus(seed=21, n=90)
+        norm = _normalize(rows)
+        m, dsub = 4, 4
+        books = []
+        for s in range(m):
+            uniq = np.unique(np.round(norm[:, s * dsub : (s + 1) * dsub], 12), axis=0)
+            books.append(
+                np.concatenate([uniq, np.full((16 - len(uniq), dsub), 1e9)], axis=0)
+            )
+        books = np.stack(books)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in rows], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ).repartition(3)
+        d = str(tmp_path / "ivfpq")
+        ivf_pq_build(ds, d, n_clusters=4, n_iter=3, books=books, concurrency=1)
+        q = rows[:5]
+        got = ivf_pq_search(d, q, k=6, nprobe=4, concurrency=1).to_pandas()
+        want = knn_brute_force(ds, q, k=6, concurrency=1).to_pandas()
+        assert got["vec_id"].tolist() == want["vec_id"].tolist()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+        )
+
+    def test_narrow_probe_is_subset_scored_identically(self, ray_session, tmp_path):
+        import ray.data
+
+        from oscar_ray.stages.similarity import ivf_pq_build, ivf_pq_search
+
+        tpq = TestProductQuantization()
+        rows, _ = tpq._proto_corpus(seed=23, n=80)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in rows], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+        d = str(tmp_path / "ivfpq2")
+        ivf_pq_build(ds, d, n_clusters=4, m=4, nbits=4, n_iter=3, concurrency=1)
+        q = rows[:3]
+        full = ivf_pq_search(d, q, k=8, nprobe=4, concurrency=1).to_pandas()
+        narrow = ivf_pq_search(d, q, k=8, nprobe=1, concurrency=1).to_pandas()
+        fscores = {
+            (r.query_id, r.vec_id): r.score for r in full.itertuples()
+        }
+        # a hit present in both probes keeps the SAME ADC score (narrow
+        # is a filtered candidate view, never rescored) ...
+        both = 0
+        for r in narrow.itertuples():
+            if (r.query_id, r.vec_id) in fscores:
+                assert fscores[(r.query_id, r.vec_id)] == r.score
+                both += 1
+        assert both > 0
+        # ... and the full probe dominates the narrow one rankwise
+        for qi in range(3):
+            fs = full[full.query_id == qi].sort_values("rank")["score"].to_numpy()
+            ns = narrow[narrow.query_id == qi].sort_values("rank")["score"].to_numpy()
+            assert (fs[: len(ns)] >= ns - 1e-12).all()
+
+
 class TestSemanticDedup:
     """SemDeDup composition (stages/similarity.py::semantic_dedup) vs a
     plain-python reference over the same fitted centroids."""
