@@ -104,6 +104,7 @@ def sessionize(
     value: str = "value",
     gap_us: int = 43_200_000_000,
     num_parts: int = 16,
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: consecutive events of one key belong to
     the same session while the inter-event gap is <= ``gap_us``; a larger
@@ -183,6 +184,9 @@ def sessionize(
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
+        # bound the block count entering the exchange so sort pieces stay
+        # past the ~100 KB inline threshold (see range_count_join note)
+        .repartition(coalesce_blocks or num_parts)
         .groupby("part")
         .map_groups(sess_partition, batch_format="pyarrow")
     )
@@ -198,11 +202,20 @@ def range_count_join(
     ts: str = "ts",
     value: str = "value",
     num_parts: int = 16,
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Range (interval) join: for every interval row, the count and
     integer-micro value sum of same-key events with ``lo <= ts < hi``
     (half-open). LEFT semantics — intervals with no match keep a zero
     row. -> (id_col, n_events, sum_value_micro).
+
+    ``coalesce_blocks`` (default ``num_parts``) bounds the block count
+    entering the exchange: Ray's sort shuffle cuts each of B map blocks
+    into B reduce pieces, and pieces under the ~100 KB inline threshold
+    bypass plasma onto the owner heap — at 40M tagged rows in 512 blocks
+    that is 262k ~10 KB pieces and an 87 s sort (measured); coalesced to
+    64 blocks the pieces are plasma-sized (the stages/spans.py
+    discipline).
 
     The brief's "range join" custom operator. Distributed shape: ONE
     hash(key) exchange co-locates a key's intervals and events; within a
@@ -254,8 +267,10 @@ def range_count_join(
             }
         )
 
-    merged = events.map_batches(tag_events, batch_format="pyarrow").union(
-        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    merged = (
+        events.map_batches(tag_events, batch_format="pyarrow")
+        .union(intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+        .repartition(coalesce_blocks or num_parts)
     )
 
     def join_partition(g: pa.Table) -> pa.Table:
