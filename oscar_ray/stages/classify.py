@@ -287,6 +287,10 @@ def nb_quality_scores(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    # bound the block count entering the exchange: sort-shuffle pieces
+    # are ~bytes/B^2 and must stay past Ray's ~100 KB inline threshold
+    # (the stages/spans.py discipline; measured 18x on the range join)
+    exploded = exploded.repartition(num_parts)
     partials = exploded.groupby("part").map_groups(
         lambda g: _score_part(
             g.drop_columns(["part"]), ps_total, qs_total, id_col, num_parts

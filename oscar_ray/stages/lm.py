@@ -228,6 +228,9 @@ def bigram_lm_scores(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    # bound block count entering the exchange (sort-shuffle pieces are
+    # ~bytes/B^2; see stages/spans.py inline-threshold discipline)
+    exploded = exploded.repartition(num_parts)
     partials = exploded.groupby("part").map_groups(
         lambda g: _score_part(
             g.drop_columns(["part"]), v, id_col, num_parts

@@ -533,9 +533,15 @@ def tfidf_keywords(
 
     scored = (
         ds.map_batches(explode, batch_format="pyarrow", concurrency=concurrency)
+        # bound block count entering each exchange: sort-shuffle pieces
+        # are ~bytes/B^2 and must stay past Ray's ~100 KB inline
+        # threshold (the stages/spans.py discipline)
+        .repartition(num_parts)
         .groupby("part")
         .map_groups(lambda g: score_part(g.drop_columns(["part"])), batch_format="pyarrow")
     )
-    return scored.groupby("dpart").map_groups(
-        lambda g: doc_topk(g.drop_columns(["dpart"])), batch_format="pyarrow"
+    return (
+        scored.repartition(num_parts)
+        .groupby("dpart")
+        .map_groups(lambda g: doc_topk(g.drop_columns(["dpart"])), batch_format="pyarrow")
     )
