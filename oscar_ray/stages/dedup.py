@@ -272,7 +272,12 @@ def ngram_jaccard_pairs(
         )
         return out
 
-    co = shingled.groupby("part").map_groups(pairs_in_partition, batch_format="pandas")
+    # coalesce before the exchange (inline-threshold discipline, spans.py)
+    co = (
+        shingled.repartition(num_parts)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
 
     # combine per-pair partial intersections: route rows by a pair-hash
     # partition and aggregate vectorized per partition. (Ray's native
@@ -460,8 +465,10 @@ def minhash_lsh_pairs(
         df = pd.DataFrame({"a_id": np.concatenate(a_l), "b_id": np.concatenate(b_l)})
         return df.drop_duplicates()
 
-    raw_pairs = sig.groupby("part").map_groups(
-        bucket_pairs_in_partition, batch_format="pandas"
+    raw_pairs = (
+        sig.repartition(num_parts)  # inline-threshold coalesce (spans.py)
+        .groupby("part")
+        .map_groups(bucket_pairs_in_partition, batch_format="pandas")
     )
     cand = (
         _pair_partitioned(raw_pairs, num_parts)
@@ -774,8 +781,11 @@ def _verify_pairs_exact(
             {"a_id": a[keep], "b_id": b[keep], "jaccard": j[keep]}
         ).astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
 
-    return pairs_tagged.union(sh_tagged).groupby("pair_part").map_groups(
-        verify_partition, batch_format="pandas"
+    return (
+        pairs_tagged.union(sh_tagged)
+        .repartition(num_parts)  # inline-threshold coalesce (spans.py)
+        .groupby("pair_part")
+        .map_groups(verify_partition, batch_format="pandas")
     )
 
 
@@ -907,7 +917,12 @@ def simhash_dup_pairs(
             }
         ).drop_duplicates(["a_id", "b_id"])
 
-    allp = banded.groupby("part").map_groups(band_pairs_in_partition, batch_format="pandas")
+    # inline-threshold coalesce (spans.py discipline)
+    allp = (
+        banded.repartition(num_parts)
+        .groupby("part")
+        .map_groups(band_pairs_in_partition, batch_format="pandas")
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["a_sim"].to_numpy().view(np.uint64)

@@ -799,8 +799,11 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupby("cluster").map_groups(
-        dedup_cluster, batch_format="pyarrow"
+    return (
+        # inline-threshold coalesce: embedding-carrying exchange (spans.py)
+        assigned.repartition(max(16, k))
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
     )
 
 
