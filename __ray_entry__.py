@@ -904,6 +904,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
 
     def to_media(t: pa.Table) -> pa.Table:
         from oscar_ray.sources.synth import (
+            generate_avi,
             generate_gif,
             generate_jpeg,
             generate_png,
@@ -921,6 +922,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
             "wav": generate_wav,
             "adpcm": generate_wav_adpcm,
             "rvid": generate_rvid,
+            "avi": generate_avi,
         }[kind]
         payload = [gen(int(d)) for d in t["doc_id"].to_pylist()]
         return pa.table(
@@ -1044,6 +1046,37 @@ def _mm_audio_features_adpcm(sf_dir: str):
     )
 
 
+def _mm_video_frames_avi(sf_dir: str):
+    """Video pipeline over a REAL compressed container: MJPEG-in-AVI
+    payloads (RIFF parse + idx1 random access, per-frame JPEG decode —
+    only sampled frames are decoded) -> PPM frames -> image features."""
+    from oscar_ray.stages.multimodal import FrameSampleStage, ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "avi")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"decoder": "avi", "n_frames": 3},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+        )
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={
+                "decoder": "ppm",
+                "dim": 8,
+                "media_col": "frame",
+                "passthrough_cols": ("frame_index",),
+            },
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
 def _mm_video_frames(sf_dir: str):
     """Video pipeline with a REAL frame sampler: raw-RGB container ->
     evenly-spaced frames re-encoded as PPM -> per-frame image features."""
@@ -1143,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features": _mm_audio_features,
         "mm_audio_features_adpcm": _mm_audio_features_adpcm,
         "mm_video_frames": _mm_video_frames,
+        "mm_video_frames_avi": _mm_video_frames_avi,
     }
 
 

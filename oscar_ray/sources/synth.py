@@ -231,3 +231,21 @@ def generate_rvid(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> b
         [np.clip(base.astype(np.int64) + 20 * f, 0, 255).astype(np.uint8) for f in range(n_frames)]
     )
     return encode_rvid(frames)
+
+
+def generate_avi(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic COMPRESSED video per doc: the same frame family as
+    :func:`generate_rvid` but packed as MJPEG-in-AVI (every frame an
+    independent baseline JPEG; subsampling cycles 420/444/422 by doc
+    id) — the real-video-container analog of generate_jpeg for images."""
+    import numpy as np
+
+    from oscar_ray.stages.avi import avi_encode_mjpeg
+
+    rng = np.random.default_rng((doc_id + 7) * 40503 % (2**32))
+    base = rng.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
+    frames = np.stack(
+        [np.clip(base.astype(np.int64) + 20 * f, 0, 255).astype(np.uint8) for f in range(n_frames)]
+    )
+    sub = ("420", "444", "422")[int(doc_id) % 3]
+    return avi_encode_mjpeg(frames, fps=10, quality=90, subsampling=sub)

@@ -10,20 +10,22 @@ large (set ``batch_size`` accordingly and keep ``batch_format="pyarrow"``
 Codec support is tiered by what this container can actually do:
 
 - **real, library-free decoders** (pure numpy/struct, fully implemented
-  and tested): PPM/PGM images (``decode_ppm``), baseline JPEG
-  (``stages/jpeg.py`` — real Huffman + DCT compressed decode, 8-bit
-  sequential incl. 4:2:0/4:2:2 subsampling), PNG (``stages/png.py`` —
-  zlib inflate + all five scanline filters, gray/RGB/RGBA/palette at
-  8-bit), GIF (``stages/gif.py`` — variable-width LZW, palette,
-  interlace), RIFF/WAV audio as PCM16 AND compressed IMA-ADPCM
-  (``decode_wav`` / ``ima_adpcm_decode``, block-parallel), and a
-  raw-RGB frame container (``RVID``, ``decode_rvid_header``) — decode,
+  and tested): PPM/PGM images (``decode_ppm``), baseline AND
+  progressive JPEG (``stages/jpeg.py`` — real Huffman + DCT compressed
+  decode, 8-bit incl. 4:2:0/4:2:2 subsampling and SOF2 multi-scan),
+  PNG (``stages/png.py`` — zlib inflate + all five scanline filters,
+  gray/RGB/RGBA/palette at 8-bit), GIF (``stages/gif.py`` —
+  variable-width LZW, palette, interlace), RIFF/WAV audio as PCM16 AND
+  compressed IMA-ADPCM (``decode_wav`` / ``ima_adpcm_decode``,
+  block-parallel), a raw-RGB frame container (``RVID``,
+  ``decode_rvid_header``) and MJPEG-in-AVI video (``stages/avi.py`` —
+  RIFF parse, idx1 random access, per-frame JPEG decode) — decode,
   nearest-neighbor resize, feature extraction and frame sampling all
   operate on real pixels/samples;
 - ``decoder="fake"``: deterministic pseudo-features from payload bytes
   (plumbing/schema testing for arbitrary payloads);
 - ``decoder="real"``: the Pillow/ffmpeg path for the remaining
-  compressed formats (progressive JPEG, mp3/ogg, real video codecs) —
+  compressed formats (mp3/ogg, inter-frame video codecs like h264) —
   NotImplementedError in this container (libs absent), with the
   actor-state shape (load codec once in ``__init__``) kept real.
 """
@@ -506,8 +508,11 @@ class FrameSampleStage:
     Output: (id, frame_index, frame: binary). Decoders: ``"rvid"`` —
     REAL frame extraction from the raw-RGB container (evenly-spaced
     frame indices, each emitted as a standalone PPM payload);
-    ``"fake"`` — deterministic byte slices; ``"real"`` — ffmpeg path,
-    NotImplementedError here.
+    ``"avi"`` — REAL MJPEG-in-AVI decode (``stages/avi.py``: RIFF
+    parse + idx1 random access + per-frame JPEG decode; only the k
+    sampled frames are ever decoded); ``"fake"`` — deterministic byte
+    slices; ``"real"`` — ffmpeg path for codecs outside the MJPG
+    envelope, NotImplementedError here.
     """
 
     def __init__(
@@ -517,7 +522,7 @@ class FrameSampleStage:
         n_frames: int = 4,
         decoder: str = "fake",
     ):
-        if decoder not in ("fake", "real", "rvid"):
+        if decoder not in ("fake", "real", "rvid", "avi"):
             raise ValueError(decoder)
         self.id_col, self.media_col, self.n_frames = id_col, media_col, n_frames
         self.decoder = decoder
@@ -528,6 +533,25 @@ class FrameSampleStage:
         ids, fidx, frames = [], [], []
         for i, payload in enumerate(batch[self.media_col].to_pylist()):
             payload = payload or b""
+            if self.decoder == "avi":
+                from .avi import avi_frame, avi_parse
+
+                info = avi_parse(payload)
+                n_avail = len(info.frame_spans)
+                take = min(self.n_frames, n_avail)
+                picks = (
+                    np.linspace(0, n_avail - 1, take).astype(np.int64)
+                    if take
+                    else np.empty(0, np.int64)
+                )
+                for f, src in enumerate(picks.tolist()):
+                    img = avi_frame(payload, src, info)
+                    if img.shape[2] == 1:
+                        img = np.repeat(img, 3, axis=2)
+                    ids.append(batch[self.id_col][i].as_py())
+                    fidx.append(f)
+                    frames.append(encode_ppm(img))
+                continue
             if self.decoder == "rvid":
                 _w, _h, n_avail = decode_rvid_header(payload)
                 take = min(self.n_frames, n_avail)

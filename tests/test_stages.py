@@ -1558,6 +1558,94 @@ class TestRealMediaCodecs:
             img = decode_ppm(r["frame"])  # frames re-encode as valid PPM
             assert img.shape == (12, 16, 3)
 
+    def test_avi_mjpeg_round_trip(self):
+        """Container exactness + bounded JPEG loss for every subsampling."""
+        import numpy as np
+
+        from oscar_ray.stages.avi import avi_encode_mjpeg, avi_frame, avi_parse
+        from oscar_ray.stages.jpeg import jpeg_decode
+
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 128, size=(12, 16, 3), dtype=np.uint8)
+        frames = np.stack(
+            [
+                np.clip(base.astype(np.int64) + 20 * f, 0, 255).astype(np.uint8)
+                for f in range(5)
+            ]
+        )
+        for sub in ("444", "422", "420"):
+            payload = avi_encode_mjpeg(frames, fps=12, quality=90, subsampling=sub)
+            info = avi_parse(payload)
+            assert (info.width, info.height, info.n_frames) == (16, 12, 5)
+            assert abs(info.fps - 12.0) < 0.05 and info.codec == "MJPG"
+            for i in range(5):
+                # idx1 random access lands exactly on the JPEG bytes
+                off, size = info.frame_spans[i]
+                img = avi_frame(payload, i, info)
+                assert (img == jpeg_decode(payload[off : off + size])).all()
+                mae = float(
+                    np.abs(img.astype(np.int64) - frames[i].astype(np.int64)).mean()
+                )
+                assert mae < 25.0, (sub, i, mae)
+
+    def test_avi_idx1_fallback_and_gate(self):
+        import struct as _struct
+
+        import numpy as np
+
+        from oscar_ray.stages.avi import avi_encode_mjpeg, avi_frame, avi_parse
+
+        frames = np.zeros((4, 8, 8, 3), dtype=np.uint8)
+        frames[:, :, :, 0] = np.arange(4, dtype=np.uint8)[:, None, None] * 60
+        payload = avi_encode_mjpeg(frames, subsampling="444")
+        # strip idx1 -> parser falls back to a linear movi walk
+        pos = payload.find(b"idx1")
+        stripped = b"RIFF" + _struct.pack("<I", pos - 8) + payload[8:pos]
+        info = avi_parse(stripped)
+        assert len(info.frame_spans) == 4
+        assert (avi_frame(stripped, 2, info) == avi_frame(payload, 2)).all()
+        # non-MJPG fourcc is an honest envelope gate
+        with pytest.raises(NotImplementedError):
+            avi_parse(payload.replace(b"MJPG", b"H264"))
+
+    def test_frame_sample_avi_real(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.sources.synth import generate_avi, generate_rvid
+        from oscar_ray.stages.multimodal import (
+            FrameSampleStage,
+            decode_ppm,
+            rvid_frame,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "media": pa.array(
+                        [generate_avi(1), generate_avi(2)], type=pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"decoder": "avi", "n_frames": 3},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(rows) == 6
+        for r in rows:
+            img = decode_ppm(r["frame"])
+            assert img.shape == (12, 16, 3)
+            # same frame family as generate_rvid: sampled frame ~ source
+            src_i = [0, 2, 5][r["frame_index"]]  # linspace(0,5,3)
+            src = rvid_frame(generate_rvid(r["doc_id"]), src_i)
+            mae = float(np.abs(img.astype(np.int64) - src.astype(np.int64)).mean())
+            assert mae < 25.0, (r["doc_id"], r["frame_index"], mae)
+
 
 class TestIVF:
     """Distributed spherical k-means + IVF probe."""
