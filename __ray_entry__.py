@@ -1046,6 +1046,26 @@ def _mm_audio_features_adpcm(sf_dir: str):
     )
 
 
+def _mm_audio_features_avi(sf_dir: str):
+    """Audio pipeline DEMUXED from a video container: the MJPEG-AVI
+    payloads carry an interleaved PCM16 auds stream; `avi_audio`
+    reassembles the 01wb chunks and the same feature extractor runs on
+    the samples. Mirrors real-world soundtrack feature extraction."""
+    from oscar_ray.stages.multimodal import AudioFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "avi")
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"decoder": "avi"},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
 def _mm_video_frames_avi(sf_dir: str):
     """Video pipeline over a REAL compressed container: MJPEG-in-AVI
     payloads (RIFF parse + idx1 random access, per-frame JPEG decode —
@@ -1175,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features_gif": _mm_image_features_gif,
         "mm_audio_features": _mm_audio_features,
         "mm_audio_features_adpcm": _mm_audio_features_adpcm,
+        "mm_audio_features_avi": _mm_audio_features_avi,
         "mm_video_frames": _mm_video_frames,
         "mm_video_frames_avi": _mm_video_frames_avi,
     }

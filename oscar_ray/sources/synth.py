@@ -237,7 +237,8 @@ def generate_avi(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> by
     """Deterministic COMPRESSED video per doc: the same frame family as
     :func:`generate_rvid` but packed as MJPEG-in-AVI (every frame an
     independent baseline JPEG; subsampling cycles 420/444/422 by doc
-    id) — the real-video-container analog of generate_jpeg for images."""
+    id) plus the :func:`generate_wav` sine as an interleaved PCM16
+    auds stream — the real-video-container analog of generate_jpeg."""
     import numpy as np
 
     from oscar_ray.stages.avi import avi_encode_mjpeg
@@ -248,4 +249,11 @@ def generate_avi(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> by
         [np.clip(base.astype(np.int64) + 20 * f, 0, 255).astype(np.uint8) for f in range(n_frames)]
     )
     sub = ("420", "444", "422")[int(doc_id) % 3]
-    return avi_encode_mjpeg(frames, fps=10, quality=90, subsampling=sub)
+    rate = 8000
+    freq = 200.0 + (doc_id * 37) % 1800
+    t = np.arange(int(0.25 * rate)) / rate
+    mono = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(4 * np.pi * freq * t)
+    return avi_encode_mjpeg(
+        frames, fps=10, quality=90, subsampling=sub,
+        audio=mono[:, None], audio_rate=rate,
+    )

@@ -57,65 +57,110 @@ def avi_encode_mjpeg(
     fps: int = 10,
     quality: int = 85,
     subsampling: str = "420",
+    audio: np.ndarray | None = None,
+    audio_rate: int = 8000,
 ) -> bytes:
     """uint8 (n, h, w, 3) -> AVI bytes with one MJPG video stream.
 
     Each frame is an independent baseline JPEG (real-world MJPEG
     default is 4:2:0; selectable). An idx1 index is always written.
+
+    ``audio``: optional float (n_samples, n_channels) in [-1, 1] —
+    written as a second PCM16 ``auds`` stream whose ``01wb`` chunks
+    interleave with the video frames (one chunk per frame period),
+    exactly how real muxers lay the file out.
     """
     n, h, w, _ = frames.shape
+    fps = max(fps, 1)
     encoded = [
         jpeg_encode(frames[i], quality=quality, subsampling=subsampling)
         for i in range(n)
     ]
     max_sz = max((len(e) for e in encoded), default=0)
 
-    # movi list: 00dc chunks; idx1 offsets are relative to the 'movi'
-    # fourcc (the common convention; the parser also accepts absolute).
+    pcm_chunks: list[bytes] = []
+    n_ch = 0
+    if audio is not None and len(audio):
+        n_ch = audio.shape[1]
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+        per_frame = max(1, -(-len(pcm) // max(n, 1)))  # samples per video frame
+        pcm_chunks = [
+            pcm[i * per_frame : (i + 1) * per_frame].tobytes()
+            for i in range(-(-len(pcm) // per_frame))
+        ]
+
+    # movi list: interleaved 00dc/01wb chunks; idx1 offsets are relative
+    # to the 'movi' fourcc (the common convention; the parser also
+    # accepts absolute).
     movi_payload = bytearray()
     idx_entries = []
-    for e in encoded:
+
+    def _emit(ckid: bytes, data: bytes) -> None:
         off = 4 + len(movi_payload)  # from 'movi' fourcc to chunk ckid
-        idx_entries.append(struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(e)))
-        movi_payload += _chunk(b"00dc", e)
+        idx_entries.append(struct.pack("<4sIII", ckid, _AVIIF_KEYFRAME, off, len(data)))
+        movi_payload.extend(_chunk(ckid, data))
+
+    for i in range(max(n, len(pcm_chunks))):
+        if i < n:
+            _emit(b"00dc", encoded[i])
+        if i < len(pcm_chunks):
+            _emit(b"01wb", pcm_chunks[i])
     movi = _list(b"movi", bytes(movi_payload))
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
 
-    usec_per_frame = int(round(1_000_000 / max(fps, 1)))
+    usec_per_frame = int(round(1_000_000 / fps))
     avih = struct.pack(
         "<IIIIIIIIII4I",
         usec_per_frame,        # dwMicroSecPerFrame
-        max_sz * max(fps, 1),  # dwMaxBytesPerSec (advisory)
+        max_sz * fps,          # dwMaxBytesPerSec (advisory)
         0,                     # dwPaddingGranularity
         _AVIF_HASINDEX,        # dwFlags
         n,                     # dwTotalFrames
         0,                     # dwInitialFrames
-        1,                     # dwStreams
+        2 if pcm_chunks else 1,  # dwStreams
         max_sz,                # dwSuggestedBufferSize
         w,
         h,
         0, 0, 0, 0,            # dwReserved
     )
-    strh = struct.pack(
+    strh_v = struct.pack(
         "<4s4sIHHIIIIIIIi4h",
         b"vids", b"MJPG",
         0, 0, 0,               # dwFlags, wPriority, wLanguage
         0,                     # dwInitialFrames
-        1, max(fps, 1),        # dwScale / dwRate -> fps
+        1, fps,                # dwScale / dwRate -> fps
         0, n,                  # dwStart, dwLength (frames)
         max_sz,                # dwSuggestedBufferSize
         0,                     # dwQuality (default)
         0,                     # dwSampleSize (0: varying)
         0, 0, w, h,            # rcFrame
     )
-    strf = struct.pack(
+    strf_v = struct.pack(
         "<IiiHH4sIiiII",
         40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+    if pcm_chunks:
+        block_align = n_ch * 2
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIIi4h",
+            b"auds", b"\x00\x00\x00\x00",
+            0, 0, 0,
+            0,
+            1, audio_rate,             # dwScale/dwRate -> samples per sec
+            0, len(audio),             # dwLength in samples
+            max(len(c) for c in pcm_chunks),
+            0,
+            block_align,               # dwSampleSize: fixed-size samples
+            0, 0, 0, 0,
+        )
+        # WAVEFORMATEX, wFormatTag=1 (PCM), 16-bit
+        strf_a = struct.pack(
+            "<HHIIHHH",
+            1, n_ch, audio_rate, audio_rate * block_align, block_align, 16, 0,
+        )
+        strls += _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -130,6 +175,12 @@ class AviInfo:
     # (payload_offset, size) of each video frame's JPEG bytes,
     # absolute into the AVI payload
     frame_spans: list
+    # optional auds stream (WAVEFORMATEX + ..wb chunk spans)
+    audio_fmt: int = 0          # 0: no audio stream; 1: PCM
+    audio_rate: int = 0
+    audio_channels: int = 0
+    audio_bits: int = 0
+    audio_spans: list = None  # type: ignore[assignment]
 
 
 def _iter_chunks(buf: bytes, pos: int, end: int):
@@ -152,7 +203,8 @@ def avi_parse(payload: bytes) -> AviInfo:
     codec = ""
     movi_fourcc_pos = -1
     idx1: bytes | None = None
-    walk_spans: list[tuple[int, int]] = []
+    audio_fmt = audio_rate = audio_channels = audio_bits = 0
+    walk_spans: dict[bytes, list[tuple[int, int]]] = {}
 
     for fourcc, start, size in _iter_chunks(payload, 12, end):
         if fourcc == b"LIST":
@@ -166,17 +218,25 @@ def avi_parse(payload: bytes) -> AviInfo:
                         width, height, n_frames = w, h, total
                         fps = 1_000_000 / usec if usec else 0.0
                     elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                        stype = b""
                         for f3, s3, z3 in _iter_chunks(payload, s2 + 4, s2 + z2):
                             if f3 == b"strh" and z3 >= 8:
-                                if payload[s3 : s3 + 4] == b"vids":
+                                stype = payload[s3 : s3 + 4]
+                                if stype == b"vids":
                                     codec = payload[s3 + 4 : s3 + 8].decode(
                                         "ascii", "replace"
                                     )
+                            elif f3 == b"strf" and stype == b"auds" and z3 >= 16:
+                                audio_fmt, audio_channels, audio_rate = (
+                                    struct.unpack_from("<HHI", payload, s3)
+                                )
+                                (audio_bits,) = struct.unpack_from(
+                                    "<H", payload, s3 + 14
+                                )
             elif ltype == b"movi":
                 movi_fourcc_pos = start
                 for f2, s2, z2 in _iter_chunks(payload, start + 4, start + size):
-                    if f2[2:4] in (b"dc", b"db"):
-                        walk_spans.append((s2, z2))
+                    walk_spans.setdefault(f2[2:4], []).append((s2, z2))
         elif fourcc == b"idx1":
             idx1 = payload[start : start + size]
 
@@ -185,23 +245,57 @@ def avi_parse(payload: bytes) -> AviInfo:
             f"AVI video codec {codec!r} outside the MJPG envelope"
         )
 
-    spans: list[tuple[int, int]] = []
+    idx_spans: dict[bytes, list[tuple[int, int]]] = {}
     if idx1 is not None and movi_fourcc_pos >= 0:
         for off in range(0, len(idx1) - 15, 16):
             ckid, _flags, chunk_off, chunk_sz = struct.unpack_from("<4sIII", idx1, off)
-            if ckid[2:4] not in (b"dc", b"db"):
+            if ckid[2:4] not in (b"dc", b"db", b"wb"):
                 continue
             # offsets are movi-relative (common) or absolute (some
             # writers); disambiguate by checking for the ckid bytes.
             abs_pos = movi_fourcc_pos + chunk_off
             if payload[abs_pos : abs_pos + 4] != ckid:
                 abs_pos = chunk_off
-            spans.append((abs_pos + 8, chunk_sz))
-    if not spans:
-        spans = walk_spans
+            idx_spans.setdefault(ckid[2:4], []).append((abs_pos + 8, chunk_sz))
+
+    def _spans(kinds: tuple[bytes, ...]) -> list[tuple[int, int]]:
+        out = []
+        for src in (idx_spans, walk_spans):
+            for k in kinds:
+                out.extend(src.get(k, []))
+            if out:
+                return out
+        return out
+
+    spans = _spans((b"dc", b"db"))
+    audio_spans = _spans((b"wb",))
     if n_frames == 0:
         n_frames = len(spans)
-    return AviInfo(width, height, n_frames, fps, codec, spans)
+    return AviInfo(
+        width, height, n_frames, fps, codec, spans,
+        audio_fmt, audio_rate, audio_channels, audio_bits, audio_spans,
+    )
+
+
+def avi_audio(payload: bytes, info: AviInfo | None = None) -> tuple[np.ndarray, int]:
+    """Demux + decode the auds stream -> (float (n, ch) in [-1,1], rate).
+
+    PCM16 envelope (wFormatTag=1, 16-bit) — the overwhelmingly common
+    AVI audio layout; compressed tags (MP3=0x55, AC3...) raise
+    ``NotImplementedError``, same discipline as ``decode_wav``.
+    """
+    info = info or avi_parse(payload)
+    if not info.audio_spans:
+        raise ValueError("AVI payload has no audio stream")
+    if info.audio_fmt != 1 or info.audio_bits != 16:
+        raise NotImplementedError(
+            f"AVI audio format tag 0x{info.audio_fmt:x}/{info.audio_bits}-bit "
+            "outside the PCM16 envelope"
+        )
+    pcm = b"".join(payload[off : off + sz] for off, sz in info.audio_spans)
+    n_ch = max(info.audio_channels, 1)
+    samples = np.frombuffer(pcm[: len(pcm) // (2 * n_ch) * 2 * n_ch], dtype="<i2")
+    return samples.reshape(-1, n_ch).astype(np.float64) / 32767.0, info.audio_rate
 
 
 def avi_frame(payload: bytes, i: int, info: AviInfo | None = None) -> np.ndarray:

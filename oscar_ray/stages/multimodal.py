@@ -479,23 +479,27 @@ class AudioFeatureStage:
     """Actor-pool stage: WAV PCM16 payload -> REAL audio features.
 
     Output: (id, duration_s, rms, zcr, spectral_centroid_hz,
-    sample_rate, n_channels). decoder="real" (mp3/ogg via ffmpeg) is
-    NotImplementedError in this container.
+    sample_rate, n_channels). ``decoder="wav"`` covers PCM16 and
+    IMA-ADPCM payloads; ``"avi"`` demuxes the PCM16 auds stream out of
+    an MJPEG AVI container (``stages/avi.py``); ``"real"`` (mp3/ogg via
+    ffmpeg) is NotImplementedError in this container.
     """
 
     def __init__(
         self, id_col: str = "doc_id", media_col: str = "media", decoder: str = "wav"
     ):
-        if decoder not in ("wav", "real"):
+        if decoder not in ("wav", "avi", "real"):
             raise ValueError(decoder)
         self.id_col, self.media_col, self.decoder = id_col, media_col, decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
             raise NotImplementedError("compressed audio requires ffmpeg")
+        if self.decoder == "avi":
+            from .avi import avi_audio
         rows = []
         for i, p in enumerate(batch[self.media_col].to_pylist()):
-            samples, rate = decode_wav(p)
+            samples, rate = avi_audio(p) if self.decoder == "avi" else decode_wav(p)
             f = audio_features(samples, rate)
             f[self.id_col] = batch[self.id_col][i].as_py()
             rows.append(f)

@@ -1608,6 +1608,95 @@ class TestRealMediaCodecs:
         with pytest.raises(NotImplementedError):
             avi_parse(payload.replace(b"MJPG", b"H264"))
 
+    def test_avi_audio_demux(self):
+        """Interleaved PCM16 auds stream reassembles to the source
+        samples (PCM16 quantization only); envelope gates hold."""
+        import struct as _struct
+
+        import numpy as np
+
+        from oscar_ray.stages.avi import (
+            avi_audio,
+            avi_encode_mjpeg,
+            avi_frame,
+            avi_parse,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+        t = np.arange(1600) / 8000.0
+        audio = np.stack(
+            [0.5 * np.sin(2 * np.pi * 300 * t), 0.3 * np.sin(2 * np.pi * 700 * t)],
+            axis=1,
+        )
+        payload = avi_encode_mjpeg(
+            frames, subsampling="444", audio=audio, audio_rate=8000
+        )
+        info = avi_parse(payload)
+        assert info.audio_fmt == 1 and info.audio_channels == 2
+        assert len(info.audio_spans) >= 4  # interleaved, not one blob
+        got, rate = avi_audio(payload, info)
+        assert rate == 8000 and got.shape == audio.shape
+        assert float(np.abs(got - audio).max()) < 1 / 32000
+        # audio interleaving does not perturb video frames
+        plain = avi_encode_mjpeg(frames, subsampling="444")
+        assert (avi_frame(payload, 3, info) == avi_frame(plain, 3)).all()
+        # video-only file: explicit no-audio error, not a crash
+        with pytest.raises(ValueError):
+            avi_audio(plain)
+        # compressed audio tag (MP3) is honestly gated
+        bad = bytearray(payload)
+        pos = bad.find(b"strf", bad.find(b"auds"))
+        _struct.pack_into("<H", bad, pos + 8, 0x55)
+        with pytest.raises(NotImplementedError):
+            avi_audio(bytes(bad))
+
+    def test_audio_stage_avi_real(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.sources.synth import generate_avi, generate_wav
+        from oscar_ray.stages.multimodal import AudioFeatureStage
+
+        ids = [1, 2, 3]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "media": pa.array(
+                        [generate_avi(i) for i in ids], type=pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"decoder": "avi"},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(rows) == 3
+        # same sine family as generate_wav: features match the WAV path
+        wav_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "media": pa.array(
+                        [generate_wav(i) for i in ids], type=pa.binary()
+                    ),
+                }
+            )
+        )
+        wav_rows = wav_ds.map_batches(
+            AudioFeatureStage, batch_format="pyarrow", concurrency=1
+        ).take_all()
+        by_id = {r["doc_id"]: r for r in wav_rows}
+        for r in rows:
+            w = by_id[r["doc_id"]]
+            assert r["duration_s"] == w["duration_s"]
+            assert abs(r["rms"] - w["rms"]) < 1e-4
+            assert abs(r["spectral_centroid_hz"] - w["spectral_centroid_hz"]) < 1.0
+
     def test_frame_sample_avi_real(self, ray_session):
         import numpy as np
         import pyarrow as pa
