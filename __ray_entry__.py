@@ -912,6 +912,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
             generate_rvid,
             generate_wav,
             generate_wav_adpcm,
+            generate_wav_g711,
         )
 
         gen = {
@@ -921,6 +922,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
             "gif": generate_gif,
             "wav": generate_wav,
             "adpcm": generate_wav_adpcm,
+            "g711": generate_wav_g711,
             "rvid": generate_rvid,
             "avi": generate_avi,
         }[kind]
@@ -1036,6 +1038,24 @@ def _mm_audio_features_adpcm(sf_dir: str):
 
     return (
         _mm_media_ds(sf_dir, "adpcm")
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
+def _mm_audio_features_g711(sf_dir: str):
+    """Audio pipeline over G.711 log-PCM payloads (WAV tags 7/6 —
+    telephony mu-law/A-law, alternating per doc), decoded by the
+    vectorized ITU expansion formulas, same feature extractor."""
+    from oscar_ray.stages.multimodal import AudioFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "g711")
         .map_batches(
             AudioFeatureStage,
             batch_format="pyarrow",
@@ -1196,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features": _mm_audio_features,
         "mm_audio_features_adpcm": _mm_audio_features_adpcm,
         "mm_audio_features_avi": _mm_audio_features_avi,
+        "mm_audio_features_g711": _mm_audio_features_g711,
         "mm_video_frames": _mm_video_frames,
         "mm_video_frames_avi": _mm_video_frames_avi,
     }

@@ -257,3 +257,19 @@ def generate_avi(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> by
         frames, fps=10, quality=90, subsampling=sub,
         audio=mono[:, None], audio_rate=rate,
     )
+
+
+def generate_wav_g711(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> bytes:
+    """Deterministic G.711 log-PCM audio per doc: the generate_wav sine
+    family compressed to 8-bit mu-law (even ids) / A-law (odd ids) —
+    the telephony-format analog of generate_wav_adpcm."""
+    import numpy as np
+
+    from oscar_ray.stages.multimodal import encode_wav_g711
+
+    freq = 200.0 + (doc_id * 37) % 1800
+    t = np.arange(int(seconds * rate)) / rate
+    mono = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(4 * np.pi * freq * t)
+    return encode_wav_g711(
+        mono[:, None], rate, law="ulaw" if int(doc_id) % 2 == 0 else "alaw"
+    )

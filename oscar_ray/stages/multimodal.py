@@ -127,10 +127,20 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if n_fact is not None:  # trim final-block padding
             pcm = pcm[:n_fact]
         return pcm.reshape(-1, 1).astype(np.float64) / 32768.0, sample_rate
+    if audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits not in (0, 8):
+            raise NotImplementedError("G.711 is 8 bits/sample")
+        codes = np.frombuffer(data, dtype=np.uint8)
+        pcm = (ulaw_decode if audio_format == 7 else alaw_decode)(codes)
+        n = len(pcm) // n_channels * n_channels
+        return (
+            pcm[:n].reshape(-1, n_channels).astype(np.float64) / 32768.0,
+            sample_rate,
+        )
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"unsupported WAV format tag 0x{audio_format:x} (PCM16 and "
-            "IMA-ADPCM only; compressed formats need codec libraries)"
+            f"unsupported WAV format tag 0x{audio_format:x} (PCM16, "
+            "IMA-ADPCM and G.711 only; other formats need codec libraries)"
         )
     samples = np.frombuffer(data, dtype="<i2")
     n = len(samples) // n_channels * n_channels
@@ -275,6 +285,73 @@ def encode_wav_adpcm(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return out
+
+
+# -- G.711 mu-law / A-law (WAV format tags 7 / 6) ---------------------------
+# The telephony log-PCM codecs: 8 bits per sample, decode is a pure
+# sign/exponent/mantissa formula (ITU-T G.711), fully vectorized.
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 mu-law bytes -> int16 linear (G.711 expansion formula)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 A-law bytes -> int16 linear (G.711 expansion formula)."""
+    a = codes.astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+def _g711_encode_nearest(pcm16: np.ndarray, decode_fn) -> np.ndarray:
+    """Nearest-codeword encoder: build the 256-entry expansion table
+    once, searchsorted each sample against the sorted codeword values —
+    spec-conformant (any decoder reproduces the nearest level) and
+    vectorized, no per-sample branching."""
+    table = decode_fn(np.arange(256, dtype=np.uint8)).astype(np.int64)
+    order = np.argsort(table, kind="stable")
+    levels = table[order]
+    pos = np.searchsorted(levels, pcm16)
+    lo = np.clip(pos - 1, 0, 255)
+    hi = np.clip(pos, 0, 255)
+    pick = np.where(
+        np.abs(levels[hi] - pcm16) < np.abs(pcm16 - levels[lo]), hi, lo
+    )
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int, law: str = "ulaw"
+) -> bytes:
+    """(n, channels) float in [-1,1] -> G.711 WAV bytes (tag 7 mu-law
+    or tag 6 A-law, 8 bits/sample)."""
+    tag, decode_fn = (7, ulaw_decode) if law == "ulaw" else (6, alaw_decode)
+    pcm16 = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int64)
+    n_ch = samples.shape[1]
+    data = _g711_encode_nearest(pcm16.reshape(-1), decode_fn).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8, 0
+    )
+    fact = struct.pack("<I", len(samples))
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data)))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

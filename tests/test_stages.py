@@ -1608,6 +1608,38 @@ class TestRealMediaCodecs:
         with pytest.raises(NotImplementedError):
             avi_parse(payload.replace(b"MJPG", b"H264"))
 
+    def test_g711_round_trip(self):
+        """G.711 mu-law/A-law: spec expansion-table landmarks + bounded
+        log-PCM round-trip error + WAV tag 7/6 plumbing."""
+        import numpy as np
+
+        from oscar_ray.stages.multimodal import (
+            alaw_decode,
+            decode_wav,
+            encode_wav_g711,
+            ulaw_decode,
+        )
+
+        tab_u = ulaw_decode(np.arange(256, dtype=np.uint8)).astype(int)
+        tab_a = alaw_decode(np.arange(256, dtype=np.uint8)).astype(int)
+        # ITU G.711 full-scale values
+        assert tab_u.min() == -32124 and tab_u.max() == 32124
+        assert tab_a.min() == -32256 and tab_a.max() == 32256
+        assert tab_u[0xFF] == 0 and tab_u[0x7F] == 0  # mu-law +0 / -0
+        # each half of the code space is monotone (neg up, pos down)
+        assert (np.diff(tab_u[:128]) > 0).all() and (np.diff(tab_u[128:]) < 0).all()
+
+        t = np.arange(2000) / 8000.0
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t))[:, None]
+        for law in ("ulaw", "alaw"):
+            wav = encode_wav_g711(sig, 8000, law=law)
+            out, rate = decode_wav(wav)
+            assert rate == 8000 and out.shape == sig.shape
+            snr = 10 * np.log10(
+                float((sig**2).mean()) / float(((out - sig) ** 2).mean())
+            )
+            assert snr > 30, (law, snr)  # log-PCM ~ 35-38 dB on sines
+
     def test_avi_audio_demux(self):
         """Interleaved PCM16 auds stream reassembles to the source
         samples (PCM16 quantization only); envelope gates hold."""
