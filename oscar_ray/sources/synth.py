@@ -256,6 +256,9 @@ def generate_avi(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> by
     return avi_encode_mjpeg(
         frames, fps=10, quality=90, subsampling=sub,
         audio=mono[:, None], audio_rate=rate,
+        # odd ids use the real-world camera form: Annex-K fixed tables,
+        # DHT segments omitted (decoder fallback path)
+        omit_dht=bool(int(doc_id) % 2),
     )
 
 

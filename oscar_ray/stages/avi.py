@@ -59,11 +59,17 @@ def avi_encode_mjpeg(
     subsampling: str = "420",
     audio: np.ndarray | None = None,
     audio_rate: int = 8000,
+    omit_dht: bool = False,
 ) -> bytes:
     """uint8 (n, h, w, 3) -> AVI bytes with one MJPG video stream.
 
     Each frame is an independent baseline JPEG (real-world MJPEG
     default is 4:2:0; selectable). An idx1 index is always written.
+
+    ``omit_dht=True`` emits the classic MJPEG fixed-table form: frames
+    are Annex-K-coded with NO DHT segments (what most camera/hardware
+    MJPEG writers produce); the JPEG decoder's Annex-K fallback
+    reconstructs them exactly.
 
     ``audio``: optional float (n_samples, n_channels) in [-1, 1] —
     written as a second PCM16 ``auds`` stream whose ``01wb`` chunks
@@ -73,7 +79,13 @@ def avi_encode_mjpeg(
     n, h, w, _ = frames.shape
     fps = max(fps, 1)
     encoded = [
-        jpeg_encode(frames[i], quality=quality, subsampling=subsampling)
+        jpeg_encode(
+            frames[i],
+            quality=quality,
+            subsampling=subsampling,
+            tables="annex_k" if omit_dht else "flat",
+            omit_dht=omit_dht,
+        )
         for i in range(n)
     ]
     max_sz = max((len(e) for e in encoded), default=0)

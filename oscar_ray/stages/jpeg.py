@@ -26,11 +26,14 @@ Design notes:
   (``einsum`` on an (n, 8, 8) stack) — the only Python-level loop is the
   per-symbol Huffman bit loop, which is what baseline JPEG's entropy
   layer fundamentally is.
-- The encoder uses SELF-GENERATED canonical Huffman tables (all 12 DC
-  size symbols at 4 bits, all 162 valid AC run/size symbols at 8 bits).
-  Any prefix-free table is valid baseline JPEG — the tables ride in DHT
-  like always; this trades a little compression for zero risk of
-  transcription errors in the 324 Annex-K literals.
+- The encoder defaults to SELF-GENERATED canonical Huffman tables (all
+  12 DC size symbols at 4 bits, all 162 valid AC run/size symbols at 8
+  bits); any prefix-free table is valid baseline JPEG and the tables
+  ride in DHT like always. ``tables="annex_k"`` switches to the ITU
+  T.81 Annex K typical tables (kept as literals, structurally
+  validated in tests against the spec's landmark code lengths), and
+  the DECODER falls back to those same tables when a scan references
+  an undefined slot — the real-world MJPEG DHT-omitted stream form.
 - Quantization uses the IJG quality scaling of the two example tables
   from the JPEG spec (the only table literals kept, they are 8x8 and
   easy to verify).
@@ -140,6 +143,67 @@ _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALUES)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALUES)
 
+# ITU-T T.81 Annex K "typical" Huffman tables (public spec Tables
+# K.3-K.6). Real-world MJPEG streams routinely OMIT the DHT segments
+# and assume these fixed tables (the classic MJPEG quirk; ffmpeg
+# installs the same defaults) — the decoder falls back to them when a
+# scan references an undefined table, and jpeg_encode(tables="annex_k")
+# emits streams coded with them (optionally DHT-less, MJPEG-style).
+_K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    list(
+        bytes.fromhex(
+            "01020300041105122131410613516107227114328191a108"
+            "2342b1c11552d1f02433627282090a161718191a25262728"
+            "292a3435363738393a434445464748494a53545556575859"
+            "5a636465666768696a737475767778797a83848586878889"
+            "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+            "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+            "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+        )
+    ),
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    list(
+        bytes.fromhex(
+            "000102031104052131061241510761711322328108144291"
+            "a1b1c109233352f0156272d10a162434e125f11718191a26"
+            "2728292a35363738393a434445464748494a535455565758"
+            "595a636465666768696a737475767778797a828384858687"
+            "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4"
+            "b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9da"
+            "e2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9fa"
+        )
+    ),
+)
+# (class, table id) -> (bits, values); ids 0/1 = luma/chroma convention
+_ANNEX_K_TABLES = {
+    (0, 0): _K_DC_LUMA,
+    (0, 1): _K_DC_CHROMA,
+    (1, 0): _K_AC_LUMA,
+    (1, 1): _K_AC_CHROMA,
+}
+
+
+def _htab_or_default(htabs: dict, cls: int, tid: int):
+    """Scan table lookup with the MJPEG fixed-table fallback."""
+    key = (cls, tid)
+    tab = htabs.get(key)
+    if tab is None:
+        if key not in _ANNEX_K_TABLES:
+            raise ValueError(f"scan references undefined Huffman table {key}")
+        tab = htabs[key] = _decode_table(*_ANNEX_K_TABLES[key])
+    return tab
+
 
 class _BitWriter:
     def __init__(self):
@@ -216,6 +280,8 @@ def jpeg_encode(
     quality: int = 85,
     restart_interval: int = 0,
     subsampling: str = "444",
+    tables: str = "flat",
+    omit_dht: bool = False,
 ) -> bytes:
     """uint8 (h, w, 1|3) -> baseline JFIF bytes.
 
@@ -225,11 +291,21 @@ def jpeg_encode(
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     N MCUs (byte-aligned, DC predictors reset) — the spec's
     error-resilience feature, round-trip-tested against the decoder.
+    ``tables``: "flat" (default — the self-generated fixed-length
+    canonical tables) or "annex_k" — the ITU T.81 Annex K typical
+    tables, luma on DC/AC id 0 and chroma on id 1 like real encoders.
+    ``omit_dht=True`` (annex_k only) emits NO DHT segments — the
+    MJPEG fixed-table stream form; the decoder's Annex-K fallback
+    reconstructs it exactly.
     """
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("expected (h, w, 1|3) uint8")
     if subsampling not in _SUBSAMP:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMP)}")
+    if tables not in ("flat", "annex_k"):
+        raise ValueError("tables must be 'flat' or 'annex_k'")
+    if omit_dht and tables != "annex_k":
+        raise ValueError("omit_dht requires tables='annex_k'")
     h, w, nc = img.shape
     sx, sy = _SUBSAMP[subsampling] if nc == 3 else (1, 1)
     qy, qc = _quality_tables(quality)
@@ -275,16 +351,33 @@ def jpeg_encode(
     for ci in range(nc):
         csx, csy = samps[ci]
         out += struct.pack("BBB", ci + 1, (csx << 4) | csy, qids[ci])
-    # DHT: DC table 0, AC table 0 (shared by all components)
-    for tc_th, bits, values in ((0x00, _DC_BITS, _DC_VALUES), (0x10, _AC_BITS, _AC_VALUES)):
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_th)
-        out += bytes(bits) + bytes(values)
+    # Huffman code assignment + per-component table ids
+    if tables == "annex_k":
+        dc_codes = [_canonical_codes(*_K_DC_LUMA), _canonical_codes(*_K_DC_CHROMA)]
+        ac_codes = [_canonical_codes(*_K_AC_LUMA), _canonical_codes(*_K_AC_CHROMA)]
+        tbl_of = [0, 1, 1][:nc]  # luma -> 0, chroma -> 1
+        dht = []
+        for tid, (dcb, dcv), (acb, acv) in (
+            (0, _K_DC_LUMA, _K_AC_LUMA),
+            (1, _K_DC_CHROMA, _K_AC_CHROMA),
+        )[: (2 if nc == 3 else 1)]:
+            dht.append((tid, dcb, dcv))
+            dht.append((0x10 | tid, acb, acv))
+    else:
+        dc_codes, ac_codes = [_DC_CODES], [_AC_CODES]
+        tbl_of = [0] * nc  # DC table 0, AC table 0 shared by all comps
+        dht = [(0x00, _DC_BITS, _DC_VALUES), (0x10, _AC_BITS, _AC_VALUES)]
+    if not omit_dht:
+        for tc_th, bits, values in dht:
+            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), tc_th)
+            out += bytes(bits) + bytes(values)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
-        out += struct.pack("BB", ci + 1, 0x00)  # DC table 0, AC table 0
+        t = tbl_of[ci]
+        out += struct.pack("BB", ci + 1, (t << 4) | t)
     out += b"\x00\x3f\x00"  # spectral selection 0..63, Ah/Al 0
 
     # entropy-coded data: interleaved MCUs, samps[ci] blocks per comp
@@ -293,10 +386,12 @@ def jpeg_encode(
     prev_dc = [0] * nc
 
     def emit_block(ci: int, zz: np.ndarray):
+        dc_tab = dc_codes[tbl_of[ci]]
+        ac_tab = ac_codes[tbl_of[ci]]
         diff = int(zz[0]) - prev_dc[ci]
         prev_dc[ci] = int(zz[0])
         size = _size_cat(diff)
-        code, length = _DC_CODES[size]
+        code, length = dc_tab[size]
         bw.write(code, length)
         if size:
             bw.write(_amplitude(diff, size), size)
@@ -304,18 +399,18 @@ def jpeg_encode(
         pos = 0
         for k in nz.tolist():
             while k - pos >= 16:
-                c, l = _AC_CODES[0xF0]  # ZRL
+                c, l = ac_tab[0xF0]  # ZRL
                 bw.write(c, l)
                 pos += 16
             run = k - pos
             v = int(zz[1 + k])
             size = _size_cat(v)
-            c, l = _AC_CODES[(run << 4) | size]
+            c, l = ac_tab[(run << 4) | size]
             bw.write(c, l)
             bw.write(_amplitude(v, size), size)
             pos = k + 1
         if pos < 63:
-            c, l = _AC_CODES[0x00]  # EOB
+            c, l = ac_tab[0x00]  # EOB
             bw.write(c, l)
 
     for m in range(n_mcu):
@@ -559,8 +654,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             prev_dc = [0] * len(scan_comps)
         my, mx = divmod(m, mcux)
         for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-            dct = htabs[(0, dc_id)]
-            act = htabs[(1, ac_id)]
+            dct = _htab_or_default(htabs, 0, dc_id)
+            act = _htab_or_default(htabs, 1, ac_id)
             chs, cvs = blocks_per[ci]
             gw = grids[ci][0]
             for by in range(cvs):
@@ -674,7 +769,7 @@ def _prog_dc_scan(br, htabs, scan, geom, coefs, Al, refine, restart_interval):
                     if br.read(1):
                         zz[0] |= p1
                 else:
-                    size = _huff_decode(br, htabs[(0, dc_id)])
+                    size = _huff_decode(br, _htab_or_default(htabs, 0, dc_id))
                     diff = _extend(br.read(size), size) if size else 0
                     prev_dc[ci] += diff
                     zz[0] = prev_dc[ci] << Al
@@ -843,7 +938,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 if interleaved:
                     raise ValueError("AC scans must be single-component")
                 cid, _dc_id, ac_id = scan_comps[0]
-                act = htabs[(1, ac_id)]
+                act = _htab_or_default(htabs, 1, ac_id)
                 _hs, _vs, _qid, cw, ch, gw = comp_geom[cid]
                 eobrun = 0
                 fn = _prog_ac_refine if Ah else _prog_ac_first

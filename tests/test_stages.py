@@ -1608,6 +1608,62 @@ class TestRealMediaCodecs:
         with pytest.raises(NotImplementedError):
             avi_parse(payload.replace(b"MJPG", b"H264"))
 
+    def test_annex_k_tables_and_mjpeg_fallback(self):
+        """ITU T.81 Annex K literals validate structurally + against
+        the spec's landmark code lengths; DHT-omitted (MJPEG fixed-
+        table) streams decode bit-identically via the fallback."""
+        import numpy as np
+
+        from oscar_ray.stages.jpeg import (
+            _K_AC_CHROMA,
+            _K_AC_LUMA,
+            _K_DC_CHROMA,
+            _K_DC_LUMA,
+            _canonical_codes,
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        full = {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        for bits, vals in (_K_AC_LUMA, _K_AC_CHROMA):
+            assert sum(bits) == len(vals) == 162 and set(vals) == full
+        for bits, vals in (_K_DC_LUMA, _K_DC_CHROMA):
+            assert sum(bits) == 12 and vals == list(range(12))
+        cl = _canonical_codes(*_K_AC_LUMA)
+        cc = _canonical_codes(*_K_AC_CHROMA)
+        # spec landmark codes: luma EOB=1010 (4 bits), ZRL 11 bits;
+        # chroma EOB=00 (2 bits), ZRL 10 bits
+        assert cl[0x00] == (0b1010, 4) and cl[0xF0][1] == 11
+        assert cc[0x00] == (0b00, 2) and cc[0xF0][1] == 10
+
+        rng = np.random.default_rng(7)
+        for shape, sub in (((16, 24, 3), "420"), ((12, 20, 1), "444")):
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            flat = jpeg_decode(jpeg_encode(img, 90, subsampling=sub))
+            nodht_stream = jpeg_encode(
+                img, 90, subsampling=sub, tables="annex_k", omit_dht=True
+            )
+            assert b"\xff\xc4" not in nodht_stream.split(b"\xff\xda")[0]
+            # same coefficients -> bit-identical pixels through fallback
+            assert (jpeg_decode(nodht_stream) == flat).all()
+
+    def test_avi_mjpeg_dht_omitted_frames(self):
+        """The camera-form AVI (Annex-K, no DHT) frame-samples exactly
+        like the DHT-carrying form."""
+        import numpy as np
+
+        from oscar_ray.stages.avi import avi_encode_mjpeg, avi_frame
+
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 256, size=(4, 12, 16, 3), dtype=np.uint8)
+        with_dht = avi_encode_mjpeg(frames, quality=90, subsampling="420")
+        camera = avi_encode_mjpeg(
+            frames, quality=90, subsampling="420", omit_dht=True
+        )
+        assert len(camera) < len(with_dht)  # the DHT bytes are gone
+        for i in range(4):
+            assert (avi_frame(camera, i) == avi_frame(with_dht, i)).all()
+
     def test_g711_round_trip(self):
         """G.711 mu-law/A-law: spec expansion-table landmarks + bounded
         log-PCM round-trip error + WAV tag 7/6 plumbing."""
