@@ -138,6 +138,21 @@ def _search_bm25_lang_filter(sf_dir: str):
     return bm25_scores_table(sf_dir, f"{BM25_TERM} @lang:en", k=None)
 
 
+def _search_snippets(sf_dir: str):
+    """KWIC snippet/highlight work item: the OR match set resolved by
+    the index, then a streaming corpus pass emits the +-3-token context
+    around the first hit with the matched token bracketed (the
+    --show-docs item print upgraded to contextual highlighting)."""
+    from oscar_ray.pipelines.search import kwic_snippets
+
+    return kwic_snippets(
+        sf_dir,
+        f"{BM25_OR_TERMS[0]} + {BM25_OR_TERMS[1]}",
+        terms=BM25_OR_TERMS,
+        window=3,
+    )
+
+
 def _search_facets(sf_dir: str):
     from oscar_ray.pipelines.facets import search_facets
 
@@ -1162,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
         "search_hybrid_rrf": _search_hybrid_rrf,
+        "search_snippets": _search_snippets,
         "search_hydrate": _search_hydrate,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
@@ -1401,6 +1417,33 @@ def oracle_sql() -> dict[str, str]:
             FROM scores s JOIN documents d USING (doc_id)
             WHERE s.term = '{BM25_TERM}' AND d.lang = 'en'
             ORDER BY doc_id
+        """,
+        "search_snippets": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> ''
+                       ) AS l
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, l,
+                       least(
+                           nullif(list_position(l, '{BM25_OR_TERMS[0]}'), 0),
+                           nullif(list_position(l, '{BM25_OR_TERMS[1]}'), 0)
+                       ) AS p
+                FROM toks
+            )
+            SELECT doc_id, p::BIGINT AS match_pos,
+                   array_to_string(
+                       flatten([
+                           l[greatest(1, p - 3):p - 1],
+                           ['[' || l[p] || ']'],
+                           l[p + 1:least(len(l), p + 3)]
+                       ]),
+                       ' ') AS snippet
+            FROM pos WHERE p IS NOT NULL ORDER BY doc_id
         """,
         "search_facets": f"""
             WITH {_TOK_CTE},

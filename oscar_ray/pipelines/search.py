@@ -209,3 +209,80 @@ def corpus_stats_table(sf_dir: str) -> pa.Table:
             "sum_doclen": pa.array([s["sum_doclen"]], type=pa.int64()),
         }
     )
+
+
+class _SnippetStage:
+    """Actor stage: stream the corpus, emit a KWIC snippet for docs in
+    the broadcast match set. The match-id array rides the object store
+    ONCE (``ray.put`` ref in the constructor, like the decontamination
+    stage's shingle set); per batch the membership probe is a
+    vectorized searchsorted — non-matching rows never tokenize."""
+
+    def __init__(self, id_ref, terms: tuple, window: int):
+        import ray
+
+        self.ids = ray.get(id_ref)  # sorted int64 array, zero-copy view
+        self.terms = frozenset(terms)
+        self.window = window
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from oscar_ray.spec.tokenizer import tokenize_text
+
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(self.ids):
+            pos = np.searchsorted(self.ids, did)
+            pos = np.clip(pos, 0, len(self.ids) - 1)
+            mask = self.ids[pos] == did
+        else:
+            mask = np.zeros(len(did), dtype=bool)
+        sub = t.filter(pa.array(mask))
+        out_id, out_pos, out_sn = [], [], []
+        w = self.window
+        for d, text in zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()):
+            toks = tokenize_text(text or "")
+            p = next((i for i, tk in enumerate(toks) if tk in self.terms), None)
+            if p is None:
+                continue
+            parts = (
+                toks[max(0, p - w) : p]
+                + ["[" + toks[p] + "]"]
+                + toks[p + 1 : p + 1 + w]
+            )
+            out_id.append(d)
+            out_pos.append(p + 1)  # 1-based, matches the SQL list_position
+            out_sn.append(" ".join(parts))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "match_pos": pa.array(out_pos, type=pa.int64()),
+                "snippet": pa.array(out_sn, type=pa.string()),
+            }
+        )
+
+
+def kwic_snippets(sf_dir: str, query: str, terms: tuple, window: int = 3):
+    """KWIC snippets for every doc matching ``query``: (doc_id,
+    match_pos, snippet) where match_pos is the 1-based token index of
+    the FIRST occurrence of any of ``terms`` and snippet is the
+    +-window token context with the hit bracketed ("a b [scan] c d e").
+
+    The item-print work item (`oscar-cmd` --show-docs / Workfunctions
+    item printing) upgraded to contextual highlighting. Index resolves
+    the match set (k-unbounded, like the other oracle entries); the
+    corpus pass is a streaming map_batches with the id set broadcast —
+    snippet rows live distributed until the caller sorts/collects.
+    """
+    import ray
+    import ray.data
+
+    idx = documents_index_dir(sf_dir)
+    engine = QueryEngine(idx)
+    ids, _scores = engine.search(query, k=1 << 62)
+    id_ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
+    ds = ray.data.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        _SnippetStage,
+        fn_constructor_kwargs={"id_ref": id_ref, "terms": terms, "window": window},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).sort("doc_id")
