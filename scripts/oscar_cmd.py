@@ -58,6 +58,14 @@ def main():
         action="store_true",
         help="drop reader + OS page caches first (mdrop / drop_caches analog)",
     )
+    q.add_argument(
+        "--snippets",
+        metavar="CORPUS",
+        help="corpus parquet dir/file: print a KWIC snippet per hit "
+        "(first query-term occurrence, +-3 tokens, hit bracketed). "
+        "Requires an index built with --id-column matching the corpus "
+        "doc_id column (docids must be corpus row ids)",
+    )
     sub.add_parser("mdrop", help="evict OS page cache for the index artifacts")
     bm = sub.add_parser(
         "bench",
@@ -566,6 +574,39 @@ def main():
         else:
             for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
                 print(f"{rank}\t{d}\t{s:.6f}")
+        if args.snippets and len(ids):
+            import pyarrow.dataset as pads
+
+            from oscar_ray.spec.tokenizer import tokenize_text
+
+            terms = set()
+            for tok in args.query.split():
+                if tok in ("+", "-", "^", "/", "(", ")") or tok.startswith(
+                    ("@", "*", "(")
+                ) or "*" in tok:
+                    continue
+                terms.update(tokenize_text(tok))
+            dset = pads.dataset(args.snippets)
+            idcol = "doc_id"
+            tbl = dset.to_table(
+                columns=[idcol, "text"],
+                filter=pads.field(idcol).isin(ids.tolist()),
+            )
+            text_of = dict(
+                zip(tbl[idcol].to_pylist(), tbl["text"].to_pylist())
+            )
+            for rank, d in enumerate(ids.tolist(), 1):
+                toks = tokenize_text(text_of.get(d) or "")
+                p = next((i for i, t_ in enumerate(toks) if t_ in terms), None)
+                if p is None:
+                    print(f"{rank}\t{d}\t(no plain-term hit)")
+                    continue
+                parts = (
+                    toks[max(0, p - 3) : p]
+                    + ["[" + toks[p] + "]"]
+                    + toks[p + 1 : p + 4]
+                )
+                print(f"{rank}\t{d}\t{' '.join(parts)}")
         phases = " ".join(
             f"{k_}={v:.0f}us" for k_, v in timings.items() if not isinstance(v, bool)
         )

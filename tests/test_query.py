@@ -490,6 +490,69 @@ class TestCmdCliWorkItems:
         rank, docid, score = lines[0].split("\t")
         assert rank == "1" and float(score) > 0
 
+    def test_query_snippets(self, ray_session, tmp_path_factory):
+        """--snippets CORPUS prints a bracketed KWIC line per hit (the
+        item-print work item with contextual highlighting). Needs an
+        id-column index so docids are corpus row ids."""
+        import os
+        import subprocess
+        import sys as _sys
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        root = tmp_path_factory.mktemp("snip")
+        corpus = str(root / "docs")
+        os.makedirs(corpus)
+        rows = {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta scan gamma delta epsilon",
+                "filter zeta",
+                "nothing here at all",
+                "x scan",
+            ],
+            "lang": ["en"] * 4,
+        }
+        pq.write_table(pa.table(rows), os.path.join(corpus, "d.parquet"))
+        idx = str(root / "idx")
+        build_index(
+            corpus,
+            idx,
+            IndexBuildConfig(
+                num_partitions=2,
+                block_span_bits=8,
+                id_column="doc_id",
+                url_column=None,
+                lang_column="lang",
+                dedup_urls=False,
+            ),
+        )
+        proc = subprocess.run(
+            [
+                _sys.executable, "scripts/oscar_cmd.py", "-i", idx,
+                "query", "-q", "scan + filter", "-k", "10",
+                "--snippets", corpus,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr
+        lines = proc.stdout.strip().splitlines()
+        snip_of = {}
+        for line in lines[len(lines) // 2 :]:  # second half = snippet rows
+            parts = line.split("\t")
+            if len(parts) == 3 and "[" in parts[2]:
+                snip_of[int(parts[1])] = parts[2]
+        assert snip_of[0] == "alpha beta [scan] gamma delta epsilon"
+        assert snip_of[1] == "[filter] zeta"
+        assert snip_of[3] == "x [scan]"
+        assert 2 not in snip_of
+
     def test_complete(self, built_index_t1):
         out = self._run(built_index_t1, ["complete", "-p", "wa", "-n", "5"])
         lines = out.strip().splitlines()
