@@ -139,3 +139,84 @@ def test_top_k_matches_sorted(pairs, k):
     want = sorted(zip(ids.tolist(), scores.tolist()), key=lambda t: (-t[1], t[0]))[:k]
     assert got_ids.tolist() == [w[0] for w in want]
     assert got_sc.tolist() == [w[1] for w in want]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from(["ulaw", "alaw"]),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=100, deadline=None)
+def test_g711_roundtrip_error_bound(samples, law, n_ch):
+    """G.711 nearest-codeword encode + spec decode: per-sample error is
+    bounded by half the local quantization step (the step at |x| is
+    ~2^(exp) scaled; a loose global bound is 1/16 full scale near the
+    top segment, tight near zero). We assert the NEAREST property
+    directly: no other codeword reconstructs closer."""
+    from oscar_ray.stages.multimodal import (
+        _g711_encode_nearest,
+        alaw_decode,
+        ulaw_decode,
+    )
+
+    dec = ulaw_decode if law == "ulaw" else alaw_decode
+    arr = np.asarray(samples[: len(samples) // n_ch * n_ch], dtype=np.float64)
+    if not len(arr):
+        return
+    pcm = (np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int64)
+    codes = _g711_encode_nearest(pcm, dec)
+    table = dec(np.arange(256, dtype=np.uint8)).astype(np.int64)
+    got = table[codes.astype(np.int64)]
+    best = np.min(np.abs(table[None, :] - pcm[:, None]), axis=1)
+    assert (np.abs(got - pcm) == best).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=5),   # n frames
+    st.integers(min_value=1, max_value=3),   # h blocks-ish
+    st.integers(min_value=1, max_value=3),   # w
+    st.sampled_from(["444", "422", "420"]),
+    st.booleans(),                           # omit_dht
+    st.booleans(),                           # with audio
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_container_roundtrip(n, hb, wb, sub, omit_dht, with_audio, seed):
+    """AVI mux/demux is lossless at the container layer: every frame's
+    indexed bytes decode identically to a standalone JPEG of the same
+    pixels/tables, and the audio samples reassemble exactly."""
+    from oscar_ray.stages.avi import (
+        avi_audio,
+        avi_encode_mjpeg,
+        avi_frame,
+        avi_parse,
+    )
+    from oscar_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    h, w = 4 * hb, 4 * wb
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    audio = (
+        rng.uniform(-1, 1, size=(rng.integers(1, 500), 1)) if with_audio else None
+    )
+    payload = avi_encode_mjpeg(
+        frames, fps=7, quality=80, subsampling=sub,
+        audio=audio, audio_rate=8000, omit_dht=omit_dht,
+    )
+    info = avi_parse(payload)
+    assert (info.width, info.height) == (w, h)
+    assert len(info.frame_spans) == n
+    for i in range(n):
+        ref = jpeg_encode(
+            frames[i], quality=80, subsampling=sub,
+            tables="annex_k" if omit_dht else "flat", omit_dht=omit_dht,
+        )
+        assert (avi_frame(payload, i, info) == jpeg_decode(ref)).all()
+    if with_audio:
+        got, rate = avi_audio(payload, info)
+        assert rate == 8000 and got.shape == audio.shape
+        assert np.abs(got - audio).max() < 1 / 32000 + 1e-12
