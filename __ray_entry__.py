@@ -725,6 +725,27 @@ def _text_bpe_tokens(sf_dir: str):
     return bpe_token_counts(ds, model, concurrency=2).sort("doc_id")
 
 
+def _text_bpe_token_ids(sf_dir: str):
+    """The TERMINAL training-data step: curated corpus -> per-doc BPE
+    token id sequences (list<int32>, training ids: bytes 0-255, EOW
+    256, merges 257+), ready to `write_parquet` as training shards.
+    Rows-only like text_bpe_tokens (BPE is not SQL-expressible);
+    pytest pins ids == the sequential reference segmentation."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.bpe import bpe_tokenize, train_bpe
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    model = train_bpe(
+        ds, num_merges=BPE_MERGES, min_count=2, num_shards=4, concurrency=2
+    )
+    return bpe_tokenize(ds, model, concurrency=2).sort("doc_id")
+
+
 def _pipeline_curate(sf_dir: str):
     """End-to-end curation: scrub -> quality gate -> seeded sample (one
     fused row-local actor stage) -> exact dedup keep-first -> span dedup
@@ -1214,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
         "text_bpe_tokens": _text_bpe_tokens,
+        "text_bpe_token_ids": _text_bpe_token_ids,
         "text_topk_terms_by_lang": _text_topk_terms_by_lang,
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,

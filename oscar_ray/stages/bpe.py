@@ -342,3 +342,88 @@ def bpe_token_counts(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class BPETokenizeStage:
+    """map_batches actor: (doc_id, text) -> (doc_id, n_bpe_tokens,
+    token_ids: list<int32>) — the TERMINAL curation step that turns a
+    curated corpus into training-ready token shards.
+
+    Same broadcast/caching discipline as :class:`BPEEncodeStage`, but
+    the per-word cache holds the full id sequences and the per-doc
+    lists assemble into one Arrow ListArray via offsets (one
+    np.concatenate over the batch's word sequences, no per-token
+    Python appends). Ids are the training ids (bytes 0-255, EOW 256,
+    merges 257+): encode == training segmentation, so downstream
+    de-tokenization is exact."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id", text_col: str = "text"):
+        model = ray.get(model_ref) if not isinstance(model_ref, BPEModel) else model_ref
+        self.ranks = model.ranks
+        self.id_col, self.text_col = id_col, text_col
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        parent, tokens_a = flatten_tokens(batch[self.text_col])
+        denc = pc.dictionary_encode(
+            tokens_a if isinstance(tokens_a, pa.Array) else pa.chunked_array([tokens_a])
+        )
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dict_seqs: list[np.ndarray] = []
+        for w in denc.dictionary.to_pylist():
+            seq = self._cache.get(w)
+            if seq is None:
+                seq = np.asarray(encode_word(w, self.ranks), dtype=np.int32)
+                if len(self._cache) >= 1 << 20:
+                    self._cache.clear()
+                self._cache[w] = seq
+            dict_seqs.append(seq)
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        par = np.asarray(parent, dtype=np.int64)
+        n_rows = len(ids)
+        seq_lens = np.fromiter(
+            (len(s) for s in dict_seqs), dtype=np.int64, count=len(dict_seqs)
+        )
+        word_lens = seq_lens[codes] if len(codes) else np.zeros(0, np.int64)
+        per_doc = np.bincount(par, weights=word_lens.astype(np.float64), minlength=n_rows).astype(np.int64)
+        values = (
+            np.concatenate([dict_seqs[c] for c in codes])
+            if len(codes)
+            else np.zeros(0, np.int32)
+        )
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        token_ids = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "n_bpe_tokens": pa.array(per_doc),
+                "token_ids": token_ids,
+            }
+        )
+
+
+def bpe_tokenize(
+    ds: ray.data.Dataset,
+    model: BPEModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Corpus -> (doc_id, n_bpe_tokens, token_ids list<int32>); write
+    the result with ``.write_parquet(out_dir)`` for training shards."""
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        BPETokenizeStage,
+        fn_constructor_kwargs={
+            "model_ref": model_ref,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -2798,6 +2798,60 @@ class TestBPE:
             assert r["n_words"] == len(toks)
             assert r["n_bpe_tokens"] == sum(len(seqs[w]) for w in toks)
 
+    def test_tokenize_ids(self, ray_session):
+        """bpe_tokenize emits the training ids verbatim: per doc the
+        concatenation of encode_word over its tokens, in order; counts
+        agree with bpe_token_counts; empty text -> empty list."""
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.spec.tokenizer import tokenize_text
+        from oscar_ray.stages.bpe import (
+            bpe_tokenize,
+            encode_word,
+            train_bpe,
+        )
+
+        texts = self.TEXTS + [""]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+        ).repartition(3)
+        model = train_bpe(self._ds(), num_merges=12, num_shards=2, concurrency=1)
+        rows = bpe_tokenize(ds, model, concurrency=1).sort("doc_id").take_all()
+        assert len(rows) == len(texts)
+        for r in rows:
+            want = []
+            for w in tokenize_text(texts[r["doc_id"]]):
+                want.extend(encode_word(w, model.ranks))
+            assert r["token_ids"] == want
+            assert r["n_bpe_tokens"] == len(want)
+        assert rows[-1]["token_ids"] == []  # empty doc -> empty list
+
+    def test_tokenize_write_round_trip(self, ray_session, tmp_path):
+        """Training-shard terminal step: write_parquet of the ids table
+        reads back identically (list<int32> survives the format)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from oscar_ray.stages.bpe import bpe_tokenize, train_bpe
+
+        model = train_bpe(self._ds(), num_merges=8, num_shards=1, concurrency=1)
+        out = str(tmp_path / "shards")
+        bpe_tokenize(self._ds(), model, concurrency=1).write_parquet(out)
+        back = pq.read_table(out).sort_by("doc_id")
+        direct = (
+            bpe_tokenize(self._ds(), model, concurrency=1).sort("doc_id").take_all()
+        )
+        assert back.num_rows == len(direct)
+        for got, want in zip(back.to_pylist(), direct):
+            assert got["doc_id"] == want["doc_id"]
+            assert got["token_ids"] == want["token_ids"]
+
 
 class TestTopkTermsByGroup:
     """Per-group exact top-k terms (sketches.py): routed partials vs a
