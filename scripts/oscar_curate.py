@@ -61,11 +61,21 @@ def main():
     ap.add_argument("--force", action="store_true", help="overwrite a finished output")
     ap.add_argument(
         "--output",
-        choices=["packed", "corpus"],
+        choices=["packed", "corpus", "tokens"],
         default="packed",
         help="'packed' = training-sequence layout; 'corpus' = the curated "
         "(doc_id, text, n_spans) corpus, indexable via oscar_create "
-        "--id-column doc_id",
+        "--id-column doc_id; 'tokens' = train a BPE tokenizer on the "
+        "curated corpus and write per-doc token_ids list<int32> shards "
+        "(the terminal training-data step)",
+    )
+    ap.add_argument(
+        "--bpe-merges", type=int, default=4096,
+        help="BPE merge count for --output tokens",
+    )
+    ap.add_argument(
+        "--bpe-min-count", type=int, default=2,
+        help="drop words rarer than this from BPE training",
     )
     args = ap.parse_args()
 
@@ -111,8 +121,24 @@ def main():
         budget=args.budget,
         num_parts=args.num_parts,
         concurrency=args.concurrency,
-        output=args.output,
+        output="corpus" if args.output == "tokens" else args.output,
     )
+    if args.output == "tokens":
+        # curate -> train on survivors -> tokenize survivors. The
+        # curated corpus is consumed twice (train + encode), so
+        # materialize it once instead of re-running the whole curation
+        # lineage (the pack_sequences lesson).
+        from oscar_ray.stages.bpe import bpe_tokenize, train_bpe
+
+        curated = curated.materialize()
+        model = train_bpe(
+            curated,
+            num_merges=args.bpe_merges,
+            min_count=args.bpe_min_count,
+            num_shards=max(2, args.num_parts // 8),
+            concurrency=args.concurrency,
+        )
+        curated = bpe_tokenize(curated, model, concurrency=args.concurrency)
 
     tmp = args.out + ".tmp"
     if os.path.exists(tmp):
@@ -143,6 +169,7 @@ def main():
             "denylist": sorted(args.denylist.split(",")) if args.denylist else [],
             "num_parts": args.num_parts,
             "output": args.output,
+            "bpe_merges": args.bpe_merges if args.output == "tokens" else None,
         },
         "input_files": len(files),
     }
