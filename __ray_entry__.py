@@ -942,6 +942,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
         from oscar_ray.sources.synth import (
             generate_avi,
             generate_gif,
+            generate_gif_anim,
             generate_jpeg,
             generate_png,
             generate_ppm,
@@ -961,6 +962,7 @@ def _mm_media_ds(sf_dir: str, kind: str):
             "g711": generate_wav_g711,
             "rvid": generate_rvid,
             "avi": generate_avi,
+            "gif_anim": generate_gif_anim,
         }[kind]
         payload = [gen(int(d)) for d in t["doc_id"].to_pylist()]
         return pa.table(
@@ -1153,6 +1155,37 @@ def _mm_video_frames_avi(sf_dir: str):
     )
 
 
+def _mm_video_frames_gif(sf_dir: str):
+    """Web-animation pipeline: ANIMATED GIF payloads -> composited
+    frames (full disposal/transparency semantics, stages/gif.py) ->
+    PPM -> per-frame image features."""
+    from oscar_ray.stages.multimodal import FrameSampleStage, ImageFeatureStage
+
+    return (
+        _mm_media_ds(sf_dir, "gif_anim")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"decoder": "gif", "n_frames": 3},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+        )
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs={
+                "decoder": "ppm",
+                "dim": 8,
+                "media_col": "frame",
+                "passthrough_cols": ("frame_index",),
+            },
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
 def _mm_video_frames(sf_dir: str):
     """Video pipeline with a REAL frame sampler: raw-RGB container ->
     evenly-spaced frames re-encoded as PPM -> per-frame image features."""
@@ -1257,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features_g711": _mm_audio_features_g711,
         "mm_video_frames": _mm_video_frames,
         "mm_video_frames_avi": _mm_video_frames_avi,
+        "mm_video_frames_gif": _mm_video_frames_gif,
     }
 
 

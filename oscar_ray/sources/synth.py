@@ -276,3 +276,22 @@ def generate_wav_g711(doc_id: int, seconds: float = 0.25, rate: int = 8000) -> b
     return encode_wav_g711(
         mono[:, None], rate, law="ulaw" if int(doc_id) % 2 == 0 else "alaw"
     )
+
+
+def generate_gif_anim(doc_id: int, n_frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic ANIMATED GIF per doc: the generate_rvid frame
+    family posterized to the GIF palette bound — the web-animation
+    analog of generate_avi (no frame index; full LZW per frame)."""
+    import numpy as np
+
+    from oscar_ray.stages.gif import gif_encode_animated
+
+    rng = np.random.default_rng((doc_id + 7) * 40503 % (2**32))
+    base = rng.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
+    frames = np.stack(
+        [
+            (np.clip(base.astype(np.int64) + 20 * f, 0, 255) // 64 * 64).astype(np.uint8)
+            for f in range(n_frames)
+        ]
+    )
+    return gif_encode_animated(frames, delay_cs=10)

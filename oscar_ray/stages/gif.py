@@ -241,3 +241,149 @@ def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     out.append(0)  # block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
+
+
+# -- animated GIF (GIF89a multi-frame) ---------------------------------------
+# Real web GIFs are animations: a stream of image descriptors, each
+# optionally preceded by a Graphic Control Extension (disposal method,
+# delay, transparent index), composited onto a logical-screen canvas.
+# Spec: GIF89a specification (public), GCE block 0x21 0xF9.
+
+
+def gif_decode_frames(payload: bytes, max_frames: int | None = None) -> list:
+    """GIF bytes -> list of composited uint8 (h, w, 3) canvases, one
+    per animation frame.
+
+    Full compositing semantics: sub-rectangle placement, transparency
+    (transparent pixels leave the canvas through), and all three
+    disposal methods (1 leave / 2 restore-background / 3
+    restore-previous). The canvas starts as the logical-screen
+    background color (global-palette bg index, else black).
+    ``max_frames`` stops parsing early — sampling k frames of a long
+    animation never decodes past the last needed frame (the LZW data
+    of *skipped* frames is still walked for framing, which is the GIF
+    format's cost: unlike AVI there is no index)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x7)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list = []
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control
+                gfields = payload[pos + 1]
+                disposal = (gfields >> 2) & 0x7
+                transparent = payload[pos + 4] if gfields & 0x1 else None
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x7)
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress(b"".join(chunks), min_code_size, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF image data")
+        rows = idx.reshape(ih, iw)
+        if ipacked & 0x40:
+            rows = _deinterlace(rows)
+        if int(rows.max(initial=0)) >= len(ct):
+            raise ValueError("palette index out of range")
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent is not None:
+            opaque = rows != transparent
+            region[opaque] = ct[rows[opaque]]
+        else:
+            region[:, :] = ct[rows]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background in the frame's rect
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        disposal, transparent = 0, None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return frames
+
+
+def gif_encode_animated(
+    frames: np.ndarray, delay_cs: int = 10, loop: bool = True
+) -> bytes:
+    """uint8 (n, h, w, 3) -> animated GIF89a bytes.
+
+    One exact global palette over ALL frames (<= 256 distinct colors,
+    quantize upstream), each frame a full-canvas image descriptor with a
+    GCE (disposal=1 leave-in-place, delay in centiseconds); optional
+    NETSCAPE2.0 infinite-loop extension like real encoders emit."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("expected (n, h, w, 3) uint8")
+    n_frames, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors across frames; GIF needs <= 256"
+        )
+    size = 2
+    while size < len(palette):
+        size *= 2
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    gct_bits = int(size).bit_length() - 2
+    min_code_size = max(2, int(size).bit_length() - 1)
+    indices = inverse.astype(np.uint8).reshape(n_frames, h, w)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits & 0x7), 0, 0)
+    out += pal.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        # GCE: disposal=1 (leave), no transparency
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code_size)
+        data = _lzw_compress(indices[f].reshape(-1), min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

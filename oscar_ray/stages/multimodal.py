@@ -591,8 +591,11 @@ class FrameSampleStage:
     frame indices, each emitted as a standalone PPM payload);
     ``"avi"`` — REAL MJPEG-in-AVI decode (``stages/avi.py``: RIFF
     parse + idx1 random access + per-frame JPEG decode; only the k
-    sampled frames are ever decoded); ``"fake"`` — deterministic byte
-    slices; ``"real"`` — ffmpeg path for codecs outside the MJPG
+    sampled frames are ever decoded); ``"gif"`` — REAL animated-GIF
+    decode (``stages/gif.py::gif_decode_frames``: full disposal/
+    transparency compositing; GIF has no frame index, so sampling
+    walks up to the last needed frame); ``"fake"`` — deterministic
+    byte slices; ``"real"`` — ffmpeg path for codecs outside the
     envelope, NotImplementedError here.
     """
 
@@ -603,7 +606,7 @@ class FrameSampleStage:
         n_frames: int = 4,
         decoder: str = "fake",
     ):
-        if decoder not in ("fake", "real", "rvid", "avi"):
+        if decoder not in ("fake", "real", "rvid", "avi", "gif"):
             raise ValueError(decoder)
         self.id_col, self.media_col, self.n_frames = id_col, media_col, n_frames
         self.decoder = decoder
@@ -632,6 +635,22 @@ class FrameSampleStage:
                     ids.append(batch[self.id_col][i].as_py())
                     fidx.append(f)
                     frames.append(encode_ppm(img))
+                continue
+            if self.decoder == "gif":
+                from .gif import gif_decode_frames
+
+                all_frames = gif_decode_frames(payload)
+                n_avail = len(all_frames)
+                take = min(self.n_frames, n_avail)
+                picks = (
+                    np.linspace(0, n_avail - 1, take).astype(np.int64)
+                    if take
+                    else np.empty(0, np.int64)
+                )
+                for f, src in enumerate(picks.tolist()):
+                    ids.append(batch[self.id_col][i].as_py())
+                    fidx.append(f)
+                    frames.append(encode_ppm(all_frames[src]))
                 continue
             if self.decoder == "rvid":
                 _w, _h, n_avail = decode_rvid_header(payload)

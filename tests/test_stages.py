@@ -1608,6 +1608,105 @@ class TestRealMediaCodecs:
         with pytest.raises(NotImplementedError):
             avi_parse(payload.replace(b"MJPG", b"H264"))
 
+    def test_gif_animated_round_trip(self):
+        """Animated GIF: exact multi-frame round trip, early-stop, and
+        single-frame compatibility with gif_decode."""
+        import numpy as np
+
+        from oscar_ray.stages.gif import (
+            gif_decode,
+            gif_decode_frames,
+            gif_encode,
+            gif_encode_animated,
+        )
+
+        rng = np.random.default_rng(2)
+        base = (rng.integers(0, 4, size=(10, 14, 3)) * 64).astype(np.uint8)
+        frames = np.stack(
+            [
+                (np.clip(base.astype(int) + 32 * f, 0, 255) // 64 * 64).astype(
+                    np.uint8
+                )
+                for f in range(5)
+            ]
+        )
+        payload = gif_encode_animated(frames, delay_cs=5)
+        got = gif_decode_frames(payload)
+        assert len(got) == 5
+        for i in range(5):
+            assert (got[i] == frames[i]).all()
+        assert len(gif_decode_frames(payload, max_frames=2)) == 2
+        single = gif_encode(frames[0])
+        assert (gif_decode_frames(single)[0] == gif_decode(single)).all()
+
+    def test_gif_disposal_and_transparency(self):
+        """Hand-built GIF89a stream: sub-rect placement, transparent
+        index, disposal 2 (restore bg) and 3 (restore previous) — the
+        semantics real web animations rely on."""
+        import struct as _struct
+
+        import numpy as np
+
+        from oscar_ray.stages.gif import _lzw_compress, gif_decode_frames
+
+        hdr = b"GIF89a" + _struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+        pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+        def img_block(ix, iy, iw, ih, idxs, gce=None):
+            out = b""
+            if gce is not None:
+                disposal, transparent = gce
+                gf = (disposal << 2) | (1 if transparent is not None else 0)
+                out += _struct.pack(
+                    "<BBBBHBB", 0x21, 0xF9, 4, gf, 0, transparent or 0, 0
+                )
+            out += _struct.pack("<BHHHHB", 0x2C, ix, iy, iw, ih, 0)
+            data = _lzw_compress(np.asarray(idxs, dtype=np.uint8), 2)
+            return out + bytes([2, len(data)]) + data + b"\x00"
+
+        p = (
+            hdr + pal
+            + img_block(0, 0, 4, 4, [1] * 16, gce=(3, None))   # red, restore-prev
+            + img_block(1, 1, 2, 2, [2, 0, 0, 2], gce=(2, 0))  # green checker, idx0 transparent, restore-bg
+            + img_block(0, 0, 4, 4, [3] * 16, gce=(1, None))   # blue
+            + b"\x3b"
+        )
+        fr = gif_decode_frames(p)
+        assert len(fr) == 3
+        assert (fr[0] == [255, 0, 0]).all()
+        assert (fr[1][1, 1] == [0, 255, 0]).all() and (fr[1][2, 2] == [0, 255, 0]).all()
+        assert (fr[1][1, 2] == [0, 0, 0]).all()  # transparent -> canvas shows through
+        assert (fr[1][0, 0] == [0, 0, 0]).all()  # disposal 3 restored pre-red canvas
+        assert (fr[2] == [0, 0, 255]).all()
+
+    def test_frame_sample_gif_real(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.sources.synth import generate_gif_anim
+        from oscar_ray.stages.multimodal import FrameSampleStage, decode_ppm
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "media": pa.array(
+                        [generate_gif_anim(1), generate_gif_anim(2)],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+        )
+        rows = ds.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"decoder": "gif", "n_frames": 3},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(rows) == 6
+        for r in rows:
+            assert decode_ppm(r["frame"]).shape == (12, 16, 3)
+
     def test_annex_k_tables_and_mjpeg_fallback(self):
         """ITU T.81 Annex K literals validate structurally + against
         the spec's landmark code lengths; DHT-omitted (MJPEG fixed-
