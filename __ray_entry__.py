@@ -28,6 +28,9 @@ BM25_OR_TERMS = ("scan", "filter")
 BM25_NOT = ("scan", "hash")
 BM25_PREFIX = "s"  # expands to scan/slow/small/sort/spark/... (qt=prefix analog)
 SUBSTR_TOKEN = "erg"  # *erg* — matches merge/merges/... via the suffix index
+PHRASE_Q = ("merge", "join")  # "merge join" — adjacent-token phrase
+NEAR_Q, NEAR_SLOP = ("hash", "join"), 3  # "hash join"~3 proximity window
+FUZZY_TERM, FUZZY_DIST = "part", 2  # part~2 -> {fast, part, sort, spark}
 MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
 HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
@@ -136,6 +139,38 @@ def _search_bm25_lang_filter(sf_dir: str):
     from oscar_ray.pipelines.search import bm25_scores_table
 
     return bm25_scores_table(sf_dir, f"{BM25_TERM} @lang:en", k=None)
+
+
+def _search_bm25_phrase(sf_dir: str):
+    """Exact-phrase query over the positional index variant: one virtual
+    term scored with BM25 over the phrase's own tf (adjacency-verified
+    occurrence count) and df (query/positional.py phrase_postings)."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(
+        sf_dir, f'"{PHRASE_Q[0]} {PHRASE_Q[1]}"', k=None, positions=True
+    )
+
+
+def _search_bm25_near(sf_dir: str):
+    """Proximity query `"w1 w2"~slop`: the terms' AND, narrowed to docs
+    where one occurrence of each fits a window of <= slop positions
+    (scores stay the plain AND scores — the window is a filter)."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(
+        sf_dir, f'"{NEAR_Q[0]} {NEAR_Q[1]}"~{NEAR_SLOP}', k=None, positions=True
+    )
+
+
+def _search_bm25_fuzzy(sf_dir: str):
+    """Fuzzy term query `term~d`: OR over all dictionary terms within
+    Levenshtein distance d (vectorized DP scan of the partition
+    dictionaries, reader.terms_with_edit_distance), prefix-style
+    expansion cap."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"{FUZZY_TERM}~{FUZZY_DIST}", k=None)
 
 
 def _search_snippets(sf_dir: str):
@@ -1227,6 +1262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_prefix": _search_bm25_prefix,
         "search_bm25_substring": _search_bm25_substring,
         "search_bm25_lang_filter": _search_bm25_lang_filter,
+        "search_bm25_phrase": _search_bm25_phrase,
+        "search_bm25_near": _search_bm25_near,
+        "search_bm25_fuzzy": _search_bm25_fuzzy,
         "search_facets": _search_facets,
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
@@ -1473,6 +1511,79 @@ def oracle_sql() -> dict[str, str]:
             FROM scores s JOIN documents d USING (doc_id)
             WHERE s.term = '{BM25_TERM}' AND d.lang = 'en'
             ORDER BY doc_id
+        """,
+        # phrase = ONE virtual term: tf counts adjacent-pair occurrences
+        # (overlaps included), df counts matching docs; BM25 formula and
+        # corpus stats identical to _BM25_BASE (engine: positional.py
+        # phrase_postings + the pinned spec/bm25 kernels)
+        "search_bm25_phrase": f"""
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(arr)::DOUBLE AS doclen FROM tokarr),
+            ptf AS (
+                SELECT doc_id, count(*)::DOUBLE AS tf
+                FROM tokarr, unnest(range(1, len(arr))) AS t(i)
+                WHERE arr[i] = '{PHRASE_Q[0]}' AND arr[i + 1] = '{PHRASE_Q[1]}'
+                GROUP BY doc_id
+            ),
+            corpus AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                       (SELECT sum(doclen) FROM dl)
+                       / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf)
+            SELECT ptf.doc_id,
+                   round(ln(1 + (corpus.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+                         * (ptf.tf * ({K1} + 1)) /
+                           (ptf.tf + {K1} * (1 - {B} + {B} * dl.doclen / corpus.avgdl)),
+                         4) AS score
+            FROM ptf JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN pdf
+            ORDER BY doc_id
+        """,
+        # proximity = the two terms' AND scores, filtered to docs where
+        # some occurrence pair sits within the slop window (positions are
+        # token indices; 1- vs 0-based cancels in the difference)
+        "search_bm25_near": _BM25_BASE
+        + f""",
+            tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, i, arr[i] AS term
+                FROM tokarr, unnest(range(1, len(arr) + 1)) AS t(i)
+            ),
+            near AS (
+                SELECT DISTINCT a.doc_id
+                FROM pos a JOIN pos b USING (doc_id)
+                WHERE a.term = '{NEAR_Q[0]}' AND b.term = '{NEAR_Q[1]}'
+                  AND abs(a.i - b.i) <= {NEAR_SLOP}
+            )
+            SELECT s.doc_id, round(sum(s.score), 4) AS score
+            FROM scores s JOIN near USING (doc_id)
+            WHERE s.term IN ('{NEAR_Q[0]}', '{NEAR_Q[1]}')
+            GROUP BY s.doc_id ORDER BY doc_id
+        """,
+        # fuzzy = OR over dictionary terms within Levenshtein distance,
+        # ascending with the same expansion cap as a prefix scan (engine:
+        # reader.terms_with_edit_distance — unit-cost DP == duckdb's
+        # levenshtein)
+        "search_bm25_fuzzy": _BM25_BASE
+        + f"""
+            SELECT doc_id, round(sum(score), 4) AS score
+            FROM scores WHERE term IN (
+                SELECT term FROM df
+                WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST}
+                ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "search_snippets": f"""
             WITH toks AS (

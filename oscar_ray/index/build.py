@@ -102,6 +102,18 @@ class IndexBuildConfig:
     # gates it behind config the same way).
     index_suffixes: bool = False
     min_suffix_len: int = 2
+    # positional sidecar (phrase / proximity search): every posting block
+    # row additionally stores a `poss` payload — the concatenation, in
+    # block doc order, of each doc's ascending token positions for the
+    # term, delta-gap + LEB128 encoded (the docid-stream codec). The
+    # per-doc sub-streams are delimited by the aligned `tfs` stream, so
+    # positions add ZERO metadata — one extra lazily-hydrated binary
+    # column, read only by positional queries. Roughly doubles postings
+    # bytes (one varint per token occurrence); off by default.
+    # Mutually exclusive with index_suffixes and payload_dedup (suffix
+    # marker terms have no positions; position payloads make byte-equal
+    # payload collisions meaningless).
+    index_positions: bool = False
     # field/tag-scoped search (the reference's `"@"+key+":"+value`
     # tag-strings, ``TextSearchTraits.h:68-86``): for each listed column,
     # every doc gets one marker term FIELD_MARKER+col+":"+norm(value)
@@ -225,15 +237,45 @@ class TokenizeShardWorker:
 
         doclen_per_row = np.bincount(parent, minlength=len(tbl)).astype(np.int64)
 
+        pos_arr = None
+        if cfg.index_positions:
+            # token position within its doc = flat index - doc's first flat
+            # index (flatten preserves row order and within-row order)
+            row_first = np.zeros(len(tbl) + 1, dtype=np.int64)
+            np.cumsum(doclen_per_row, out=row_first[1:])
+            tok_pos = np.arange(len(parent), dtype=np.int64) - row_first[parent]
+            # group positions by (row, term) pair: a stable sort on the
+            # pair key yields groups in EXACTLY the uniq order above,
+            # each group's positions ascending (stable keeps token order)
+            order_pairs = np.argsort(key, kind="stable")
+            pair_starts = np.zeros(len(tf), dtype=np.int64)
+            np.cumsum(tf[:-1], out=pair_starts[1:])
+            from oscar_ray.stages.codecs import encode_positions_segmented
+
+            pos_arr = encode_positions_segmented(tok_pos[order_pairs], pair_starts)
+
         terms_py = terms_dict.to_pylist()
         if cfg.index_suffixes:
             urow, ucode, tf, terms_py = _expand_suffix_pairs(
                 urow, ucode, tf, terms_py, cfg.min_suffix_len
             )
         if cfg.field_columns:
+            n_before = len(urow)
             urow, ucode, tf, terms_py = _append_field_pairs(
                 tbl, cfg.field_columns, urow, ucode, tf, terms_py, doclen_per_row
             )
+            if pos_arr is not None and len(urow) > n_before:
+                # field marker pairs are appended at the END: pad with
+                # empty payloads (field filters are never position-matched)
+                n_add = len(urow) - n_before
+                empty = pa.Array.from_buffers(
+                    pa.large_binary(),
+                    n_add,
+                    [None, pa.py_buffer(np.zeros(n_add + 1, dtype=np.int64)),
+                     pa.py_buffer(b"")],
+                    children=None,
+                )
+                pos_arr = pa.concat_arrays([pos_arr, empty])
 
         # partition of each unique term in this shard's dictionary
         part_by_code = layout.term_partitions_np(terms_py, cfg.num_partitions)
@@ -251,6 +293,7 @@ class TokenizeShardWorker:
         # posting columns (the >16-way memory-bandwidth cliff amplifier).
         tf_o = tf[order].astype(np.int32)
         dl_o = doclen_per_row[urow[order]].astype(np.int32)
+        pos_o = pc.take(pos_arr, pa.array(order)) if pos_arr is not None else None
         bounds = np.flatnonzero(np.diff(pair_part)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(pair_part)]))
@@ -266,14 +309,15 @@ class TokenizeShardWorker:
                 pa.array(local.astype(np.int32)),
                 pc.take(terms_arr, pa.array(uniq_codes)),
             )
-            slice_tbl = pa.table(
-                {
-                    "term": term_col,
-                    "docid": pa.array(docid_o[s:e], type=pa.int64()),
-                    "tf": pa.array(tf_o[s:e], type=pa.int32()),
-                    "doclen": pa.array(dl_o[s:e], type=pa.int32()),
-                }
-            )
+            slice_cols = {
+                "term": term_col,
+                "docid": pa.array(docid_o[s:e], type=pa.int64()),
+                "tf": pa.array(tf_o[s:e], type=pa.int32()),
+                "doclen": pa.array(dl_o[s:e], type=pa.int32()),
+            }
+            if pos_o is not None:
+                slice_cols["pos"] = pos_o.slice(int(s), int(e - s))
+            slice_tbl = pa.table(slice_cols)
             path = layout.spill_path(self.out_dir, p, shard_id)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             pq.write_table(slice_tbl, path, **_SPILL_WRITE_OPTS)
@@ -370,19 +414,21 @@ class AssemblePartitionWorker:
                 pq.read_table(f, read_dictionary=["term"]) for f in files
             ).unify_dictionaries()
         else:
-            tbl = pa.table(
-                {
-                    "term": pa.array([], type=pa.string()).dictionary_encode(),
-                    "docid": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int32()),
-                    "doclen": pa.array([], type=pa.int32()),
-                }
-            )
+            empty_cols = {
+                "term": pa.array([], type=pa.string()).dictionary_encode(),
+                "docid": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int32()),
+                "doclen": pa.array([], type=pa.int32()),
+            }
+            if cfg.index_positions:
+                empty_cols["pos"] = pa.array([], type=pa.large_binary())
+            tbl = pa.table(empty_cols)
 
         docid = tbl["docid"].to_numpy()
         tf = tbl["tf"].to_numpy()
         dl = tbl["doclen"].to_numpy()
         term_col = tbl["term"]
+        pos_col = tbl["pos"].combine_chunks() if cfg.index_positions else None
 
         if self.tombstones is not None and tbl.num_rows:
             pos = np.searchsorted(self.tombstones, docid)
@@ -390,6 +436,8 @@ class AssemblePartitionWorker:
             keep = self.tombstones[pos] != docid
             docid, tf, dl = docid[keep], tf[keep], dl[keep]
             term_col = pc.filter(term_col, pa.array(keep))
+            if pos_col is not None:
+                pos_col = pc.filter(pos_col, pa.array(keep))
 
         n_rows = len(docid)
         if n_rows:
@@ -418,6 +466,8 @@ class AssemblePartitionWorker:
             else:
                 order = np.lexsort((docid, rank))
             rank, docid, tf, dl = rank[order], docid[order], tf[order], dl[order]
+            if pos_col is not None:
+                pos_col = pc.take(pos_col, pa.array(order))
             block = docid >> np.int64(cfg.block_span_bits)
             seg_change = (np.diff(rank) != 0) | (np.diff(block) != 0)
             seg_starts = np.concatenate(([0], np.flatnonzero(seg_change) + 1))
@@ -468,12 +518,21 @@ class AssemblePartitionWorker:
             terms_out = sorted_terms[rank[seg_starts]]
             blocks_out = block[seg_starts]
             counts_out = seg_ends - seg_starts
+            if pos_col is not None:
+                from oscar_ray.stages.codecs import concat_binary_segments_arrow
+
+                # per-block positions payload: zero-copy concat of the
+                # sorted per-(term,doc) payloads (doc order == block order)
+                poss_arr = concat_binary_segments_arrow(
+                    pos_col, seg_starts, seg_ends
+                )
         else:
             docs_b = tfs_b = dls_b = []
             max_tfn = np.empty(0, dtype=np.float64)
             sum_tf = counts_out = blocks_out = np.empty(0, dtype=np.int64)
             max_tf = min_dl = np.empty(0, dtype=np.int64)
             terms_out = np.empty(0, dtype=object)
+            poss_arr = pa.array([], type=pa.large_binary())
 
         n_payload_refs = 0
         cols = {
@@ -488,6 +547,8 @@ class AssemblePartitionWorker:
             "tfs": pa.array(tfs_b, type=pa.binary()),
             "dls": pa.array(dls_b, type=pa.binary()),
         }
+        if pos_col is not None or (cfg.index_positions and not n_rows):
+            cols["poss"] = poss_arr
         if cfg.payload_dedup:
             # setDeduplication analog: identical (docs, tfs, dls) payload
             # triples within this partition are stored once; later rows
@@ -579,6 +640,11 @@ def build_index(
     ``readwritefuncs.cpp:311-325``).
     """
     cfg = cfg or IndexBuildConfig()
+    if cfg.index_positions and (cfg.index_suffixes or cfg.payload_dedup):
+        raise ValueError(
+            "index_positions is mutually exclusive with index_suffixes and "
+            "payload_dedup (see IndexBuildConfig)"
+        )
     if cfg.url_column is None and cfg.dedup_urls:
         from dataclasses import replace
 

@@ -187,7 +187,8 @@ def merge_indexes(in_dirs: list[str], out_dir: str) -> dict:
     for m in manifests[1:]:
         c = dict(m["config"])
         for key in ("num_partitions", "block_span_bits", "k1", "b", "index_suffixes",
-                    "min_suffix_len", "docid_codec", "field_columns"):
+                    "min_suffix_len", "docid_codec", "field_columns",
+                    "index_positions"):
             if c.get(key) != cfg0.get(key):
                 raise ValueError(f"config mismatch on {key}: {c.get(key)} != {cfg0.get(key)}")
     cfg = IndexBuildConfig(**cfg0)

@@ -21,7 +21,12 @@ import pyarrow.parquet as pq
 
 from oscar_ray.index import layout
 from oscar_ray.spec.bm25 import BM25Params
-from oscar_ray.stages.codecs import decode_postings
+from oscar_ray.stages.codecs import decode_positions, decode_postings
+
+
+class PositionsUnavailable(ValueError):
+    """A positional query (phrase/proximity) hit an index built without
+    the positions sidecar (IndexBuildConfig.index_positions=False)."""
 
 
 @dataclass
@@ -47,6 +52,30 @@ class TermPostings:
     _dls: list[bytes | None]
     codec: str = "varint"  # docid stream codec (manifest config)
     _fetch: "callable | None" = None  # i -> (docs, tfs, dls) bytes
+    _poss: "list[bytes | None] | None" = None  # positions payloads (sidecar)
+    _fetch_pos: "callable | None" = None  # i -> poss bytes
+
+    @property
+    def has_positions(self) -> bool:
+        return self._poss is not None
+
+    def positions_block(self, i: int, tfs: np.ndarray | None = None) -> np.ndarray:
+        """Flat uint64 token positions for block i (lazily hydrated).
+
+        Doc j of the block owns the slice ``[cum_tf[j], cum_tf[j+1])``
+        (``tfs`` from :meth:`decode_block`, passed in to avoid a double
+        decode), ascending within the doc.
+        """
+        if self._poss is None:
+            raise PositionsUnavailable(
+                f"term {self.term!r}: index was built without positions "
+                "(IndexBuildConfig.index_positions)"
+            )
+        if self._poss[i] is None:
+            self._poss[i] = self._fetch_pos(i)
+        if tfs is None:
+            _, tfs, _ = self.decode_block(i)
+        return decode_positions(self._poss[i], tfs)
 
     def decode_block(self, i: int):
         """-> (docids, tfs, doclens) uint64 arrays for block index i."""
@@ -122,6 +151,55 @@ _EMPTY = TermPostings(
 )
 
 
+def _levenshtein_band(
+    terms: np.ndarray, q_codes: np.ndarray, qlen: int, max_dist: int
+) -> np.ndarray:
+    """Terms (object array) within Levenshtein ``max_dist`` of the query.
+
+    Classic unit-cost DP (insert/delete/substitute — the same function
+    DuckDB's ``levenshtein`` computes, which the SQL oracle relies on),
+    advanced column-by-column over a (n_candidates, qlen+1) matrix.
+    """
+    # length-band + namespace prefilter on the object array (C-level
+    # str len via the 'U' cast below; markers sort first, slice them off)
+    n = len(terms)
+    lo = np.searchsorted(terms, "\x0f")  # skip \x01/\x02 marker namespaces
+    terms = terms[lo:n]
+    if not len(terms):
+        return terms
+    width = qlen + max_dist  # longer terms can never be within max_dist
+    mat_u = np.asarray(terms, dtype=f"U{max(width + 1, 1)}")
+    m = np.frombuffer(mat_u, dtype=np.uint32).reshape(len(terms), width + 1)
+    lens = (m != 0).sum(axis=1)  # tokenizer terms never contain NUL
+    band = (lens >= max(qlen - max_dist, 0)) & (lens <= width)
+    # terms wider than the matrix were truncated by the U-cast: their true
+    # length is > width, already outside the band (lens counts <= width+1)
+    band &= m[:, width] == 0
+    idx = np.flatnonzero(band)
+    if not len(idx):
+        return terms[:0]
+    m = m[idx]
+    lens = lens[idx]
+    n_c = len(idx)
+    dp = np.broadcast_to(np.arange(qlen + 1, dtype=np.int32), (n_c, qlen + 1)).copy()
+    result = np.full(n_c, qlen, dtype=np.int32)  # empty candidate -> qlen
+    max_len = int(lens.max())
+    for j in range(max_len):
+        active = lens > j
+        cj = m[:, j]
+        new = np.empty_like(dp)
+        new[:, 0] = j + 1
+        for i in range(1, qlen + 1):
+            sub = dp[:, i - 1] + (cj != q_codes[i - 1])
+            new[:, i] = np.minimum(np.minimum(dp[:, i] + 1, new[:, i - 1] + 1), sub)
+        dp = np.where(active[:, None], new, dp)
+        done = lens == j + 1
+        if done.any():
+            result[done] = dp[done, qlen]
+    hits = idx[result <= max_dist]
+    return terms[hits]
+
+
 class _PartDict:
     """Sorted-array term dictionary for one partition.
 
@@ -180,12 +258,14 @@ class IndexReader:
         stats = self.manifest["stats"]
         self.n_docs = stats["n_docs"]
         self.avgdl = max(stats["avgdl"], 1e-9)
+        self.has_positions = bool(cfg.get("index_positions", False))
         self._dicts: dict[int, dict[str, tuple[int, int]]] = {}
         self._postings_cache: dict[str, TermPostings] = {}
         self._files: dict[int, pq.ParquetFile] = {}
         self._rg_stats: dict[int, list[tuple[str, str]]] = {}
         self._rg_offsets: dict[int, list[int]] = {}
         self._payload_groups: dict[tuple[int, int], pa.Table] = {}
+        self._pos_groups: dict[tuple[int, int], pa.Table] = {}
 
     # -- dictionary ---------------------------------------------------------
 
@@ -238,6 +318,34 @@ class IndexReader:
         # the _PartDict's term array IS the sorted array — no copy
         return self._part_dict(part).terms
 
+    def terms_with_edit_distance(
+        self, term: str, max_dist: int, limit: int | None = None
+    ) -> list[str]:
+        """All text-vocabulary terms within Levenshtein distance
+        ``max_dist`` of ``term``, ascending (fuzzy-query expansion).
+
+        Vectorized Wagner-Fischer across ALL candidates of a partition at
+        once: candidates are length-band filtered (| len - qlen | <=
+        max_dist), packed into one fixed-width codepoint matrix, and the
+        DP advances one candidate-character COLUMN per step with numpy
+        row ops — O(maxlen * qlen) vector passes over the band, never a
+        per-term python loop. Marker namespaces (field/suffix terms) are
+        excluded; at web scale each partition's dictionary is
+        independent, so this scan parallelizes exactly like the prefix
+        scan (SURVEY.md trie-descent analog)."""
+        q = np.frombuffer(np.array([term], dtype=f"U{max(len(term), 1)}"), dtype=np.uint32)
+        qlen = len(term)
+        out: list[str] = []
+        for part in range(self.num_partitions):
+            arr = self._part_sorted_terms(part)
+            if len(arr) == 0:
+                continue
+            hits = _levenshtein_band(arr, q, qlen, max_dist)
+            if len(hits):
+                out.extend(hits.tolist())
+        out.sort()
+        return out[:limit] if limit is not None else out
+
     def vocabulary_size(self) -> int:
         return sum(
             m["terms"] for m in self.manifest["partitions"] if m is not None
@@ -268,6 +376,9 @@ class IndexReader:
                     idx = int(_pr[i])
                 return self._payload_row(_part, idx)
 
+            def fetch_pos(i: int, _part=part, _gi=global_idx):
+                return self._positions_row(_part, int(_gi[i]))
+
             tp = TermPostings(
                 term=term,
                 df=int(df),
@@ -280,6 +391,8 @@ class IndexReader:
                 _dls=[None] * n,
                 codec=self.docid_codec,
                 _fetch=fetch,
+                _poss=[None] * n if self.has_positions else None,
+                _fetch_pos=fetch_pos if self.has_positions else None,
             )
         if len(self._postings_cache) > 4096 and not getattr(self, "_cache_pinned", False):
             self._postings_cache.clear()
@@ -304,6 +417,22 @@ class IndexReader:
         r = idx - g * rg0
         return gt["docs"][r].as_py(), gt["tfs"][r].as_py(), gt["dls"][r].as_py()
 
+    def _positions_row(self, part: int, idx: int) -> bytes:
+        """Positions payload of global posting row ``idx`` — the sidecar
+        twin of :meth:`_payload_row`, with its OWN row-group cache so
+        positional queries never double the plain payload cache's heap."""
+        f = self._ensure_part_open(part)
+        rg0 = f.metadata.row_group(0).num_rows
+        g = idx // rg0
+        key = (part, g)
+        gt = self._pos_groups.get(key)
+        if gt is None:
+            if len(self._pos_groups) >= 32:
+                self._pos_groups.pop(next(iter(self._pos_groups)))
+            gt = f.read_row_groups([g], columns=["poss"], use_threads=False)
+            self._pos_groups[key] = gt
+        return gt["poss"][idx - g * rg0].as_py()
+
     def preload(self) -> int:
         """Load every term's postings into the in-memory cache (the
         reference's `mlock`/`mload` work items,
@@ -320,6 +449,7 @@ class IndexReader:
             terms = t["term"].to_pylist()
             if not terms:
                 continue
+            has_poss = "poss" in t.column_names
             d = self._part_dict(part)
             start = 0
             for i in range(1, len(terms) + 1):
@@ -338,6 +468,7 @@ class IndexReader:
                         _tfs=sl["tfs"].to_pylist(),
                         _dls=sl["dls"].to_pylist(),
                         codec=self.docid_codec,
+                        _poss=sl["poss"].to_pylist() if has_poss else None,
                     )
                     n += 1
                     start = i
@@ -361,6 +492,7 @@ class IndexReader:
         self._rg_stats.clear()
         self._rg_offsets.clear()
         self._payload_groups.clear()
+        self._pos_groups.clear()
         self._cache_pinned = False
         n = 0
         if page_cache and hasattr(os, "posix_fadvise"):

@@ -26,17 +26,22 @@ def documents_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-def documents_index_dir(sf_dir: str, suffixes: bool = False) -> str:
+def documents_index_dir(
+    sf_dir: str, suffixes: bool = False, positions: bool = False
+) -> str:
     """Build (or reuse) the documents index for one sf dir; returns its path.
 
     ``suffixes=True`` builds the substring-capable variant (separate cache
-    dir; postings ~5x larger).
+    dir; postings ~5x larger). ``positions=True`` builds the positional
+    variant (phrase/proximity queries; ~2x postings bytes).
     """
     from oscar_ray.sources.pages import input_fingerprint, list_fragments
 
+    if suffixes and positions:
+        raise ValueError("suffix and positional variants are separate indices")
     src = documents_path(sf_dir)
     fp = input_fingerprint(list_fragments(src))
-    tag = "documents-sfx" if suffixes else "documents"
+    tag = "documents-sfx" if suffixes else ("documents-pos" if positions else "documents")
     out = os.path.join(_CACHE_ROOT, f"{tag}-{fp}")
     cfg = IndexBuildConfig(
         num_partitions=8,
@@ -48,6 +53,7 @@ def documents_index_dir(sf_dir: str, suffixes: bool = False) -> str:
         dedup_urls=False,
         cleanup_spill=False,
         index_suffixes=suffixes,
+        index_positions=positions,
         field_columns=None if suffixes else ["lang"],  # @lang: filter terms
     )
     build_index(src, out, cfg)  # no-op when complete manifest matches
@@ -98,6 +104,7 @@ def bm25_scores_table(
     k: int | None = None,
     round_to: int = 4,
     suffixes: bool = False,
+    positions: bool = False,
 ) -> pa.Table:
     """(doc_id, score) for one query; score rounded AFTER ranking.
 
@@ -105,7 +112,7 @@ def bm25_scores_table(
     otherwise top-k in rank order. Raw scores are bit-identical to the
     SQL oracle (see spec/bm25.bm25_idf), so rounding agrees too.
     """
-    idx = documents_index_dir(sf_dir, suffixes=suffixes)
+    idx = documents_index_dir(sf_dir, suffixes=suffixes, positions=positions)
     engine = QueryEngine(idx)
     eff_k = k if k is not None else 1 << 62
     ids, scores = engine.search(query, k=eff_k)

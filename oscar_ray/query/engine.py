@@ -27,14 +27,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from oscar_ray.index.reader import IndexReader
+from dataclasses import dataclass, field
+
+from oscar_ray.index.reader import IndexReader, PositionsUnavailable
 from oscar_ray.query import setops
 from oscar_ray.index.layout import FIELD_MARKER, SUFFIX_MARKER
 from oscar_ray.query.parser import (
     Field,
+    Fuzzy,
     Node,
     Op,
+    Phrase,
     Prefix,
+    Proximity,
     QueryParseError,
     Substring,
     Term,
@@ -59,9 +64,15 @@ def expand_prefixes(
     whose payload is the precomputed union (``CellTextCompleter`` fm/pm
     pointers); we resolve it to an OR over the sorted dictionary range.
     """
-    if isinstance(node, (Prefix, Substring)):
+    if isinstance(node, (Prefix, Substring, Fuzzy)):
         if isinstance(node, Prefix):
             terms = reader.terms_with_prefix(node.prefix, limit=limit)
+        elif isinstance(node, Fuzzy):
+            # fuzzy = OR over dictionary terms within edit distance,
+            # ascending, same expansion cap as a prefix scan
+            terms = reader.terms_with_edit_distance(
+                node.token, node.max_dist, limit=limit
+            )
         elif node.exact_suffix:
             # `*foo`: exact suffix == the single marker term
             terms = [SUFFIX_MARKER + node.token]
@@ -83,6 +94,41 @@ def expand_prefixes(
             expand_prefixes(node.right, reader, limit),
         )
     return node
+
+
+@dataclass(frozen=True)
+class Materialized:
+    """A positional leaf (Phrase/Proximity) evaluated eagerly to a scored
+    set before tree evaluation — positional predicates need exact
+    positions, so there is nothing lazy left to prune; the per-block max
+    scores below keep the REST of the tree block-max prunable around it."""
+
+    ids: np.ndarray  # uint64, ascending
+    scores: np.ndarray  # float64, aligned
+    block_slices: dict = field(default_factory=dict)  # block_id -> (lo, hi)
+    block_maxes: dict = field(default_factory=dict)  # block_id -> max score
+
+    def __repr__(self):
+        return f"M({len(self.ids)} docs)"
+
+
+def _make_materialized(
+    ids: np.ndarray, scores: np.ndarray, span_bits: int
+) -> Materialized:
+    ids = np.asarray(ids, dtype=np.uint64)
+    scores = np.asarray(scores, dtype=np.float64)
+    blocks = (ids >> np.uint64(span_bits)).astype(np.int64)
+    slices: dict = {}
+    maxes: dict = {}
+    if len(ids):
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(blocks)) + 1, [len(ids)])
+        )
+        for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            b = int(blocks[s])
+            slices[b] = (s, e)
+            maxes[b] = float(scores[s:e].max())
+    return Materialized(ids, scores, slices, maxes)
 
 
 class QueryEngine:
@@ -132,6 +178,15 @@ class QueryEngine:
             return (*empty, {"parse_us": (t1 - t0) * 1e6, "expand_us": 0.0,
                              "eval_us": 0.0})
         node = expand_prefixes(node, self.reader)
+        try:
+            node = self._materialize_positional(node)
+        except PositionsUnavailable:
+            # don't-crash contract: a phrase/proximity query against an
+            # index without the positions sidecar yields empty, flagged
+            return (*empty, {"parse_us": (t1 - t0) * 1e6,
+                             "expand_us": (_time.perf_counter() - t1) * 1e6,
+                             "eval_us": 0.0, "error": True,
+                             "reason": "positions_unavailable"})
         t2 = _time.perf_counter()
         if mode == "exhaustive":
             ids, scores = self._eval_exhaustive(node)
@@ -146,6 +201,47 @@ class QueryEngine:
         }
         return ids.astype(np.int64), scores, timings
 
+    # -- positional leaves (evaluated eagerly, before tree eval) --------
+    def _materialize_positional(self, node: Node) -> Node:
+        from oscar_ray.query import positional
+
+        if isinstance(node, Phrase):
+            ids, tfs, dls = positional.phrase_postings(self.reader, node.tokens)
+            if not len(ids):
+                return _make_materialized(ids, ids.astype(np.float64),
+                                          self.reader.block_span_bits)
+            # one virtual term: BM25 over the PHRASE's tf and df
+            idf = bm25_idf(float(len(ids)), self.reader.n_docs)
+            scores = idf * bm25_tf_norm(
+                tfs, dls, self.reader.avgdl, self.reader.params
+            )
+            return _make_materialized(ids, scores, self.reader.block_span_bits)
+        if isinstance(node, Proximity):
+            # positional FILTER over the tokens' AND: same scores, the
+            # window predicate only narrows the doc set
+            and_set: setops.ScoredSet | None = None
+            for t in node.tokens:
+                leaf = self._leaf_full(t)
+                and_set = leaf if and_set is None else setops.intersect(and_set, leaf)
+            ids, scores = and_set
+            match = positional.proximity_match_ids(
+                self.reader, node.tokens, node.slop
+            )
+            if len(match) and len(ids):
+                sel = np.searchsorted(ids, match)
+                ids, scores = match, scores[sel]
+            else:
+                ids = np.empty(0, dtype=np.uint64)
+                scores = np.empty(0, dtype=np.float64)
+            return _make_materialized(ids, scores, self.reader.block_span_bits)
+        if isinstance(node, Op):
+            return Op(
+                node.kind,
+                self._materialize_positional(node.left),
+                self._materialize_positional(node.right),
+            )
+        return node
+
     # -- exhaustive ----------------------------------------------------
     def _leaf_full(self, term: str) -> setops.ScoredSet:
         tp = self.reader.postings(term)
@@ -159,6 +255,8 @@ class QueryEngine:
         return docids, scores
 
     def _eval_exhaustive(self, node: Node) -> setops.ScoredSet:
+        if isinstance(node, Materialized):
+            return node.ids, node.scores
         if isinstance(node, (Term, Field)):
             return self._leaf_full(node.token)
         left = self._eval_exhaustive(node.left)
@@ -240,8 +338,19 @@ def _block_bounds(node: Node, leaves: dict) -> dict[int, float]:
     all_blocks = set()
     for leaf in leaves.values():
         all_blocks.update(leaf["blocks"].keys())
+    stack = [node]
+    while stack:  # materialized (positional) leaves carry their own blocks
+        n = stack.pop()
+        if isinstance(n, Materialized):
+            all_blocks.update(n.block_maxes.keys())
+        elif isinstance(n, Op):
+            stack.append(n.left)
+            stack.append(n.right)
 
     def bound(n: Node, b: int) -> tuple[bool, float]:
+        if isinstance(n, Materialized):
+            mx = n.block_maxes.get(b)
+            return (False, 0.0) if mx is None else (True, mx)
         if isinstance(n, (Term, Field)):
             leaf = leaves[n.token]
             i = leaf["blocks"].get(b)
@@ -281,6 +390,11 @@ def _leaf_block(leaf: dict, block_id: int) -> setops.ScoredSet:
 
 
 def _eval_block(node: Node, leaves: dict, block_id: int) -> setops.ScoredSet:
+    if isinstance(node, Materialized):
+        sl = node.block_slices.get(block_id)
+        if sl is None:
+            return setops.empty_set()
+        return node.ids[sl[0] : sl[1]], node.scores[sl[0] : sl[1]]
     if isinstance(node, (Term, Field)):
         return _leaf_block(leaves[node.token], block_id)
     left = _eval_block(node.left, leaves, block_id)

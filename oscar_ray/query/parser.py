@@ -13,6 +13,10 @@ reference's sequential op-tree evaluation):
     expr  := item ((OP)? item)*        # missing OP == intersection
     item  := TERM | '(' expr ')'
     OP    := '+' | '-' | '^' | '/'
+    TERM  := word | word'*' | '*'word('*')? | '@'field':'value
+           | '"' words '"'             # phrase (adjacent tokens, in order)
+           | '"' words '"' '~' K       # proximity (all tokens within span K)
+           | word '~' (1|2)?           # fuzzy (edit distance <= d, default 1)
 
 TERM text is normalized with the pinned tokenizer spec; a term that
 normalizes to several tokens (e.g. "foo-bar") becomes their
@@ -91,6 +95,49 @@ class Field:
 
 
 @dataclass(frozen=True)
+class Phrase:
+    """Quoted-phrase leaf (`"hash join"`): docs containing the exact
+    normalized token sequence (adjacent, in order). Needs the positions
+    sidecar (IndexBuildConfig.index_positions). Scored as ONE virtual
+    term: BM25 with tf = phrase occurrence count (overlaps counted) and
+    df = matching-doc count."""
+
+    tokens: tuple[str, ...]
+
+    def __repr__(self):
+        return f'Ph("{" ".join(self.tokens)}")'
+
+
+@dataclass(frozen=True)
+class Proximity:
+    """Windowed leaf (`"web index"~4`): docs where ONE occurrence of every
+    distinct token fits in a span of <= slop (max pos - min pos, unordered;
+    adjacency == slop 1). Positional FILTER over the tokens' AND — scores
+    are the plain AND scores (sum of member-term BM25), the window only
+    narrows the doc set."""
+
+    tokens: tuple[str, ...]  # distinct, first-appearance order
+    slop: int
+
+    def __repr__(self):
+        return f'Px("{" ".join(self.tokens)}"~{self.slop})'
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """Fuzzy leaf (`merge~` / `merge~2`): union of all dictionary terms
+    within Levenshtein distance max_dist (1 or 2, Lucene-style cap),
+    ascending term order, capped at MAX_PREFIX_EXPANSIONS like a prefix —
+    expand via engine.expand_prefixes before evaluation."""
+
+    token: str
+    max_dist: int
+
+    def __repr__(self):
+        return f"Fz({self.token}~{self.max_dist})"
+
+
+@dataclass(frozen=True)
 class Op:
     kind: str  # 'and' | 'or' | 'andnot' | 'xor'
     left: "Node"
@@ -100,16 +147,42 @@ class Op:
         return f"({self.left} {self.kind} {self.right})"
 
 
-Node = Term | Prefix | Substring | Field | Op
+Node = Term | Prefix | Substring | Field | Phrase | Proximity | Fuzzy | Op
 
 _OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
 
 
 def _lex(q: str) -> list[str]:
-    """Split into '(', ')', operator and raw-term tokens."""
+    """Split into '(', ')', operator and raw-term tokens.
+
+    A double-quoted region is ONE token (operators/whitespace inside are
+    literal text for the phrase tokenizer), including a directly-attached
+    ``~digits`` proximity suffix. An unterminated quote is a parse error
+    (don't-crash contract: the engine maps it to an empty result).
+    """
     out: list[str] = []
     buf: list[str] = []
-    for ch in q:
+    i = 0
+    n = len(q)
+    while i < n:
+        ch = q[i]
+        if ch == '"':
+            if buf:
+                out.append("".join(buf))
+                buf.clear()
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise QueryParseError("unterminated quote")
+            tok = q[i : j + 1]
+            i = j + 1
+            if i < n and q[i] == "~":
+                k = i + 1
+                while k < n and q[k].isdigit():
+                    k += 1
+                tok += q[i:k]
+                i = k
+            out.append(tok)
+            continue
         if ch in "()+-^/" or ch.isspace():
             if buf:
                 out.append("".join(buf))
@@ -118,6 +191,7 @@ def _lex(q: str) -> list[str]:
                 out.append(ch)
         else:
             buf.append(ch)
+        i += 1
     if buf:
         out.append("".join(buf))
     return out
@@ -204,6 +278,39 @@ def _term_node(raw: str) -> Node | None:
         # (e.g. "page_rank" -> "pagerank" != the indexed "page_rank")
         # value normalizing to nothing -> impossible term (matches nothing)
         return Field(fname, "_".join(vtoks))
+    if raw.startswith('"'):
+        # phrase / proximity: `"..."` or `"..."~K` (the lexer guarantees
+        # the closing quote and attaches any ~digits suffix verbatim)
+        body, _, suffix = raw[1:].partition('"')
+        toks = tuple(tokenize_text(body))
+        if suffix:
+            if suffix == "~" or not suffix[1:].isdigit():
+                raise QueryParseError(f"proximity needs a number: {raw!r}")
+            slop = int(suffix[1:])
+            if not 1 <= slop <= 1 << 20:
+                raise QueryParseError(f"proximity slop out of range: {slop}")
+            distinct = tuple(dict.fromkeys(toks))
+            if not distinct:
+                return None
+            if len(distinct) == 1:
+                return Term(distinct[0])
+            return Proximity(distinct, slop)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return Term(toks[0])
+        return Phrase(toks)
+    if "~" in raw:
+        # fuzzy: `term~`, `term~1`, `term~2` (Lucene-style distance cap)
+        base, _, d = raw.partition("~")
+        if d not in ("", "1", "2"):
+            raise QueryParseError(f"fuzzy distance must be 1 or 2: {raw!r}")
+        toks = tokenize_text(base)
+        if not toks:
+            return None
+        if len(toks) != 1:
+            raise QueryParseError(f"fuzzy applies to a single token: {raw!r}")
+        return Fuzzy(toks[0], int(d) if d else 1)
     lead = raw.startswith("*")
     trail = raw.endswith("*")
     tokens = tokenize_text(raw.strip("*"))
@@ -223,7 +330,9 @@ def _term_node(raw: str) -> Node | None:
 def query_terms(node: Node | None) -> list[str]:
     """All Term leaf tokens, left-to-right (duplicates preserved). Iterative —
     left-deep trees from long queries must not hit the recursion limit.
-    Prefix leaves are skipped (expand them first; see engine.expand_prefixes)."""
+    Phrase/Proximity member tokens are included (callers highlighting or
+    hydrating matches want them); Prefix/Fuzzy leaves are skipped (expand
+    them first; see engine.expand_prefixes)."""
     if node is None:
         return []
     out: list[str] = []
@@ -232,6 +341,8 @@ def query_terms(node: Node | None) -> list[str]:
         n = stack.pop()
         if isinstance(n, (Term, Field)):
             out.append(n.token)
+        elif isinstance(n, (Phrase, Proximity)):
+            out.extend(n.tokens)
         elif isinstance(n, Op):
             stack.append(n.right)
             stack.append(n.left)

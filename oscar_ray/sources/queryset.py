@@ -29,6 +29,14 @@ DONT_CRASH_QUERIES = [
     "- - -",
     "^leading",
     "(a + b))",
+    '"unterminated phrase',
+    '"a b"~',
+    '"a b"~0',
+    '"a b"~x',
+    'term~9',
+    'a_b~1',
+    '"" + term',
+    '"a b" ~2',  # detached tilde: `~2` is its own (fuzzy-less) raw term
 ]
 
 

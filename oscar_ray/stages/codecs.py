@@ -417,3 +417,125 @@ def decode_postings(
     tfs = varint_decode(tfs_bytes, count)
     dls = varint_decode(dls_bytes, count)
     return docids, tfs, dls
+
+
+# --------------------------------------------------------------------------
+# Positional payloads (phrase/proximity search sidecar)
+# --------------------------------------------------------------------------
+
+
+def varint_encode_segments_arrow(values: np.ndarray, seg_starts: np.ndarray):
+    """Encode MANY segments -> ONE arrow large_binary array, zero-copy.
+
+    Same single-pass LEB128 trick as :func:`varint_encode_segments`, but
+    instead of slicing python ``bytes`` per segment (O(segments) object
+    churn — millions of (term, doc) pairs per shard), the result array
+    SHARES the one encoded buffer and only samples the per-value byte
+    offsets at segment boundaries. O(1) numpy/arrow calls total.
+    """
+    import pyarrow as pa
+
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n_segs = len(seg_starts)
+    if v.size == 0:
+        off = np.zeros(max(n_segs, 0) + 1, dtype=np.int64)
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            n_segs,
+            [None, pa.py_buffer(off), pa.py_buffer(b"")],
+            children=None,
+        )
+    buf, offsets = _varint_encode_raw(v)
+    seg_bounds = np.concatenate((np.asarray(seg_starts, dtype=np.int64), [v.size]))
+    byte_offsets = offsets[seg_bounds]
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n_segs,
+        [None, pa.py_buffer(byte_offsets), pa.py_buffer(buf)],
+        children=None,
+    )
+
+
+def concat_binary_segments_arrow(bin_arr, seg_starts: np.ndarray, seg_ends: np.ndarray):
+    """Concatenate row ranges of a binary array -> large_binary array.
+
+    ``out[i] = b"".join(bin_arr[seg_starts[i]:seg_ends[i]])`` — but
+    zero-copy: segments must be contiguous & ascending (stage-B segments
+    are), so the result shares the input data buffer and just samples
+    its offsets at the segment boundaries.
+    """
+    import pyarrow as pa
+
+    if isinstance(bin_arr, pa.ChunkedArray):
+        combined = bin_arr.combine_chunks()
+        if isinstance(combined, pa.ChunkedArray):
+            combined = (
+                combined.chunk(0)
+                if combined.num_chunks
+                else pa.array([], type=bin_arr.type)
+            )
+        bin_arr = combined
+    if not pa.types.is_large_binary(bin_arr.type):
+        bin_arr = bin_arr.cast(pa.large_binary())
+    n = len(bin_arr)
+    n_segs = len(seg_starts)
+    if n == 0 or n_segs == 0:
+        off = np.zeros(n_segs + 1, dtype=np.int64)
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            n_segs,
+            [None, pa.py_buffer(off), pa.py_buffer(b"")],
+            children=None,
+        )
+    if bin_arr.null_count:
+        raise ValueError("positions payload column must not contain nulls")
+    # row offsets of the (possibly sliced) array view
+    row_off = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
+                            count=bin_arr.offset + n + 1)[bin_arr.offset:]
+    starts = np.asarray(seg_starts, dtype=np.int64)
+    ends = np.asarray(seg_ends, dtype=np.int64)
+    if not (ends[:-1] == starts[1:]).all() or (starts[0] != 0) or (ends[-1] != n):
+        raise ValueError("segments must exactly tile the input rows")
+    byte_offsets = np.concatenate((row_off[starts], [row_off[n]]))
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n_segs,
+        [None, pa.py_buffer(byte_offsets), bin_arr.buffers()[2]],
+        children=None,
+    )
+
+
+def encode_positions_segmented(positions: np.ndarray, seg_starts: np.ndarray):
+    """Per-(term,doc) ascending position lists -> large_binary payloads.
+
+    ``positions`` is the concatenation of every pair's ascending token
+    positions; ``seg_starts`` marks each pair's first element. Encoding is
+    delta-gap per segment (first value absolute) + LEB128, the same codec
+    the docid streams use — one vectorized pass over the whole shard.
+    """
+    gaps = delta_encode_segmented(np.asarray(positions, dtype=np.uint64), seg_starts)
+    return varint_encode_segments_arrow(gaps, seg_starts)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one block's positions payload -> flat uint64 positions.
+
+    ``tfs`` (per-doc term frequencies, from the aligned ``tfs`` stream)
+    delimit the per-doc sub-streams: doc j's positions are the slice
+    ``[cum_tf[j], cum_tf[j+1])`` of the result, ascending within the doc.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    vals = varint_decode(buf, total)
+    if total == 0:
+        return vals
+    if len(vals) != total:
+        # e.g. a field-marker term: tf entries exist but no position bytes
+        raise ValueError(
+            f"positions payload has {len(vals)} values, block tfs expect {total}"
+        )
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(vals, dtype=np.uint64)
+    base = c[starts] - vals[starts]
+    return c - np.repeat(base, tfs)

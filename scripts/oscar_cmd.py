@@ -467,8 +467,10 @@ def main():
             phases = " ".join(
                 f"{k_}={v:.0f}us"
                 for k_, v in timings.items()
-                if not isinstance(v, bool)
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
             )
+            if timings.get("reason"):
+                phases += f" ({timings['reason']})"
             print(f"# {len(ids)} results; {phases}", file=sys.stderr)
             if sys.stdin.isatty():
                 print("query> ", end="", flush=True)
@@ -608,8 +610,12 @@ def main():
                 )
                 print(f"{rank}\t{d}\t{' '.join(parts)}")
         phases = " ".join(
-            f"{k_}={v:.0f}us" for k_, v in timings.items() if not isinstance(v, bool)
+            f"{k_}={v:.0f}us"
+            for k_, v in timings.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
         )
+        if timings.get("reason"):
+            phases += f" ({timings['reason']})"
         if timings.get("error"):
             phases += " (parse error -> empty result)"
         print(f"# {len(ids)} results; {phases}", file=sys.stderr)

@@ -45,6 +45,12 @@ def main():
         "(the reference's setDeduplication analog)",
     )
     ap.add_argument(
+        "--positions",
+        action="store_true",
+        help="store the positional sidecar (enables phrase '\"a b\"' and "
+        "proximity '\"a b\"~k' queries; ~2x postings bytes)",
+    )
+    ap.add_argument(
         "--update-base",
         help="incremental update: index ONLY the new input as a delta and "
         "merge it with this existing base index into --out (the store-dir/"
@@ -95,6 +101,8 @@ def main():
         fields["field_columns"] = args.fields.split(",")
     if args.payload_dedup:
         fields["payload_dedup"] = True
+    if args.positions:
+        fields["index_positions"] = True
     cfg = IndexBuildConfig(**fields)
 
     if args.update_base:
