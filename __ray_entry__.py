@@ -31,6 +31,7 @@ SUBSTR_TOKEN = "erg"  # *erg* — matches merge/merges/... via the suffix index
 PHRASE_Q = ("merge", "join")  # "merge join" — adjacent-token phrase
 NEAR_Q, NEAR_SLOP = ("hash", "join"), 3  # "hash join"~3 proximity window
 FUZZY_TERM, FUZZY_DIST = "part", 2  # part~2 -> {fast, part, sort, spark}
+REGEX_PAT = "s(can|ort)"  # %s(can|ort)% -> {scan, sort} (RE2 both sides)
 MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
 HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
@@ -171,6 +172,15 @@ def _search_bm25_fuzzy(sf_dir: str):
     from oscar_ray.pipelines.search import bm25_scores_table
 
     return bm25_scores_table(sf_dir, f"{FUZZY_TERM}~{FUZZY_DIST}", k=None)
+
+
+def _search_bm25_regex(sf_dir: str):
+    """Regex term query `%pat%` (Lucene RegexpQuery analog): OR over all
+    dictionary terms fully matching the RE2 pattern (one vectorized
+    arrow match per partition dictionary), prefix-style cap."""
+    from oscar_ray.pipelines.search import bm25_scores_table
+
+    return bm25_scores_table(sf_dir, f"%{REGEX_PAT}%", k=None)
 
 
 def _search_snippets(sf_dir: str):
@@ -1265,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_phrase": _search_bm25_phrase,
         "search_bm25_near": _search_bm25_near,
         "search_bm25_fuzzy": _search_bm25_fuzzy,
+        "search_bm25_regex": _search_bm25_regex,
         "search_facets": _search_facets,
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
@@ -1582,6 +1593,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scores WHERE term IN (
                 SELECT term FROM df
                 WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST}
+                ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # regex expansion: duckdb regexp_full_match is RE2, same engine
+        # arrow's match_substring_regex uses — semantics identical
+        "search_bm25_regex": _BM25_BASE
+        + f"""
+            SELECT doc_id, round(sum(score), 4) AS score
+            FROM scores WHERE term IN (
+                SELECT term FROM df
+                WHERE regexp_full_match(term, '{REGEX_PAT}')
                 ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
             GROUP BY doc_id ORDER BY doc_id
         """,

@@ -266,6 +266,7 @@ class IndexReader:
         self._rg_offsets: dict[int, list[int]] = {}
         self._payload_groups: dict[tuple[int, int], pa.Table] = {}
         self._pos_groups: dict[tuple[int, int], pa.Table] = {}
+        self._pa_terms: dict[int, "pa.Array"] = {}  # regex-scan term arrays
 
     # -- dictionary ---------------------------------------------------------
 
@@ -317,6 +318,40 @@ class IndexReader:
     def _part_sorted_terms(self, part: int) -> np.ndarray:
         # the _PartDict's term array IS the sorted array — no copy
         return self._part_dict(part).terms
+
+    def terms_with_regex(self, pattern: str, limit: int | None = None) -> list[str]:
+        """All text-vocabulary terms FULLY matching the RE2 pattern,
+        ascending (regex-query expansion, Lucene RegexpQuery analog —
+        and the same semantics as DuckDB's ``regexp_full_match``, which
+        the SQL oracle uses).
+
+        One vectorized RE2 pass per partition dictionary (arrow
+        ``match_substring_regex`` on the cached term array, anchored);
+        marker namespaces excluded. An RE2-invalid pattern (python-re
+        validated constructs RE2 lacks, e.g. backrefs) matches nothing.
+        """
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        anchored = f"^(?:{pattern})$"
+        out: list[str] = []
+        for part in range(self.num_partitions):
+            arr = self._part_sorted_terms(part)
+            lo = int(np.searchsorted(arr, "\x0f"))  # skip marker namespaces
+            if lo >= len(arr):
+                continue
+            pa_arr = self._pa_terms.get(part)
+            if pa_arr is None:
+                pa_arr = pa_.array(arr[lo:], type=pa_.string())
+                self._pa_terms[part] = pa_arr
+            try:
+                mask = pc_.match_substring_regex(pa_arr, pattern=anchored)
+            except pa_.lib.ArrowInvalid:
+                return []
+            hits = arr[lo:][mask.to_numpy(zero_copy_only=False)]
+            out.extend(hits.tolist())
+        out.sort()
+        return out[:limit] if limit is not None else out
 
     def terms_with_edit_distance(
         self, term: str, max_dist: int, limit: int | None = None
@@ -493,6 +528,7 @@ class IndexReader:
         self._rg_offsets.clear()
         self._payload_groups.clear()
         self._pos_groups.clear()
+        self._pa_terms.clear()
         self._cache_pinned = False
         n = 0
         if page_cache and hasattr(os, "posix_fadvise"):

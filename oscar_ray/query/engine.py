@@ -41,6 +41,7 @@ from oscar_ray.query.parser import (
     Prefix,
     Proximity,
     QueryParseError,
+    Regex,
     Substring,
     Term,
     parse_query,
@@ -64,7 +65,7 @@ def expand_prefixes(
     whose payload is the precomputed union (``CellTextCompleter`` fm/pm
     pointers); we resolve it to an OR over the sorted dictionary range.
     """
-    if isinstance(node, (Prefix, Substring, Fuzzy)):
+    if isinstance(node, (Prefix, Substring, Fuzzy, Regex)):
         if isinstance(node, Prefix):
             terms = reader.terms_with_prefix(node.prefix, limit=limit)
         elif isinstance(node, Fuzzy):
@@ -73,6 +74,8 @@ def expand_prefixes(
             terms = reader.terms_with_edit_distance(
                 node.token, node.max_dist, limit=limit
             )
+        elif isinstance(node, Regex):
+            terms = reader.terms_with_regex(node.pattern, limit=limit)
         elif node.exact_suffix:
             # `*foo`: exact suffix == the single marker term
             terms = [SUFFIX_MARKER + node.token]

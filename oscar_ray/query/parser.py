@@ -17,6 +17,7 @@ reference's sequential op-tree evaluation):
            | '"' words '"'             # phrase (adjacent tokens, in order)
            | '"' words '"' '~' K       # proximity (all tokens within span K)
            | word '~' (1|2)?           # fuzzy (edit distance <= d, default 1)
+           | '%' pattern '%'           # regex over dictionary terms (RE2)
 
 TERM text is normalized with the pinned tokenizer spec; a term that
 normalizes to several tokens (e.g. "foo-bar") becomes their
@@ -124,6 +125,19 @@ class Proximity:
 
 
 @dataclass(frozen=True)
+class Regex:
+    """Regex leaf (`%pat%`, Lucene RegexpQuery analog): union of all
+    dictionary terms FULLY matching the RE2 pattern, ascending, with the
+    prefix expansion cap. The pattern is matched against normalized
+    dictionary terms (lowercase letters/digits), never raw text."""
+
+    pattern: str
+
+    def __repr__(self):
+        return f"Rx(%{self.pattern}%)"
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """Fuzzy leaf (`merge~` / `merge~2`): union of all dictionary terms
     within Levenshtein distance max_dist (1 or 2, Lucene-style cap),
@@ -147,7 +161,7 @@ class Op:
         return f"({self.left} {self.kind} {self.right})"
 
 
-Node = Term | Prefix | Substring | Field | Phrase | Proximity | Fuzzy | Op
+Node = Term | Prefix | Substring | Field | Phrase | Proximity | Fuzzy | Regex | Op
 
 _OPS = {"+": "or", "-": "andnot", "^": "xor", "/": "and"}
 
@@ -166,6 +180,18 @@ def _lex(q: str) -> list[str]:
     n = len(q)
     while i < n:
         ch = q[i]
+        if ch == "%":
+            # regex leaf `%pat%`: capture verbatim (op chars are pattern
+            # syntax inside); unterminated -> parse error -> empty result
+            if buf:
+                out.append("".join(buf))
+                buf.clear()
+            j = q.find("%", i + 1)
+            if j < 0:
+                raise QueryParseError("unterminated % regex")
+            out.append(q[i : j + 1])
+            i = j + 1
+            continue
         if ch == '"':
             if buf:
                 out.append("".join(buf))
@@ -278,6 +304,17 @@ def _term_node(raw: str) -> Node | None:
         # (e.g. "page_rank" -> "pagerank" != the indexed "page_rank")
         # value normalizing to nothing -> impossible term (matches nothing)
         return Field(fname, "_".join(vtoks))
+    if raw.startswith("%"):
+        pattern = raw[1:-1] if raw.endswith("%") and len(raw) >= 2 else raw[1:]
+        if not pattern:
+            return None
+        import re as _re
+
+        try:
+            _re.compile(pattern)
+        except _re.error as e:
+            raise QueryParseError(f"bad regex {pattern!r}: {e}") from None
+        return Regex(pattern)
     if raw.startswith('"'):
         # phrase / proximity: `"..."` or `"..."~K` (the lexer guarantees
         # the closing quote and attaches any ~digits suffix verbatim)

@@ -37,6 +37,10 @@ DONT_CRASH_QUERIES = [
     'a_b~1',
     '"" + term',
     '"a b" ~2',  # detached tilde: `~2` is its own (fuzzy-less) raw term
+    "%(%",
+    "%unterminated",
+    "%%",
+    "%a(?<=b)%",  # python-valid, RE2-invalid: empty, never a crash
 ]
 
 

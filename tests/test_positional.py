@@ -246,6 +246,42 @@ class TestFuzzy:
         assert all(not t.startswith(("\x01", "\x02")) for t in got)
 
 
+class TestRegex:
+    def test_expansion_matches_python_fullmatch(self, pos_engine):
+        import re
+
+        vocab = set()
+        for t in TEXTS:
+            vocab.update(tokenize_text(t))
+        for pat in [r"s(top|low)", r"qu.*", r"jo[a-z]+", r"fox(es)?", r"zz+",
+                    r"d(og|ance|rop)"]:
+            got = pos_engine.reader.terms_with_regex(pat)
+            want = sorted(w for w in vocab if re.fullmatch(pat, w))
+            assert got == want, (pat, got, want)
+
+    def test_regex_query_equals_or_chain(self, pos_engine):
+        a_ids, a_sc = pos_engine.search("%fox(es)?%", k=1000, mode="exhaustive")
+        b_ids, b_sc = pos_engine.search("fox + foxes", k=1000, mode="exhaustive")
+        assert a_ids.tolist() == b_ids.tolist()
+        np.testing.assert_allclose(a_sc, b_sc)
+        p_ids, p_sc = pos_engine.search("%fox(es)?%", k=1000)
+        assert p_ids.tolist() == a_ids.tolist()
+
+    def test_parse_and_failure_modes(self, pos_engine):
+        assert qp.parse_query("%a.b%") == qp.Regex("a.b")
+        with pytest.raises(qp.QueryParseError):
+            qp.parse_query("%(%")
+        with pytest.raises(qp.QueryParseError):
+            qp.parse_query("%unterminated")
+        # python-valid but RE2-invalid (lookbehind): empty, no crash
+        ids, _ = pos_engine.search("%a(?<=b)%", k=5)
+        assert len(ids) == 0
+
+    def test_excludes_marker_namespaces(self, pos_engine):
+        got = pos_engine.reader.terms_with_regex(".*")
+        assert got and all(not t.startswith(("\x01", "\x02")) for t in got)
+
+
 class TestPositionsContract:
     def test_positions_unavailable_is_empty_flagged(self, built_index_t1):
         index_dir, _ = built_index_t1  # built WITHOUT positions
