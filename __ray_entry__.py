@@ -174,6 +174,16 @@ def _search_bm25_fuzzy(sf_dir: str):
     return bm25_scores_table(sf_dir, f"{FUZZY_TERM}~{FUZZY_DIST}", k=None)
 
 
+def _search_segmented_and(sf_dir: str):
+    """Federated (segmented) serving: the documents corpus split into
+    block-aligned id ranges, each indexed independently, queried as ONE
+    engine (index/segmented.py — global df/avgdl, no merge). Oracle is
+    the plain whole-corpus AND query: federation must be invisible."""
+    from oscar_ray.pipelines.search import segmented_scores_table
+
+    return segmented_scores_table(sf_dir, BM25_AND, k=None)
+
+
 def _search_bm25_regex(sf_dir: str):
     """Regex term query `%pat%` (Lucene RegexpQuery analog): OR over all
     dictionary terms fully matching the RE2 pattern (one vectorized
@@ -1276,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_near": _search_bm25_near,
         "search_bm25_fuzzy": _search_bm25_fuzzy,
         "search_bm25_regex": _search_bm25_regex,
+        "search_segmented_and": _search_segmented_and,
         "search_facets": _search_facets,
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
@@ -1447,6 +1458,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scores WHERE term = '{BM25_TERM}' ORDER BY doc_id
         """,
         "search_bm25_and": _BM25_BASE
+        + f"""
+            SELECT a.doc_id, round(a.score + b.score, 4) AS score
+            FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[0]}') a
+            JOIN (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[1]}') b
+              USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # federated serving must be invisible: the SAME whole-corpus AND
+        # oracle, evaluated by the engine over split segment indexes
+        "search_segmented_and": _BM25_BASE
         + f"""
             SELECT a.doc_id, round(a.score + b.score, 4) AS score
             FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[0]}') a

@@ -294,9 +294,12 @@ class TokenizeShardWorker:
         tf_o = tf[order].astype(np.int32)
         dl_o = doclen_per_row[urow[order]].astype(np.int32)
         pos_o = pc.take(pos_arr, pa.array(order)) if pos_arr is not None else None
-        bounds = np.flatnonzero(np.diff(pair_part)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(pair_part)]))
+        if len(pair_part):
+            bounds = np.flatnonzero(np.diff(pair_part)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(pair_part)]))
+        else:  # zero-token shard (e.g. an empty segment slice)
+            starts = ends = np.empty(0, dtype=np.int64)
         spilled_bytes = 0
         for s, e in zip(starts, ends):
             p = int(pair_part[s])

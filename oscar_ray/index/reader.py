@@ -54,6 +54,9 @@ class TermPostings:
     _fetch: "callable | None" = None  # i -> (docs, tfs, dls) bytes
     _poss: "list[bytes | None] | None" = None  # positions payloads (sidecar)
     _fetch_pos: "callable | None" = None  # i -> poss bytes
+    # segmented serving (index/segmented.py): per-block docid shift added
+    # after decode — payload bytes stay segment-relative and untouched
+    doc_offsets: "np.ndarray | None" = None
 
     @property
     def has_positions(self) -> bool:
@@ -81,13 +84,16 @@ class TermPostings:
         """-> (docids, tfs, doclens) uint64 arrays for block index i."""
         if self._docs[i] is None:
             self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
-        return decode_postings(
+        docids, tfs, dls = decode_postings(
             self._docs[i],
             self._tfs[i],
             self._dls[i],
             count=int(self.doc_counts[i]),
             codec=self.codec,
         )
+        if self.doc_offsets is not None and self.doc_offsets[i]:
+            docids = docids + np.uint64(self.doc_offsets[i])
+        return docids, tfs, dls
 
     def decode_all(self):
         """-> (docids, tfs, doclens) for the whole term, concatenated."""
@@ -152,38 +158,30 @@ _EMPTY = TermPostings(
 
 
 def _levenshtein_band(
-    terms: np.ndarray, q_codes: np.ndarray, qlen: int, max_dist: int
+    cached: tuple[np.ndarray, np.ndarray, np.ndarray],
+    q_codes: np.ndarray,
+    qlen: int,
+    max_dist: int,
 ) -> np.ndarray:
-    """Terms (object array) within Levenshtein ``max_dist`` of the query.
+    """Terms within Levenshtein ``max_dist`` of the query, from a cached
+    (terms, codepoint_matrix, lens) triple (see _fuzzy_matrix).
 
     Classic unit-cost DP (insert/delete/substitute — the same function
     DuckDB's ``levenshtein`` computes, which the SQL oracle relies on),
     advanced column-by-column over a (n_candidates, qlen+1) matrix.
     """
-    # length-band + namespace prefilter on the object array (C-level
-    # str len via the 'U' cast below; markers sort first, slice them off)
-    n = len(terms)
-    lo = np.searchsorted(terms, "\x0f")  # skip \x01/\x02 marker namespaces
-    terms = terms[lo:n]
-    if not len(terms):
-        return terms
+    terms, m_full, lens_full = cached
     width = qlen + max_dist  # longer terms can never be within max_dist
-    mat_u = np.asarray(terms, dtype=f"U{max(width + 1, 1)}")
-    m = np.frombuffer(mat_u, dtype=np.uint32).reshape(len(terms), width + 1)
-    lens = (m != 0).sum(axis=1)  # tokenizer terms never contain NUL
-    band = (lens >= max(qlen - max_dist, 0)) & (lens <= width)
-    # terms wider than the matrix were truncated by the U-cast: their true
-    # length is > width, already outside the band (lens counts <= width+1)
-    band &= m[:, width] == 0
+    band = (lens_full >= max(qlen - max_dist, 0)) & (lens_full <= width)
     idx = np.flatnonzero(band)
     if not len(idx):
         return terms[:0]
-    m = m[idx]
-    lens = lens[idx]
+    m = m_full[idx, : min(width, m_full.shape[1])]
+    lens = lens_full[idx]
     n_c = len(idx)
     dp = np.broadcast_to(np.arange(qlen + 1, dtype=np.int32), (n_c, qlen + 1)).copy()
     result = np.full(n_c, qlen, dtype=np.int32)  # empty candidate -> qlen
-    max_len = int(lens.max())
+    max_len = min(int(lens.max()), m.shape[1])
     for j in range(max_len):
         active = lens > j
         cj = m[:, j]
@@ -267,6 +265,7 @@ class IndexReader:
         self._payload_groups: dict[tuple[int, int], pa.Table] = {}
         self._pos_groups: dict[tuple[int, int], pa.Table] = {}
         self._pa_terms: dict[int, "pa.Array"] = {}  # regex-scan term arrays
+        self._fuzzy_mats: dict[int, tuple] = {}  # fuzzy-scan codepoint matrices
 
     # -- dictionary ---------------------------------------------------------
 
@@ -372,14 +371,37 @@ class IndexReader:
         qlen = len(term)
         out: list[str] = []
         for part in range(self.num_partitions):
-            arr = self._part_sorted_terms(part)
-            if len(arr) == 0:
+            cached = self._fuzzy_matrix(part)
+            if cached is None:
                 continue
-            hits = _levenshtein_band(arr, q, qlen, max_dist)
+            hits = _levenshtein_band(cached, q, qlen, max_dist)
             if len(hits):
                 out.extend(hits.tolist())
         out.sort()
         return out[:limit] if limit is not None else out
+
+    def _fuzzy_matrix(self, part: int):
+        """(terms, codepoint matrix, lens) for one partition's text
+        vocabulary, built once per reader (the per-query 'U'-cast was the
+        fuzzy scan's dominant cost): marker namespaces sliced off, the
+        object array cast to one fixed-width uint32 matrix (~4B x maxlen
+        per term, fuzzy-only, lazy)."""
+        hit = self._fuzzy_mats.get(part)
+        if hit is not None:
+            return hit if hit != () else None
+        arr = self._part_sorted_terms(part)
+        lo = int(np.searchsorted(arr, "\x0f"))  # skip marker namespaces
+        terms = arr[lo:]
+        if not len(terms):
+            self._fuzzy_mats[part] = ()
+            return None
+        mat_u = np.asarray(terms, dtype=np.str_)  # auto width = longest term
+        w = mat_u.dtype.itemsize // 4
+        m = np.frombuffer(mat_u, dtype=np.uint32).reshape(len(terms), w)
+        lens = (m != 0).sum(axis=1)  # tokenizer terms never contain NUL
+        cached = (terms, m, lens)
+        self._fuzzy_mats[part] = cached
+        return cached
 
     def vocabulary_size(self) -> int:
         return sum(
@@ -529,6 +551,7 @@ class IndexReader:
         self._payload_groups.clear()
         self._pos_groups.clear()
         self._pa_terms.clear()
+        self._fuzzy_mats.clear()
         self._cache_pinned = False
         n = 0
         if page_cache and hasattr(os, "posix_fadvise"):

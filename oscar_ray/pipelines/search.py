@@ -60,6 +60,78 @@ def documents_index_dir(
     return out
 
 
+def documents_segment_dirs(sf_dir: str, n_segments: int = 2) -> list[str]:
+    """Split the documents table into block-span-aligned doc_id ranges and
+    build one index per range (cached). The federated-serving fixture:
+    SegmentedReader over these with zero offsets is rank-identical to the
+    single documents index."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+
+    src = documents_path(sf_dir)
+    fp = input_fingerprint(list_fragments(src))
+    root = os.path.join(_CACHE_ROOT, f"documents-seg{n_segments}-{fp}")
+    dirs = [os.path.join(root, f"seg-{i}") for i in range(n_segments)]
+    if all(os.path.exists(os.path.join(d, "manifest.json")) for d in dirs):
+        try:
+            from oscar_ray.index.reader import IndexReader
+
+            if all(IndexReader(d).manifest.get("complete") for d in dirs):
+                return dirs
+        except Exception:
+            pass
+    t = pq.read_table(src)
+    span = 1 << 6  # == the build config's block_span_bits below: small
+    # blocks so even the 500-doc tier splits at a block boundary
+    max_id = int(pc.max(t["doc_id"]).as_py())
+    per = max((max_id + 1) // n_segments // span, 1) * span
+    for i, d in enumerate(dirs):
+        lo = i * per
+        hi = (i + 1) * per if i < n_segments - 1 else max_id + 1
+        part = t.filter(
+            pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
+        )
+        seg_src = os.path.join(root, f"src-{i}.parquet")
+        os.makedirs(root, exist_ok=True)
+        pq.write_table(part, seg_src)
+        cfg = IndexBuildConfig(
+            num_partitions=8,
+            block_span_bits=6,
+            shard_fragments=2,
+            id_column="doc_id",
+            url_column=None,
+            lang_column="lang",
+            dedup_urls=False,
+            cleanup_spill=False,
+            field_columns=["lang"],
+        )
+        build_index(seg_src, d, cfg)
+    return dirs
+
+
+def segmented_scores_table(
+    sf_dir: str, query: str, k: int | None = None, round_to: int = 4
+) -> pa.Table:
+    """bm25_scores_table over FEDERATED segment indexes (no merge):
+    global df/avgdl summed across segments, ids pass through (explicit
+    zero offsets — the segments' id ranges are already disjoint)."""
+    from oscar_ray.index.segmented import SegmentedReader
+
+    dirs = documents_segment_dirs(sf_dir)
+    reader = SegmentedReader(dirs, offsets=[0] * len(dirs))
+    engine = QueryEngine(None, reader=reader)
+    ids, scores = engine.search(query, k=k if k is not None else 1 << 62)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "score": pa.array(np.round(scores, round_to), type=pa.float64()),
+        }
+    )
+    return tbl if k is not None else tbl.sort_by("doc_id")
+
+
 def term_stats_table(sf_dir: str) -> pa.Table:
     """(term, df, cf) over the whole corpus, term ascending."""
     import pyarrow.parquet as pq

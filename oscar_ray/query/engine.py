@@ -86,10 +86,12 @@ def expand_prefixes(
             terms = reader.terms_with_prefix(SUFFIX_MARKER + node.token, limit=limit)
         if not terms:
             return Term("")
-        out: Node = Term(terms[0])
-        for t in terms[1:]:
-            out = Op("or", out, Term(t))
-        return out
+        if len(terms) == 1:
+            return Term(terms[0])
+        # k-way node: one merged union (setops.multi_union) instead of an
+        # O(E^2) pairwise chain; per-doc float accumulation order is the
+        # same ascending-term sequence, so scores stay bit-identical
+        return MultiOr(tuple(terms))
     if isinstance(node, Op):
         return Op(
             node.kind,
@@ -97,6 +99,18 @@ def expand_prefixes(
             expand_prefixes(node.right, reader, limit),
         )
     return node
+
+
+@dataclass(frozen=True)
+class MultiOr:
+    """A dictionary-expansion union (prefix/substring/fuzzy/regex leaf
+    expanded over E dictionary terms, ascending): evaluated as ONE k-way
+    merged union per block / per query, score-identical to the OR chain."""
+
+    terms: tuple[str, ...]
+
+    def __repr__(self):
+        return f"MOr({len(self.terms)} terms)"
 
 
 @dataclass(frozen=True)
@@ -260,6 +274,8 @@ class QueryEngine:
     def _eval_exhaustive(self, node: Node) -> setops.ScoredSet:
         if isinstance(node, Materialized):
             return node.ids, node.scores
+        if isinstance(node, MultiOr):
+            return setops.multi_union([self._leaf_full(t) for t in node.terms])
         if isinstance(node, (Term, Field)):
             return self._leaf_full(node.token)
         left = self._eval_exhaustive(node.left)
@@ -308,11 +324,27 @@ class QueryEngine:
         return top_ids, top_scores
 
 
+def _tree_terms(node: Node) -> list[str]:
+    """Leaf terms incl. MultiOr members (Materialized carries no terms)."""
+    out: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (Term, Field)):
+            out.append(n.token)
+        elif isinstance(n, MultiOr):
+            out.extend(n.terms)
+        elif isinstance(n, Op):
+            stack.append(n.right)
+            stack.append(n.left)
+    return out
+
+
 def _collect_leaves(
     node: Node, reader: IndexReader, parallel: bool = False
 ) -> dict[str, dict]:
     """term -> {postings, idf, block_index: {block_id: i}} for all leaves."""
-    terms = list(dict.fromkeys(query_terms(node)))
+    terms = list(dict.fromkeys(_tree_terms(node)))
     if parallel and len(terms) > 2:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -354,6 +386,16 @@ def _block_bounds(node: Node, leaves: dict) -> dict[int, float]:
         if isinstance(n, Materialized):
             mx = n.block_maxes.get(b)
             return (False, 0.0) if mx is None else (True, mx)
+        if isinstance(n, MultiOr):
+            ub = 0.0
+            feasible = False
+            for t in n.terms:
+                leaf = leaves[t]
+                i = leaf["blocks"].get(b)
+                if i is not None:
+                    feasible = True
+                    ub += leaf["idf"] * float(leaf["tp"].max_tfns[i])
+            return feasible, ub
         if isinstance(n, (Term, Field)):
             leaf = leaves[n.token]
             i = leaf["blocks"].get(b)
@@ -398,6 +440,10 @@ def _eval_block(node: Node, leaves: dict, block_id: int) -> setops.ScoredSet:
         if sl is None:
             return setops.empty_set()
         return node.ids[sl[0] : sl[1]], node.scores[sl[0] : sl[1]]
+    if isinstance(node, MultiOr):
+        return setops.multi_union(
+            [_leaf_block(leaves[t], block_id) for t in node.terms]
+        )
     if isinstance(node, (Term, Field)):
         return _leaf_block(leaves[node.token], block_id)
     left = _eval_block(node.left, leaves, block_id)
@@ -429,7 +475,13 @@ class QueryServer:
         mode: str = "auto",
         preload: bool = False,
     ):
-        self.engine = QueryEngine(index_dir)
+        if "," in index_dir:
+            # segmented serving: base,delta,... federated per actor
+            from oscar_ray.index.segmented import SegmentedReader
+
+            self.engine = QueryEngine(None, reader=SegmentedReader(index_dir.split(",")))
+        else:
+            self.engine = QueryEngine(index_dir)
         if preload:  # mlock analog: resident postings per actor
             self.engine.reader.preload()
         self.default_k = default_k

@@ -12,17 +12,23 @@ and every token position fits 32 bits (doclen is int32), so one uint64 key
 
     key = (rel_docid << 32) | position
 
-linearizes (doc, position) pairs into a single sorted array per term, and
+linearizes (doc, position) pairs into a single SORTED array per term, and
 
 - **phrase** ("w0 w1 ... wm-1", adjacent in order) is an iterated sorted-set
   intersection: occurrences surviving step j satisfy ``key0 + j in keys_j``
-  — ``np.intersect1d`` per step, no per-doc loop;
+  — one ``searchsorted`` membership probe per step (both sides are already
+  sorted; never a re-sorting ``np.intersect1d``), no per-doc loop;
 - **proximity** (all distinct terms within a span <= slop) is, for every
   candidate end position t (union of all terms' keys), the last occurrence
   of each term at or before t in the same doc (one ``searchsorted`` per
   term); the minimal covering window ending at t has span
   ``max_over_terms(t - last_t)`` — the doc matches iff any t has
   ``span <= slop``.
+
+Per block, each term decodes ONCE (postings + positions), the candidate
+docid set (the terms' AND) is computed first with sorted membership
+probes, and keys are built only for candidate docs — a selective phrase
+over a head term touches O(candidate occurrences) key work, not O(cf).
 
 Positions never cross blocks (both queries are intra-doc and a doc lives in
 exactly one block per term), so blocks evaluate independently — the same
@@ -31,8 +37,6 @@ property that makes block-max pruning and distributed serving work.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import numpy as np
 
 from oscar_ray.index.reader import IndexReader, PositionsUnavailable, TermPostings
@@ -40,24 +44,40 @@ from oscar_ray.index.reader import IndexReader, PositionsUnavailable, TermPostin
 _POS_BITS = np.uint64(32)
 
 
-def _block_keys(
-    tp: TermPostings, i: int, block_base: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """-> (docids, tfs, dls, keys) for block index i of one term.
+def _sorted_isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique uint64 arrays — membership probe
+    of `a` into `b`, no concatenate-and-sort (what np.intersect1d does)."""
+    if not len(a) or not len(b):
+        return a[:0]
+    i = np.searchsorted(b, a)
+    np.minimum(i, len(b) - 1, out=i)
+    return a[b[i] == a]
 
-    ``keys`` is sorted ascending by construction: docids ascend within a
-    block and positions ascend within a doc.
-    """
-    docids, tfs, dls = tp.decode_block(i)
-    pos = tp.positions_block(i, tfs)
-    rel = docids - np.uint64(block_base)
-    keys = (np.repeat(rel, tfs.astype(np.int64)) << _POS_BITS) | pos
-    return docids, tfs, dls, keys
+
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (vectorized arange)."""
+    total = int(lens.sum())
+    if not total:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _sorted_group_counts(rel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(rel, return_counts=True) for an ALREADY-SORTED array —
+    boundary diffs instead of a re-sort."""
+    bnd = np.flatnonzero(np.diff(rel)) + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(rel)]))
+    return rel[starts], ends - starts
 
 
 def _common_blocks(tps: list[TermPostings]) -> np.ndarray:
-    return reduce(lambda a, b: np.intersect1d(a, b, assume_unique=True),
-                  [tp.block_ids for tp in tps])
+    out = tps[0].block_ids
+    for tp in tps[1:]:
+        out = _sorted_isect(out, tp.block_ids)
+    return out
 
 
 def _check_positional(tps: list[TermPostings]) -> None:
@@ -67,6 +87,31 @@ def _check_positional(tps: list[TermPostings]) -> None:
                 f"term {tp.term!r}: index was built without positions "
                 "(IndexBuildConfig.index_positions)"
             )
+
+
+def _candidate_keys(
+    tp: TermPostings,
+    i: int,
+    base: int,
+    cand: np.ndarray,
+    decoded: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """Sorted (rel_docid<<32 | pos) keys for block i, RESTRICTED to the
+    candidate docids — positions decode once for the block (the varint
+    stream has no per-doc random access), but key construction and every
+    downstream probe touch only candidate occurrences."""
+    docids, tfs, _dls = decoded
+    pos = tp.positions_block(i, tfs)
+    if len(cand) == len(docids):  # dense: every doc is a candidate
+        rel = (docids - np.uint64(base)).astype(np.uint64)
+        return (np.repeat(rel, tfs.astype(np.int64)) << _POS_BITS) | pos
+    sel = np.searchsorted(docids, cand)
+    lens = tfs[sel].astype(np.int64)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1].astype(np.int64), out=starts[1:])
+    take = np.repeat(starts[sel], lens) + _ranges(lens)
+    rel = (cand - np.uint64(base)).astype(np.uint64)
+    return (np.repeat(rel, lens) << _POS_BITS) | pos[take]
 
 
 def phrase_postings(
@@ -90,26 +135,26 @@ def phrase_postings(
     for b in _common_blocks(tps).tolist():
         base = int(b) << span_bits
         idxs = [int(np.searchsorted(tp.block_ids, b)) for tp in tps]
-        # cheap docid pre-intersection: skip position decode when the
-        # block has no doc containing every token
-        doc_sets = [tp.decode_block(i)[0] for tp, i in zip(tps, idxs)]
-        cand = reduce(
-            lambda a, c: np.intersect1d(a, c, assume_unique=True), doc_sets
-        )
+        decoded = [tp.decode_block(i) for tp, i in zip(tps, idxs)]
+        cand = decoded[0][0]
+        for d in decoded[1:]:
+            cand = _sorted_isect(cand, d[0])
+            if not len(cand):
+                break
         if not len(cand):
             continue
-        docids0, tfs0, dls0, cur = _block_keys(tps[0], idxs[0], base)
-        for tp, i in zip(tps[1:], idxs[1:]):
+        cur = _candidate_keys(tps[0], idxs[0], base, cand, decoded[0])
+        for tp, i, d in zip(tps[1:], idxs[1:], decoded[1:]):
             if not len(cur):
                 break
-            keys_j = _block_keys(tp, i, base)[3]
-            cur = np.intersect1d(cur + one, keys_j, assume_unique=True)
+            keys_j = _candidate_keys(tp, i, base, cand, d)
+            cur = _sorted_isect(cur + one, keys_j)
         if not len(cur):
             continue
         # cur holds the LAST token's keys of each full-phrase occurrence
-        rel = cur >> _POS_BITS
-        match_rel, tf = np.unique(rel, return_counts=True)
+        match_rel, tf = _sorted_group_counts(cur >> _POS_BITS)
         ids = match_rel + np.uint64(base)
+        docids0, _tfs0, dls0 = decoded[0]
         dl = dls0[np.searchsorted(docids0, ids)]
         out_ids.append(ids)
         out_tf.append(tf.astype(np.uint64))
@@ -138,13 +183,18 @@ def proximity_match_ids(
     for b in _common_blocks(tps).tolist():
         base = int(b) << span_bits
         idxs = [int(np.searchsorted(tp.block_ids, b)) for tp in tps]
-        doc_sets = [tp.decode_block(i)[0] for tp, i in zip(tps, idxs)]
-        cand = reduce(
-            lambda a, c: np.intersect1d(a, c, assume_unique=True), doc_sets
-        )
+        decoded = [tp.decode_block(i) for tp, i in zip(tps, idxs)]
+        cand = decoded[0][0]
+        for d in decoded[1:]:
+            cand = _sorted_isect(cand, d[0])
+            if not len(cand):
+                break
         if not len(cand):
             continue
-        keys = [_block_keys(tp, i, base)[3] for tp, i in zip(tps, idxs)]
+        keys = [
+            _candidate_keys(tp, i, base, cand, d)
+            for tp, i, d in zip(tps, idxs, decoded)
+        ]
         t_end = np.unique(np.concatenate(keys))
         all_ok = np.ones(len(t_end), dtype=bool)
         max_span = np.zeros(len(t_end), dtype=np.uint64)
@@ -159,7 +209,7 @@ def proximity_match_ids(
             max_span = np.maximum(max_span, np.where(ok, gap, 0))
         hit = all_ok & (max_span <= slop_u)
         if hit.any():
-            match_rel = np.unique(t_end[hit] >> _POS_BITS)
+            match_rel, _ = _sorted_group_counts((t_end[hit] >> _POS_BITS))
             out.append(match_rel + np.uint64(base))
     if not out:
         return np.empty(0, dtype=np.uint64)

@@ -69,6 +69,27 @@ def xor(a: ScoredSet, b: ScoredSet) -> ScoredSet:
     return union(only_a, only_b)
 
 
+def multi_union(sets: list[ScoredSet]) -> ScoredSet:
+    """k-way union, bit-identical to the left-assoc pairwise OR chain.
+
+    Per doc, scores accumulate with ``+=`` in the ORDER the sets are
+    given (== ascending-term expansion order), so every doc's float sum
+    is the exact addition sequence the chain produces — but the ids
+    merge ONCE (one sort over the concat) instead of E-1 growing
+    pairwise unions (the O(E^2) cost a 256-way prefix/fuzzy expansion
+    chain pays)."""
+    sets = [s for s in sets if len(s[0])]
+    if not sets:
+        return empty_set()
+    if len(sets) == 1:
+        return sets[0][0].copy(), sets[0][1].copy()
+    ids = np.unique(np.concatenate([s[0] for s in sets]))
+    scores = np.zeros(len(ids), dtype=np.float64)
+    for sid, ssc in sets:
+        scores[np.searchsorted(ids, sid)] += ssc
+    return ids, scores
+
+
 def top_k(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, docid asc) — the rank-identity tiebreak
     mirroring the reference's "docID order is rank order" invariant

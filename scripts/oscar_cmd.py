@@ -173,6 +173,16 @@ def main():
     sd.add_argument("--head", type=int, default=20, help="ids printed per side")
     args = ap.parse_args()
 
+    if "," in args.index and args.cmd not in (
+        "query", "batch", "bench", "mdrop", "complete",
+    ):
+        raise SystemExit(
+            f"segmented mode (comma-separated -i) supports query/batch/"
+            f"bench/mdrop/complete, not {args.cmd}; merge first"
+        )
+    if "," in args.index and getattr(args, "show_docs", False):
+        raise SystemExit("--show-docs needs a single index (docmeta lookup)")
+
     if args.cmd == "merge":
         import ray
 
@@ -353,7 +363,15 @@ def main():
             )
         return
 
-    reader = IndexReader(args.index)
+    if "," in args.index:
+        # segmented (federated) serving: base,delta1,... served as one
+        # engine, rank-identical to their merge (index/segmented.py;
+        # unsupported subcommands rejected right after arg parsing)
+        from oscar_ray.index.segmented import SegmentedReader
+
+        reader = SegmentedReader(args.index.split(","))
+    else:
+        reader = IndexReader(args.index)
     if args.cmd == "dump-doc":
         # the reference's -di work item (oscar-cmd/Workfunctions.cpp:892-895,
         # store().at(id).print): resolve one docid against docmeta.

@@ -60,6 +60,13 @@ def main():
 
     out = {"n_docs": n_docs, "num_cpus": num_cpus}
     walls = {}
+    # untimed warmup: first build pays Ray worker/task-dispatch startup
+    build_index(
+        pages,
+        os.path.join(base, "idx-warmup"),
+        IndexBuildConfig(num_partitions=min(32, num_cpus * 2), shard_fragments=2),
+        resume=False,
+    )
     for tag, positions in (("plain", False), ("pos", True)):
         idx = os.path.join(base, f"idx-{tag}")
         cfg = IndexBuildConfig(
@@ -68,7 +75,9 @@ def main():
             index_positions=positions,
         )
         t0 = time.perf_counter()
-        build_index(pages, idx, cfg)
+        # resume=False: force a real rebuild so build_s compares the two
+        # variants (pages are page-cache-warm for both after the plain run)
+        build_index(pages, idx, cfg, resume=False)
         walls[tag] = time.perf_counter() - t0
         out[f"build_s_{tag}"] = round(walls[tag], 2)
         out[f"postings_mb_{tag}"] = round(_postings_bytes(idx) / 1e6, 1)
