@@ -10,6 +10,12 @@ a background compaction, exactly the reference's two-completer setup
 Docid spaces are disjoint by construction: segment k's docids shift by
 the same span-aligned cumulative offset merge_indexes computes, so a
 federated query and a merged-index query return IDENTICAL docids.
+
+CAVEAT (disclosed, matches the merge default): federation applies NO
+cross-segment URL dedup — a document re-crawled into a delta segment
+surfaces TWICE until compaction (``merge_indexes`` keep_first, or the
+maintain-loop ``keep_last`` replacement) runs. Same behavior as serving
+two reference completers side by side.
 Global BM25 statistics (n_docs, avgdl, df, cf) are summed across
 segments; per-doc scores are computed by the engine from raw (tf, dl)
 with the global stats, so scores match the merged index bit-for-bit.

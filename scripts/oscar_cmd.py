@@ -141,6 +141,14 @@ def main():
     cp.add_argument(
         "--scan-cap", type=int, default=4096, help="max dictionary range scanned"
     )
+    sg = sub.add_parser(
+        "suggest",
+        help="did-you-mean: dictionary terms within edit distance of a "
+        "(possibly misspelled) term, ranked by collection frequency",
+    )
+    sg.add_argument("-q", "--term", required=True)
+    sg.add_argument("-d", "--distance", type=int, default=1, choices=[1, 2])
+    sg.add_argument("-n", type=int, default=10)
     it = sub.add_parser(
         "interactive",
         help="REPL completion loop; empty line quits (LiveCompletion analog)",
@@ -174,7 +182,7 @@ def main():
     args = ap.parse_args()
 
     if "," in args.index and args.cmd not in (
-        "query", "batch", "bench", "mdrop", "complete",
+        "query", "batch", "bench", "mdrop", "complete", "suggest",
     ):
         raise SystemExit(
             f"segmented mode (comma-separated -i) supports query/batch/"
@@ -429,6 +437,28 @@ def main():
         )[: args.head]:
             print(f"{term}\tdf={df}\tblocks={nblocks}\tpayload_bytes={nbytes}")
         return
+    if args.cmd == "suggest":
+        # did-you-mean: the fuzzy-expansion scan surfaced as its own work
+        # item — candidates within edit distance, most-frequent first
+        # (cf desc, then distance-free term asc tiebreak)
+        from oscar_ray.spec.tokenizer import tokenize_text
+
+        toks = tokenize_text(args.term)
+        if len(toks) != 1:
+            print("# suggest needs a single normalized token", file=sys.stderr)
+            return
+        cands = reader.terms_with_edit_distance(toks[0], args.distance)
+        ranked = sorted(
+            ((t, *reader.term_stats(t)) for t in cands),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for t, df, cf in ranked[: args.n]:
+            marker = " (exact)" if t == toks[0] else ""
+            print(f"{t}\tcf={cf}\tdf={df}{marker}")
+        print(f"# {len(cands)} candidates within distance {args.distance}",
+              file=sys.stderr)
+        return
+
     if args.cmd == "complete":
         # oscar's signature operation: prefix -> ranked completions. The
         # reference resolves a prefix to a trie subtree

@@ -553,6 +553,24 @@ class TestCmdCliWorkItems:
         assert snip_of[3] == "x [scan]"
         assert 2 not in snip_of
 
+    def test_suggest(self, built_index_t1):
+        from oscar_ray.index.reader import IndexReader
+
+        out = self._run(built_index_t1, ["suggest", "-q", "waab", "-d", "1", "-n", "5"])
+        lines = out.strip().splitlines()
+        assert 1 <= len(lines) <= 5
+        reader = IndexReader(built_index_t1[0])
+        want = set(reader.terms_with_edit_distance("waab", 1))
+        cfs = []
+        for line in lines:
+            term, cf_s, df_s = line.split("\t")
+            df_s = df_s.split(" ")[0]  # strip the "(exact)" marker
+            assert term in want
+            cf = int(cf_s.removeprefix("cf="))
+            assert cf >= int(df_s.removeprefix("df=")) > 0
+            cfs.append(cf)
+        assert cfs == sorted(cfs, reverse=True)
+
     def test_complete(self, built_index_t1):
         out = self._run(built_index_t1, ["complete", "-p", "wa", "-n", "5"])
         lines = out.strip().splitlines()
