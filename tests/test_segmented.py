@@ -133,6 +133,35 @@ class TestSegmentedParity:
             assert a[0].tolist() == b[0].tolist(), q
             np.testing.assert_allclose(a[1], b[1], rtol=1e-12, err_msg=q)
 
+    def test_query_server_segmented(self, ray_session, seg_setup):
+        """Batch serving actors accept the comma-joined segment syntax."""
+        import ray.data
+
+        from oscar_ray.query.engine import QueryServer
+
+        ia, ib, merged, _ = seg_setup
+        queries = [
+            {"query_id": i, "query": q, "k": 5} for i, q in enumerate(QUERIES[:4])
+        ]
+        got = (
+            ray.data.from_items(queries, override_num_blocks=2)
+            .map_batches(
+                QueryServer,
+                fn_constructor_kwargs={"index_dir": f"{ia},{ib}"},
+                batch_format="pyarrow",
+                concurrency=2,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        em = QueryEngine(merged)
+        for q in queries:
+            ids, sc = em.search(q["query"], k=5)
+            sub = got[got["query_id"] == q["query_id"]]
+            assert sub["docid"].tolist() == ids.tolist(), q["query"]
+            np.testing.assert_allclose(sub["score"].to_numpy(), sc)
+
     def test_unaligned_offsets_rejected(self, seg_setup):
         ia, ib, _, _ = seg_setup
         with pytest.raises(ValueError, match="multiples of the block span"):
