@@ -346,6 +346,44 @@ class TestPositionsContract:
                 b = os.path.join(out2, rel, fn)
                 assert filecmp.cmp(a, b, shallow=False), (rel, fn)
 
+    @pytest.mark.parametrize("codec", ["rlede", "eliasfano", "wah"])
+    def test_positions_orthogonal_to_docid_codec(self, ray_session, tmp_path, codec):
+        """The positions payload is always delta+varint; the docid stream
+        codec must not perturb phrase results."""
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+                    "text": TEXTS,
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / f"idx-{codec}")
+        build_index(
+            src,
+            out,
+            IndexBuildConfig(
+                num_partitions=4,
+                block_span_bits=3,
+                shard_fragments=1,
+                id_column="doc_id",
+                url_column=None,
+                lang_column=None,
+                dedup_urls=False,
+                index_positions=True,
+                docid_codec=codec,
+            ),
+        )
+        eng = QueryEngine(out)
+        for q, toks in [('"hash join"', ("hash", "join")),
+                        ('"the quick brown"', ("the", "quick", "brown"))]:
+            ids, _ = eng.search(q, k=1000, mode="exhaustive")
+            assert set(ids.tolist()) == set(brute_phrase(toks)), (codec, q)
+
     def test_config_exclusivity(self, ray_session, tmp_path):
         from oscar_ray.index.build import IndexBuildConfig, build_index
 
