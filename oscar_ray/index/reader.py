@@ -468,7 +468,10 @@ class IndexReader:
         gt = self._payload_groups.get(key)
         if gt is None:
             if len(self._payload_groups) >= 32:
-                self._payload_groups.pop(next(iter(self._payload_groups)))
+                try:  # benign race under threaded block eval: skip evict
+                    self._payload_groups.pop(next(iter(self._payload_groups)))
+                except (RuntimeError, KeyError, StopIteration):
+                    pass
             gt = f.read_row_groups([g], columns=["docs", "tfs", "dls"], use_threads=False)
             self._payload_groups[key] = gt
         r = idx - g * rg0
@@ -485,7 +488,10 @@ class IndexReader:
         gt = self._pos_groups.get(key)
         if gt is None:
             if len(self._pos_groups) >= 32:
-                self._pos_groups.pop(next(iter(self._pos_groups)))
+                try:  # benign race under threaded block eval: skip evict
+                    self._pos_groups.pop(next(iter(self._pos_groups)))
+                except (RuntimeError, KeyError, StopIteration):
+                    pass
             gt = f.read_row_groups([g], columns=["poss"], use_threads=False)
             self._pos_groups[key] = gt
         return gt["poss"][idx - g * rg0].as_py()

@@ -223,7 +223,9 @@ class QueryEngine:
         from oscar_ray.query import positional
 
         if isinstance(node, Phrase):
-            ids, tfs, dls = positional.phrase_postings(self.reader, node.tokens)
+            ids, tfs, dls = positional.phrase_postings(
+                self.reader, node.tokens, parallel=self.parallel_fetch
+            )
             if not len(ids):
                 return _make_materialized(ids, ids.astype(np.float64),
                                           self.reader.block_span_bits)
@@ -242,7 +244,7 @@ class QueryEngine:
                 and_set = leaf if and_set is None else setops.intersect(and_set, leaf)
             ids, scores = and_set
             match = positional.proximity_match_ids(
-                self.reader, node.tokens, node.slop
+                self.reader, node.tokens, node.slop, parallel=self.parallel_fetch
             )
             if len(match) and len(ids):
                 sel = np.searchsorted(ids, match)

@@ -114,8 +114,22 @@ def _candidate_keys(
     return (np.repeat(rel, lens) << _POS_BITS) | pos[take]
 
 
+def _map_blocks(blocks: list, fn, parallel: bool) -> list:
+    """Evaluate independent posting blocks, optionally on a small thread
+    pool (the per-query threadCount analog the engine already uses for
+    leaf fetches): per-block work is numpy + parquet reads, both of
+    which release the GIL. Results keep block order — score/rank
+    determinism never depends on evaluation order."""
+    if parallel and len(blocks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(blocks))) as ex:
+            return list(ex.map(fn, blocks))
+    return [fn(b) for b in blocks]
+
+
 def phrase_postings(
-    reader: IndexReader, tokens: tuple[str, ...]
+    reader: IndexReader, tokens: tuple[str, ...], parallel: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact-adjacency phrase match -> (docids, phrase_tf, doclen).
 
@@ -128,11 +142,9 @@ def phrase_postings(
         return empty, empty.copy(), empty.copy()
     _check_positional(tps)
     span_bits = reader.block_span_bits
-    out_ids: list[np.ndarray] = []
-    out_tf: list[np.ndarray] = []
-    out_dl: list[np.ndarray] = []
     one = np.uint64(1)
-    for b in _common_blocks(tps).tolist():
+
+    def eval_block(b: int):
         base = int(b) << span_bits
         idxs = [int(np.searchsorted(tp.block_ids, b)) for tp in tps]
         decoded = [tp.decode_block(i) for tp, i in zip(tps, idxs)]
@@ -142,7 +154,7 @@ def phrase_postings(
             if not len(cand):
                 break
         if not len(cand):
-            continue
+            return None
         cur = _candidate_keys(tps[0], idxs[0], base, cand, decoded[0])
         for tp, i, d in zip(tps[1:], idxs[1:], decoded[1:]):
             if not len(cur):
@@ -150,26 +162,31 @@ def phrase_postings(
             keys_j = _candidate_keys(tp, i, base, cand, d)
             cur = _sorted_isect(cur + one, keys_j)
         if not len(cur):
-            continue
+            return None
         # cur holds the LAST token's keys of each full-phrase occurrence
         match_rel, tf = _sorted_group_counts(cur >> _POS_BITS)
         ids = match_rel + np.uint64(base)
         docids0, _tfs0, dls0 = decoded[0]
         dl = dls0[np.searchsorted(docids0, ids)]
-        out_ids.append(ids)
-        out_tf.append(tf.astype(np.uint64))
-        out_dl.append(dl)
-    if not out_ids:
+        return ids, tf.astype(np.uint64), dl
+
+    results = [
+        r
+        for r in _map_blocks(_common_blocks(tps).tolist(), eval_block, parallel)
+        if r is not None
+    ]
+    if not results:
         return empty, empty.copy(), empty.copy()
     return (
-        np.concatenate(out_ids),
-        np.concatenate(out_tf),
-        np.concatenate(out_dl),
+        np.concatenate([r[0] for r in results]),
+        np.concatenate([r[1] for r in results]),
+        np.concatenate([r[2] for r in results]),
     )
 
 
 def proximity_match_ids(
-    reader: IndexReader, tokens: tuple[str, ...], slop: int
+    reader: IndexReader, tokens: tuple[str, ...], slop: int,
+    parallel: bool = False
 ) -> np.ndarray:
     """Docids where one occurrence of EVERY distinct token fits in a span
     of <= slop (max position - min position, unordered). Ascending."""
@@ -179,8 +196,8 @@ def proximity_match_ids(
     _check_positional(tps)
     span_bits = reader.block_span_bits
     slop_u = np.uint64(slop)
-    out: list[np.ndarray] = []
-    for b in _common_blocks(tps).tolist():
+
+    def eval_block(b: int):
         base = int(b) << span_bits
         idxs = [int(np.searchsorted(tp.block_ids, b)) for tp in tps]
         decoded = [tp.decode_block(i) for tp, i in zip(tps, idxs)]
@@ -190,7 +207,7 @@ def proximity_match_ids(
             if not len(cand):
                 break
         if not len(cand):
-            continue
+            return None
         keys = [
             _candidate_keys(tp, i, base, cand, d)
             for tp, i, d in zip(tps, idxs, decoded)
@@ -208,9 +225,16 @@ def proximity_match_ids(
             all_ok &= ok
             max_span = np.maximum(max_span, np.where(ok, gap, 0))
         hit = all_ok & (max_span <= slop_u)
-        if hit.any():
-            match_rel, _ = _sorted_group_counts((t_end[hit] >> _POS_BITS))
-            out.append(match_rel + np.uint64(base))
+        if not hit.any():
+            return None
+        match_rel, _ = _sorted_group_counts((t_end[hit] >> _POS_BITS))
+        return match_rel + np.uint64(base)
+
+    out = [
+        r
+        for r in _map_blocks(_common_blocks(tps).tolist(), eval_block, parallel)
+        if r is not None
+    ]
     if not out:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(out)
