@@ -110,9 +110,10 @@ class IndexBuildConfig:
     # positions add ZERO metadata — one extra lazily-hydrated binary
     # column, read only by positional queries. Roughly doubles postings
     # bytes (one varint per token occurrence); off by default.
-    # Mutually exclusive with index_suffixes and payload_dedup (suffix
-    # marker terms have no positions; position payloads make byte-equal
-    # payload collisions meaningless).
+    # Composes with index_suffixes and field_columns (marker-namespace
+    # pairs carry empty payloads — substring/field matching is set-only);
+    # mutually exclusive with payload_dedup (position payloads make
+    # byte-equal payload collisions meaningless).
     index_positions: bool = False
     # field/tag-scoped search (the reference's `"@"+key+":"+value`
     # tag-strings, ``TextSearchTraits.h:68-86``): for each listed column,
@@ -256,9 +257,17 @@ class TokenizeShardWorker:
 
         terms_py = terms_dict.to_pylist()
         if cfg.index_suffixes:
+            n_before = len(urow)
             urow, ucode, tf, terms_py = _expand_suffix_pairs(
                 urow, ucode, tf, terms_py, cfg.min_suffix_len
             )
+            if pos_arr is not None and len(urow) > n_before:
+                # suffix-marker pairs append after the base pairs: empty
+                # payloads (substring matching is set-only; phrase eval
+                # never touches the suffix namespace)
+                pos_arr = pa.concat_arrays(
+                    [pos_arr, _empty_binary(len(urow) - n_before)]
+                )
         if cfg.field_columns:
             n_before = len(urow)
             urow, ucode, tf, terms_py = _append_field_pairs(
@@ -267,15 +276,9 @@ class TokenizeShardWorker:
             if pos_arr is not None and len(urow) > n_before:
                 # field marker pairs are appended at the END: pad with
                 # empty payloads (field filters are never position-matched)
-                n_add = len(urow) - n_before
-                empty = pa.Array.from_buffers(
-                    pa.large_binary(),
-                    n_add,
-                    [None, pa.py_buffer(np.zeros(n_add + 1, dtype=np.int64)),
-                     pa.py_buffer(b"")],
-                    children=None,
+                pos_arr = pa.concat_arrays(
+                    [pos_arr, _empty_binary(len(urow) - n_before)]
                 )
-                pos_arr = pa.concat_arrays([pos_arr, empty])
 
         # partition of each unique term in this shard's dictionary
         part_by_code = layout.term_partitions_np(terms_py, cfg.num_partitions)
@@ -643,10 +646,10 @@ def build_index(
     ``readwritefuncs.cpp:311-325``).
     """
     cfg = cfg or IndexBuildConfig()
-    if cfg.index_positions and (cfg.index_suffixes or cfg.payload_dedup):
+    if cfg.index_positions and cfg.payload_dedup:
         raise ValueError(
-            "index_positions is mutually exclusive with index_suffixes and "
-            "payload_dedup (see IndexBuildConfig)"
+            "index_positions is mutually exclusive with payload_dedup "
+            "(see IndexBuildConfig)"
         )
     if cfg.url_column is None and cfg.dedup_urls:
         from dataclasses import replace
@@ -765,6 +768,16 @@ def build_index(
 
         check_index(out_dir)
     return manifest
+
+
+def _empty_binary(n: int) -> pa.Array:
+    """n empty-bytes rows as one zero-copy large_binary array."""
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(np.zeros(n + 1, dtype=np.int64)), pa.py_buffer(b"")],
+        children=None,
+    )
 
 
 def _expand_suffix_pairs(

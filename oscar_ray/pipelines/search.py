@@ -37,11 +37,14 @@ def documents_index_dir(
     """
     from oscar_ray.sources.pages import input_fingerprint, list_fragments
 
-    if suffixes and positions:
-        raise ValueError("suffix and positional variants are separate indices")
     src = documents_path(sf_dir)
     fp = input_fingerprint(list_fragments(src))
-    tag = "documents-sfx" if suffixes else ("documents-pos" if positions else "documents")
+    tag = {
+        (False, False): "documents",
+        (True, False): "documents-sfx",
+        (False, True): "documents-pos",
+        (True, True): "documents-sfx-pos",
+    }[(suffixes, positions)]
     out = os.path.join(_CACHE_ROOT, f"{tag}-{fp}")
     cfg = IndexBuildConfig(
         num_partitions=8,

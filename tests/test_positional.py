@@ -390,15 +390,54 @@ class TestPositionsContract:
         with pytest.raises(ValueError, match="mutually exclusive"):
             build_index(
                 str(tmp_path),
-                str(tmp_path / "x"),
-                IndexBuildConfig(index_positions=True, index_suffixes=True),
-            )
-        with pytest.raises(ValueError, match="mutually exclusive"):
-            build_index(
-                str(tmp_path),
                 str(tmp_path / "y"),
                 IndexBuildConfig(index_positions=True, payload_dedup=True),
             )
+
+    def test_positions_compose_with_suffix_index(self, ray_session, tmp_path):
+        """One index serves phrase AND substring queries: suffix-marker
+        pairs carry empty position payloads, plain terms real ones."""
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+                    "text": TEXTS,
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "idx")
+        build_index(
+            src,
+            out,
+            IndexBuildConfig(
+                num_partitions=4,
+                block_span_bits=3,
+                shard_fragments=1,
+                id_column="doc_id",
+                url_column=None,
+                lang_column=None,
+                dedup_urls=False,
+                index_positions=True,
+                index_suffixes=True,
+            ),
+            check=True,
+        )
+        eng = QueryEngine(out)
+        # phrase over the positional payloads
+        ids, _ = eng.search('"hash join"', k=1000, mode="exhaustive")
+        assert set(ids.tolist()) == set(brute_phrase(("hash", "join")))
+        # substring over the suffix namespace, in the SAME index
+        ids2, _ = eng.search("*uick*", k=1000, mode="exhaustive")
+        want = {d for d, t in enumerate(TEXTS)
+                if any("uick" in w for w in tokenize_text(t))}
+        assert set(ids2.tolist()) == want
+        # and composed
+        ids3, _ = eng.search('"hash join" *uick*', k=1000, mode="exhaustive")
+        assert set(ids3.tolist()) == set(ids.tolist()) & want
 
 
 class TestPositionalMerge:
