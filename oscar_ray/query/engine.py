@@ -165,6 +165,10 @@ class QueryEngine:
     ):
         self.reader = reader or IndexReader(index_dir)
         self.parallel_fetch = parallel_fetch
+        # materialized positional leaves are the expensive part of phrase
+        # serving; repeated phrases in a batch stream hit this (keyed on
+        # the leaf itself — the eval depends on nothing else)
+        self._positional_cache: dict = {}
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "auto"):
@@ -222,19 +226,25 @@ class QueryEngine:
     def _materialize_positional(self, node: Node) -> Node:
         from oscar_ray.query import positional
 
+        if isinstance(node, (Phrase, Proximity)):
+            hit = self._positional_cache.get(node)
+            if hit is not None:
+                return hit
         if isinstance(node, Phrase):
             ids, tfs, dls = positional.phrase_postings(
                 self.reader, node.tokens, parallel=self.parallel_fetch
             )
             if not len(ids):
-                return _make_materialized(ids, ids.astype(np.float64),
-                                          self.reader.block_span_bits)
-            # one virtual term: BM25 over the PHRASE's tf and df
-            idf = bm25_idf(float(len(ids)), self.reader.n_docs)
-            scores = idf * bm25_tf_norm(
-                tfs, dls, self.reader.avgdl, self.reader.params
+                scores = ids.astype(np.float64)
+            else:
+                # one virtual term: BM25 over the PHRASE's tf and df
+                idf = bm25_idf(float(len(ids)), self.reader.n_docs)
+                scores = idf * bm25_tf_norm(
+                    tfs, dls, self.reader.avgdl, self.reader.params
+                )
+            return self._cache_positional(
+                node, _make_materialized(ids, scores, self.reader.block_span_bits)
             )
-            return _make_materialized(ids, scores, self.reader.block_span_bits)
         if isinstance(node, Proximity):
             # positional FILTER over the tokens' AND: same scores, the
             # window predicate only narrows the doc set
@@ -252,7 +262,9 @@ class QueryEngine:
             else:
                 ids = np.empty(0, dtype=np.uint64)
                 scores = np.empty(0, dtype=np.float64)
-            return _make_materialized(ids, scores, self.reader.block_span_bits)
+            return self._cache_positional(
+                node, _make_materialized(ids, scores, self.reader.block_span_bits)
+            )
         if isinstance(node, Op):
             return Op(
                 node.kind,
@@ -260,6 +272,12 @@ class QueryEngine:
                 self._materialize_positional(node.right),
             )
         return node
+
+    def _cache_positional(self, node, mat: Materialized) -> Materialized:
+        if len(self._positional_cache) > 256:
+            self._positional_cache.clear()
+        self._positional_cache[node] = mat
+        return mat
 
     # -- exhaustive ----------------------------------------------------
     def _leaf_full(self, term: str) -> setops.ScoredSet:

@@ -179,6 +179,19 @@ class TestPhrase:
             assert a_ids.tolist() == b_ids.tolist()
             np.testing.assert_allclose(a_sc, b_sc)
 
+    def test_positional_cache_repeat_identical(self, pos_engine):
+        """Repeated phrase/proximity queries serve from the leaf cache
+        with byte-identical results (batch streams repeat phrases)."""
+        pos_engine._positional_cache.clear()
+        for q in ['"hash join"', '"quick brown"~3']:
+            a_ids, a_sc = pos_engine.search(q, k=1000, mode="exhaustive")
+            assert len(pos_engine._positional_cache) >= 1
+            b_ids, b_sc = pos_engine.search(q, k=1000, mode="exhaustive")
+            assert a_ids.tolist() == b_ids.tolist()
+            np.testing.assert_array_equal(a_sc, b_sc)
+        assert len(pos_engine._positional_cache) == 2
+        pos_engine._positional_cache.clear()
+
     def test_phrase_composes_with_algebra(self, pos_engine):
         ids, _ = pos_engine.search('"hash join" - table', k=1000, mode="exhaustive")
         want = {
