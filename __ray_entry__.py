@@ -685,6 +685,41 @@ def _emb_semantic_dedup(sf_dir: str):
     ).sort("vec_id")
 
 
+def _text_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    multinomial log ratios vs the curated-source target distribution,
+    integer-micro exact vs SQL; zero data shuffle (O(D) model
+    tree-reduced, lam broadcast once)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dsir import dsir_weights
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return dsir_weights(ds, concurrency=2).sort("doc_id")
+
+
+def _text_dsir_select(sf_dir: str):
+    """DSIR Gumbel-top-k resample: top-100 docs by logw + hashed-uniform
+    Gumbel key (the paper's without-replacement sampler, pinned
+    deterministic); per-block partial top-k tree-reduced to k rows."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dsir import dsir_select
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return dsir_select(ds, k=100, concurrency=2)
+
+
 def _text_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 keywords by tf-idf: routed df exchange + per-doc
     top-k, integer-micro idf exact vs the SQL window oracle."""
@@ -1324,6 +1359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_sequences": _text_pack_sequences,
         "text_bigram_lm": _text_bigram_lm,
         "text_nb_quality": _text_nb_quality,
+        "text_dsir_weights": _text_dsir_weights,
+        "text_dsir_select": _text_dsir_select,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
@@ -1364,6 +1401,63 @@ tok AS (
     FROM documents,
          unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}')) AS t(term)
     WHERE t.term <> ''
+)"""
+
+# DSIR weight chain (shared by text_dsir_weights / text_dsir_select):
+# hashed unigram+bigram counts -> add-one multinomial log ratios
+# (int64 micro) -> per-doc logw + hashed-uniform Gumbel key.
+_DSIR_W_CTE = f"""
+tokarr AS (
+    SELECT doc_id,
+           list_filter(
+               regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+               x -> x <> '') AS arr
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, t.term AS g FROM tokarr, unnest(arr) AS t(term)
+    UNION ALL
+    SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g
+    FROM tokarr, unnest(range(1, len(arr))) AS t(i)
+),
+gf AS (
+    SELECT doc_id,
+           (md5_number_lower(g)::HUGEINT % 10000)::BIGINT AS f
+    FROM grams
+),
+lab AS (
+    SELECT doc_id,
+           source IN ('src0','src1','src2','src3','src4') AS tgt
+    FROM documents
+),
+cnt AS (
+    SELECT f,
+           count(*) FILTER (WHERE tgt)::BIGINT AS tc,
+           count(*)::BIGINT AS rc
+    FROM gf JOIN lab USING (doc_id) GROUP BY f
+),
+tot AS (SELECT sum(tc)::BIGINT AS ttot, sum(rc)::BIGINT AS rtot FROM cnt),
+lam AS (
+    SELECT f,
+           floor(ln(((cnt.tc + 1)::DOUBLE * (10000 + tot.rtot)::DOUBLE)
+                    / ((cnt.rc + 1)::DOUBLE * (10000 + tot.ttot)::DOUBLE))
+                 * 1e6)::BIGINT AS lam
+    FROM cnt CROSS JOIN tot
+),
+docw AS (
+    SELECT gf.doc_id, count(*)::BIGINT AS n_grams,
+           sum(lam.lam)::BIGINT AS logw
+    FROM gf JOIN lam USING (f) GROUP BY gf.doc_id
+),
+allw AS (
+    SELECT d.doc_id,
+           coalesce(docw.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(docw.logw, 0)::BIGINT AS logw_micro,
+           floor(-ln(-ln(
+               ((md5_number_lower('dsir1:' || d.doc_id::VARCHAR)::HUGEINT
+                 % 9007199254740991) + 1)::DOUBLE
+               / 9007199254740992::DOUBLE)) * 1e6)::BIGINT AS gumbel_micro
+    FROM documents d LEFT JOIN docw ON d.doc_id = docw.doc_id
 )"""
 
 _BM25_BASE = f"""
@@ -2298,6 +2392,30 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN bias
             GROUP BY feats.doc_id
             ORDER BY feats.doc_id
+        """,
+        # DSIR (Xie et al. 2023): hashed unigram+bigram multinomial
+        # importance ratios. ln ONCE per distinct bucket / per doc
+        # (integer-micro, order-independent sums); the Gumbel key's
+        # nested-ln chain is the same float64 libm sequence on both
+        # engines (verified bit-equal).
+        "text_dsir_weights": f"""
+            WITH {_DSIR_W_CTE}
+            SELECT doc_id, n_grams, logw_micro, gumbel_micro,
+                   (logw_micro + gumbel_micro)::BIGINT AS key_micro
+            FROM allw ORDER BY doc_id
+        """,
+        "text_dsir_select": f"""
+            WITH {_DSIR_W_CTE},
+            ranked AS (
+                SELECT *,
+                       (logw_micro + gumbel_micro)::BIGINT AS key_micro,
+                       row_number() OVER (
+                           ORDER BY (logw_micro + gumbel_micro) DESC, doc_id
+                       )::BIGINT AS rank
+                FROM allw
+            )
+            SELECT doc_id, n_grams, logw_micro, gumbel_micro, key_micro, rank
+            FROM ranked WHERE rank <= 100 ORDER BY rank
         """,
         "text_dedup_substr": f"""
             WITH tokarr AS (

@@ -2997,3 +2997,137 @@ class TestTopkTermsByGroup:
             ranked = sorted(cnt[l].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             want += [(l, t, c) for t, c in ranked]
         assert got_rows == want
+
+
+class TestDsir:
+    """DSIR importance resampling (stages/dsir.py) vs a brute-force
+    Python reference: hashed unigram+bigram multinomial ratios,
+    integer-micro log weights, hashed-uniform Gumbel top-k."""
+
+    def _corpus(self, n=100, seed=3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(n):
+            m = int(rng.integers(0, 30))
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(rng.choice(vocab, m)),
+                    "source": f"src{int(rng.integers(0, 8))}",
+                }
+            )
+        rows.append({"doc_id": n, "text": "", "source": "src9"})  # zero grams
+        return rows
+
+    def _expected(self, rows, seed=1):
+        import hashlib
+        import math
+
+        from oscar_ray.spec.tokenizer import tokenize_text
+        from oscar_ray.stages.dsir import _U_DEN, _U_MOD, N_BUCKETS
+
+        def h(s):
+            return int.from_bytes(
+                hashlib.md5(s.encode()).digest()[8:16], "little"
+            )
+
+        def grams(t):
+            toks = tokenize_text(t)
+            return [*toks, *[f"{a} {b}" for a, b in zip(toks, toks[1:])]]
+
+        D = N_BUCKETS
+        tc = np.zeros(D, dtype=np.int64)
+        rc = np.zeros(D, dtype=np.int64)
+        tgt = ("src0", "src1", "src2", "src3", "src4")
+        for d in rows:
+            for g in grams(d["text"]):
+                f = h(g) % D
+                rc[f] += 1
+                if d["source"] in tgt:
+                    tc[f] += 1
+        tt, rt = tc.sum(), rc.sum()
+        lam = np.floor(
+            np.log(((tc + 1.0) * (D + rt)) / ((rc + 1.0) * (D + tt))) * 1e6
+        ).astype(np.int64)
+        exp = {}
+        for d in rows:
+            gs = grams(d["text"])
+            lw = sum(int(lam[h(g) % D]) for g in gs)
+            u = (h(f"dsir{seed}:{d['doc_id']}") % _U_MOD + 1) / _U_DEN
+            gm = math.floor(-math.log(-math.log(u)) * 1e6)
+            exp[d["doc_id"]] = (len(gs), lw, gm, lw + gm)
+        return exp
+
+    def test_weights_match_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.dsir import dsir_weights
+
+        rows = self._corpus()
+        exp = self._expected(rows)
+        got = dsir_weights(
+            ray.data.from_items(rows).repartition(4), concurrency=1
+        ).take_all()
+        assert len(got) == len(rows)
+        for r in got:
+            assert (
+                r["n_grams"],
+                r["logw_micro"],
+                r["gumbel_micro"],
+                r["key_micro"],
+            ) == exp[r["doc_id"]]
+
+    def test_block_count_invariant(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.dsir import dsir_weights
+
+        rows = self._corpus(n=60, seed=11)
+        runs = [
+            sorted(
+                (r["doc_id"], r["logw_micro"], r["key_micro"])
+                for r in dsir_weights(
+                    ray.data.from_items(rows).repartition(p), concurrency=1
+                ).take_all()
+            )
+            for p in (1, 6)
+        ]
+        assert runs[0] == runs[1]
+
+    def test_select_is_topk_of_weights(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.dsir import dsir_select
+
+        rows = self._corpus()
+        exp = self._expected(rows)
+        want = sorted(exp.items(), key=lambda kv: (-kv[1][3], kv[0]))[:10]
+        sel = dsir_select(
+            ray.data.from_items(rows).repartition(4), k=10, concurrency=1
+        )
+        assert sel.num_rows == 10
+        assert sel["doc_id"].to_pylist() == [i for i, _ in want]
+        assert sel["rank"].to_pylist() == list(range(1, 11))
+        assert sel["key_micro"].to_pylist() == [v[3] for _, v in want]
+
+    def test_gumbel_micro_duckdb_parity(self):
+        """The nested-ln Gumbel chain floors identically in numpy and
+        DuckDB (same float64 libm sequence)."""
+        import duckdb
+
+        from oscar_ray.stages.dsir import _gumbel_micro
+
+        ids = np.arange(0, 2000, dtype=np.int64)
+        ours = _gumbel_micro(ids, seed=1)
+        sql = duckdb.connect().execute(
+            """
+            SELECT floor(-ln(-ln(
+                ((md5_number_lower('dsir1:' || i::VARCHAR)::HUGEINT
+                  % 9007199254740991) + 1)::DOUBLE
+                / 9007199254740992::DOUBLE)) * 1e6)::BIGINT
+            FROM range(0, 2000) t(i) ORDER BY i
+            """
+        ).fetchnumpy()
+        theirs = list(sql.values())[0].astype(np.int64)
+        np.testing.assert_array_equal(ours, theirs)
