@@ -77,6 +77,19 @@ def main():
         "--bpe-min-count", type=int, default=2,
         help="drop words rarer than this from BPE training",
     )
+    ap.add_argument(
+        "--dsir-k", type=int,
+        help="pre-select the top-K docs by DSIR importance (hashed "
+        "n-gram ratios vs the --dsir-target sources, Gumbel-top-k) "
+        "before the curation chain; needs a 'source' column",
+    )
+    ap.add_argument(
+        "--dsir-target", default="src0,src1,src2,src3,src4",
+        help="comma-separated 'source' values forming the DSIR target "
+        "(curated-reference) distribution",
+    )
+    ap.add_argument("--dsir-seed", type=int, default=1,
+                    help="Gumbel hashed-uniform seed for --dsir-k")
     args = ap.parse_args()
 
     manifest_path = os.path.join(args.out, "_MANIFEST.json")
@@ -107,9 +120,44 @@ def main():
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     else:
         files = [path]
-    ds = ray.data.read_parquet(files, columns=["doc_id", "text", "lang"])
+    cols = ["doc_id", "text", "lang"]
+    if args.dsir_k:
+        cols.append("source")
+    ds = ray.data.read_parquet(files, columns=cols)
 
     t0 = time.time()
+    if args.dsir_k:
+        # DSIR pre-selection: resolve the top-K doc ids (k-bounded on
+        # the driver), broadcast the sorted id array once, stream the
+        # corpus through a searchsorted membership filter (the KWIC
+        # match-set pattern). The input is read again by the curation
+        # chain below — the counts/score passes are shuffle-free.
+        import numpy as np
+        import pyarrow as pa
+
+        from oscar_ray.stages.dsir import dsir_select
+
+        sel = dsir_select(
+            ds,
+            k=args.dsir_k,
+            target_values=tuple(args.dsir_target.split(",")),
+            seed=args.dsir_seed,
+            concurrency=args.concurrency,
+        )
+        keep = np.sort(sel["doc_id"].to_numpy())
+        keep_ref = ray.put(keep)
+
+        def _dsir_filter(batch: "pa.Table") -> "pa.Table":
+            m = ray.get(keep_ref)  # zero-copy from the object store
+            ids = batch["doc_id"].to_numpy()
+            if not len(m) or not len(ids):
+                return batch.slice(0, 0)
+            pos = np.minimum(np.searchsorted(m, ids), len(m) - 1)
+            return batch.filter(pa.array(m[pos] == ids))
+
+        ds = ds.map_batches(_dsir_filter, batch_format="pyarrow").drop_columns(
+            ["source"]
+        )
     curated = curate_corpus(
         ds,
         denylist=tuple(sorted(args.denylist.split(","))) if args.denylist else (),
@@ -170,6 +218,9 @@ def main():
             "num_parts": args.num_parts,
             "output": args.output,
             "bpe_merges": args.bpe_merges if args.output == "tokens" else None,
+            "dsir_k": args.dsir_k,
+            "dsir_target": sorted(args.dsir_target.split(",")) if args.dsir_k else None,
+            "dsir_seed": args.dsir_seed if args.dsir_k else None,
         },
         "input_files": len(files),
     }

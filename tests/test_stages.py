@@ -3131,3 +3131,39 @@ class TestDsir:
         ).fetchnumpy()
         theirs = list(sql.values())[0].astype(np.int64)
         np.testing.assert_array_equal(ours, theirs)
+
+    def test_curate_cli_dsir_preselect(self, ray_session, tmp_path):
+        """--dsir-k on the curate CLI: the curated output is a subset
+        of the DSIR top-K selection, and the manifest records the
+        selection config."""
+        import json
+        import os
+        import subprocess
+        import sys as _sys
+
+        import ray.data
+
+        from oscar_ray.stages.dsir import dsir_select
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = "/root/testdata/sf0.001/documents.parquet"
+        out = str(tmp_path / "dsir_cur")
+        subprocess.run(
+            [
+                _sys.executable, "scripts/oscar_curate.py",
+                "-i", src, "-o", out,
+                "--dsir-k", "50", "--num-cpus", "4",
+                "--concurrency", "1", "--output", "corpus",
+            ],
+            cwd=repo, capture_output=True, timeout=300, check=True,
+        )
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["config"]["dsir_k"] == 50
+        got_ids = set(
+            r["doc_id"]
+            for r in ray.data.read_parquet(out).select_columns(["doc_id"]).take_all()
+        )
+        ds = ray.data.read_parquet(src, columns=["doc_id", "text", "source"])
+        want_ids = set(dsir_select(ds, k=50, concurrency=1)["doc_id"].to_pylist())
+        assert got_ids <= want_ids
+        assert 0 < len(got_ids) <= 50
