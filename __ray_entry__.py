@@ -720,6 +720,32 @@ def _text_dsir_select(sf_dir: str):
     return dsir_select(ds, k=100, concurrency=2)
 
 
+def _text_length_quantiles(sf_dir: str):
+    """Exact per-language doc-length percentiles (percentile_disc
+    semantics, integer-exact thresholds): batch-level (group, value)
+    count pre-aggregation + ONE group-routed exchange."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from oscar_ray.stages.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "len": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(ds, "lang", "len", concurrency=2).sort("lang")
+
+
 def _text_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 keywords by tf-idf: routed df exchange + per-doc
     top-k, integer-micro idf exact vs the SQL window oracle."""
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_nb_quality": _text_nb_quality,
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_select": _text_dsir_select,
+        "text_length_quantiles": _text_length_quantiles,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
@@ -2403,6 +2430,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, logw_micro, gumbel_micro,
                    (logw_micro + gumbel_micro)::BIGINT AS key_micro
             FROM allw ORDER BY doc_id
+        """,
+        # exact grouped percentiles: quantile_disc == the engine's
+        # integer-ceil threshold rule (verified across n in pytest)
+        "text_length_quantiles": """
+            SELECT lang, count(*)::BIGINT AS n,
+                   quantile_disc(length(text), 0.25)::BIGINT AS p25,
+                   quantile_disc(length(text), 0.50)::BIGINT AS p50,
+                   quantile_disc(length(text), 0.75)::BIGINT AS p75,
+                   quantile_disc(length(text), 0.90)::BIGINT AS p90,
+                   quantile_disc(length(text), 0.99)::BIGINT AS p99
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "text_dsir_select": f"""
             WITH {_DSIR_W_CTE},

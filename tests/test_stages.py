@@ -3167,3 +3167,101 @@ class TestDsir:
         want_ids = set(dsir_select(ds, k=50, concurrency=1)["doc_id"].to_pylist())
         assert got_ids <= want_ids
         assert 0 < len(got_ids) <= 50
+
+
+class TestGroupedQuantiles:
+    """Exact grouped percentiles (stages/quantiles.py) vs a brute-force
+    reference + the DuckDB quantile_disc rule."""
+
+    def test_disc_index_matches_duckdb_across_n(self):
+        """The integer-ceil threshold rule == quantile_disc for every
+        n in 1..400 at the pinned q set."""
+        import duckdb
+
+        from oscar_ray.stages.quantiles import QS_MICRO, disc_index
+
+        con = duckdb.connect()
+        rows = con.execute(
+            """
+            SELECT n, quantile_disc(x, [0.25,0.5,0.75,0.9,0.99])
+            FROM range(1, 401) s(n) JOIN range(1, 401) t(x) ON t.x <= s.n
+            GROUP BY n ORDER BY n
+            """
+        ).fetchall()
+        for n, want in rows:
+            got = [disc_index(q, n) + 1 for q in QS_MICRO]  # values 1..n
+            assert got == list(want), (n, got, want)
+
+    def _check(self, rows, got_rows):
+        from collections import defaultdict
+
+        from oscar_ray.stages.quantiles import QS_MICRO, disc_index
+
+        by_g = defaultdict(list)
+        for g, v in rows:
+            by_g[g].append(v)
+        want = {}
+        for g, vs in by_g.items():
+            vs.sort()
+            want[g] = (
+                len(vs),
+                *[vs[disc_index(q, len(vs))] for q in QS_MICRO],
+            )
+        got = {
+            r["grp"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p90"], r["p99"])
+            for r in got_rows
+        }
+        assert got == want
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.quantiles import grouped_quantiles
+
+        rng = np.random.default_rng(5)
+        rows = [
+            (f"g{int(rng.integers(0, 7))}", int(rng.integers(0, 500)))
+            for _ in range(3000)
+        ]
+        rows.append(("lonely", 42))  # single-element group
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "grp": [g for g, _ in rows],
+                    "val": pa.array([v for _, v in rows], type=pa.int64()),
+                }
+            )
+        ).repartition(4)
+        out = grouped_quantiles(
+            ds, "grp", "val", num_parts=4, concurrency=1
+        ).take_all()
+        self._check(rows, out)
+
+    def test_num_parts_invariant(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.quantiles import grouped_quantiles
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (f"g{int(rng.integers(0, 5))}", int(rng.integers(-100, 100)))
+            for _ in range(800)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "grp": [g for g, _ in rows],
+                    "val": pa.array([v for _, v in rows], type=pa.int64()),
+                }
+            )
+        )
+        runs = [
+            sorted(
+                (r["grp"], r["n"], r["p50"], r["p99"])
+                for r in grouped_quantiles(
+                    ds, "grp", "val", num_parts=p, concurrency=1
+                ).take_all()
+            )
+            for p in (1, 8)
+        ]
+        assert runs[0] == runs[1]
