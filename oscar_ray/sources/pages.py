@@ -44,9 +44,20 @@ class Fragment:
         }
 
 
-#: recognized input formats: parquet (row-group fragments) and
-#: line-delimited JSON / CSV (whole-file fragments)
-_EXTS = (".parquet", ".jsonl", ".ndjson", ".csv")
+#: recognized input formats: parquet (row-group fragments); and as
+#: whole-file fragments: line-delimited JSON / CSV, plus WARC / WET
+#: (the Common-Crawl container layout, one ~1 GB file == one block)
+_EXTS = (
+    ".parquet",
+    ".jsonl",
+    ".ndjson",
+    ".csv",
+    ".warc",
+    ".warc.gz",
+    ".wet",
+    ".wet.gz",
+)
+_WARC_EXTS = (".warc", ".warc.gz", ".wet", ".wet.gz")
 
 
 def resolve_paths(paths: str | list[str]) -> list[str]:
@@ -130,6 +141,10 @@ def _read_whole_file(path: str, columns: list[str] | None) -> pa.Table:
         from pyarrow import json as pa_json
 
         t = pa_json.read_json(path)
+    elif path.endswith(_WARC_EXTS):
+        from oscar_ray.sources.warc import read_warc_file
+
+        t = read_warc_file(path)
     elif path.endswith(".csv"):
         from pyarrow import csv as pa_csv
 

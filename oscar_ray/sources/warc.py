@@ -1,0 +1,310 @@
+"""WARC / WET source + sink — the Common-Crawl container format.
+
+The reference ingests its corpus from a blob-stream container
+(.osm.pbf: `oscar-create/Config.h:127-128` blobFetchCount,
+`readers/oscarcreator.cpp` blob loop); the webtext analog of that
+container is ISO 28500 WARC — what Common Crawl actually ships
+(`*.warc.gz` response captures and `*.wet.gz` extracted-text
+conversions). This module implements both directions library-free
+(stdlib ``gzip`` only, per-record members exactly like CC), so the
+engine can ingest the real crawl layout and emit curated corpora back
+into it:
+
+- :func:`warc_write` — pages rows -> WARC/1.0 ``response`` records
+  (HTTP envelope, ``WARC-Target-URI``/``WARC-Date`` headers, leading
+  ``warcinfo`` record, one gzip member per record = CC's layout, which
+  is what keeps huge files range-splittable).
+- :func:`wet_write` — rows -> ``conversion`` records (the WET shape:
+  extracted text, ``WARC-Identified-Content-Language`` header as CC
+  emits it).
+- :func:`parse_warc` / :func:`parse_wet` — bytes -> arrow table
+  ``(url, warc_ts: timestamp[us], lang, html|text)``; non-payload
+  record types (warcinfo, request, metadata) are skipped.
+
+Integration: ``sources/pages.py`` treats ``*.warc[.gz]`` /
+``*.wet[.gz]`` as whole-file fragments (one file == one Ray block ==
+one deterministic docid range — CC files are ~1 GB, the right block
+granularity), so the entire build path (resume markers, docid
+determinism, URL dedup, ``extract_from_html``) works on a directory of
+WARCs unchanged.
+
+Determinism contract: every byte of writer output is a pure function
+of the input rows (fixed warcinfo, ``mtime=0`` gzip members, record
+ids derived from md5(url, date)), so rebuild-identity tests extend to
+WARC shards.
+
+Envelope (honest gates, not silent corruption): HTTP bodies with
+``Transfer-Encoding: chunked`` and truncated records raise
+``ValueError``; records whose Content-Length disagrees with the
+framing raise rather than resync.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+_SOFTWARE = b"oscar-ray/0.1"
+_EPOCH = np.datetime64("1970-01-01T00:00:00", "us")
+
+
+def _fmt_date(ts_us: int) -> bytes:
+    """int64 microseconds-since-epoch -> WARC-Date (ISO 8601 Zulu).
+
+    Fractional seconds are emitted only when nonzero (WARC 1.1 allows
+    them; 1.0 readers of our own output never see them for the
+    second-aligned fixture timestamps).
+    """
+    dt = datetime.fromtimestamp(ts_us // 1_000_000, tz=timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    frac = ts_us % 1_000_000
+    if frac:
+        base += f".{frac:06d}"
+    return (base + "Z").encode()
+
+
+def _parse_date(raw: bytes) -> int:
+    """WARC-Date -> int64 microseconds since epoch (inverse of _fmt_date)."""
+    s = raw.decode().strip()
+    if s.endswith("Z"):
+        s = s[:-1]
+    return int((np.datetime64(s, "us") - _EPOCH) / np.timedelta64(1, "us"))
+
+
+def _record(warc_type: bytes, headers: list[tuple[bytes, bytes]], block: bytes) -> bytes:
+    out = [b"WARC/1.0\r\n", b"WARC-Type: " + warc_type + b"\r\n"]
+    for k, v in headers:
+        out.append(k + b": " + v + b"\r\n")
+    out.append(b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n")
+    out.append(block)
+    out.append(b"\r\n\r\n")
+    return b"".join(out)
+
+
+def _record_id(*parts: bytes) -> bytes:
+    """Deterministic urn:uuid record id (md5 of the identifying parts)."""
+    h = hashlib.md5(b"\x00".join(parts)).hexdigest()
+    return (
+        b"<urn:uuid:" + f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}".encode() + b">"
+    )
+
+
+def _warcinfo(filename: str, kind: bytes) -> bytes:
+    block = (
+        b"software: " + _SOFTWARE + b"\r\nformat: WARC File Format 1.0\r\n"
+        b"description: " + kind + b"\r\n"
+    )
+    return _record(
+        b"warcinfo",
+        [
+            (b"WARC-Record-ID", _record_id(b"warcinfo", filename.encode())),
+            (b"WARC-Date", _fmt_date(0)),
+            (b"WARC-Filename", filename.encode()),
+            (b"Content-Type", b"application/warc-fields"),
+        ],
+        block,
+    )
+
+
+def _gz_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0 so bytes are reproducible)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(data)
+    return buf.getvalue()
+
+
+def _ts_us_column(tbl: pa.Table) -> np.ndarray:
+    col = tbl["warc_ts"]
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def warc_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int:
+    """Write rows ``(url, warc_ts, html[, lang])`` as WARC response records.
+
+    One gzip member per record when the path ends in ``.gz`` (the CC
+    convention) unless overridden. Returns the number of records.
+    """
+    if record_gzip is None:
+        record_gzip = path.endswith(".gz")
+    urls = tbl["url"].to_pylist()
+    htmls = tbl["html"].to_pylist()
+    langs = tbl["lang"].to_pylist() if "lang" in tbl.column_names else [None] * len(urls)
+    ts = _ts_us_column(tbl)
+    fname = path.rsplit("/", 1)[-1]
+    chunks = [_warcinfo(fname, b"web pages")]
+    for url, html, lang, t in zip(urls, htmls, langs, ts):
+        url_b = url.encode()
+        date = _fmt_date(int(t))
+        body = html if html is not None else b""
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        headers = [
+            (b"WARC-Record-ID", _record_id(b"response", url_b, date)),
+            (b"WARC-Date", date),
+            (b"WARC-Target-URI", url_b),
+            (b"Content-Type", b"application/http; msgtype=response"),
+        ]
+        if lang is not None:
+            headers.append((b"WARC-Identified-Content-Language", lang.encode()))
+        chunks.append(_record(b"response", headers, http))
+    _write_members(path, chunks, record_gzip)
+    return len(urls)
+
+
+def wet_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int:
+    """Write rows ``(url, warc_ts, text[, lang])`` as WET conversion records."""
+    if record_gzip is None:
+        record_gzip = path.endswith(".gz")
+    urls = tbl["url"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    langs = tbl["lang"].to_pylist() if "lang" in tbl.column_names else [None] * len(urls)
+    ts = _ts_us_column(tbl)
+    fname = path.rsplit("/", 1)[-1]
+    chunks = [_warcinfo(fname, b"extracted text")]
+    for url, text, lang, t in zip(urls, texts, langs, ts):
+        url_b = url.encode()
+        date = _fmt_date(int(t))
+        headers = [
+            (b"WARC-Record-ID", _record_id(b"conversion", url_b, date)),
+            (b"WARC-Date", date),
+            (b"WARC-Target-URI", url_b),
+            (b"Content-Type", b"text/plain"),
+        ]
+        if lang is not None:
+            headers.append((b"WARC-Identified-Content-Language", lang.encode()))
+        chunks.append(_record(b"conversion", headers, (text or "").encode()))
+    _write_members(path, chunks, record_gzip)
+    return len(urls)
+
+
+def _write_members(path: str, records: list[bytes], record_gzip: bool) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        if record_gzip:
+            for r in records:
+                f.write(_gz_member(r))
+        else:
+            for r in records:
+                f.write(r)
+    import os
+
+    os.replace(tmp, path)  # atomic: readers never see a partial shard
+
+
+def _decompress(data: bytes) -> bytes:
+    """Concatenated gzip members -> bytes (stdlib handles multi-member)."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    return data
+
+
+def _iter_records(data: bytes):
+    """Yield (headers: dict[lower bytes -> bytes], block: bytes)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"malformed WARC: expected record header at byte {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC record header")
+        headers: dict[bytes, bytes] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("WARC record without valid Content-Length") from e
+        block_start = hdr_end + 4
+        if block_start + length > n:
+            raise ValueError("truncated WARC record block")
+        yield headers, data[block_start : block_start + length]
+        pos = block_start + length
+        for _ in range(2):  # the two mandatory record-terminating CRLFs
+            if data[pos : pos + 2] == b"\r\n":
+                pos += 2
+
+
+def _http_body(block: bytes) -> bytes:
+    """application/http response block -> payload bytes."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        raise ValueError("malformed HTTP response block in WARC record")
+    head = block[:sep].lower()
+    if b"transfer-encoding: chunked" in head:
+        raise ValueError(
+            "chunked HTTP bodies are outside this reader's envelope "
+            "(CC response captures are identity-encoded)"
+        )
+    return block[sep + 4 :]
+
+
+def parse_warc(data: bytes) -> pa.Table:
+    """WARC bytes -> (url, warc_ts, lang, html). Response/resource only."""
+    urls, ts, langs, htmls = [], [], [], []
+    for headers, block in _iter_records(_decompress(data)):
+        wtype = headers.get(b"warc-type", b"")
+        if wtype == b"response":
+            payload = _http_body(block)
+        elif wtype == b"resource":
+            payload = block  # raw capture, no HTTP envelope
+        else:
+            continue  # warcinfo / request / metadata / conversion
+        urls.append(headers[b"warc-target-uri"].decode())
+        ts.append(_parse_date(headers[b"warc-date"]))
+        lang = headers.get(b"warc-identified-content-language")
+        langs.append(lang.decode() if lang is not None else None)
+        htmls.append(payload)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "lang": pa.array(langs, type=pa.string()),
+            "html": pa.array(htmls, type=pa.binary()),
+        }
+    )
+
+
+def parse_wet(data: bytes) -> pa.Table:
+    """WET bytes -> (url, warc_ts, lang, text). Conversion records only."""
+    urls, ts, langs, texts = [], [], [], []
+    for headers, block in _iter_records(_decompress(data)):
+        if headers.get(b"warc-type", b"") != b"conversion":
+            continue
+        urls.append(headers[b"warc-target-uri"].decode())
+        ts.append(_parse_date(headers[b"warc-date"]))
+        lang = headers.get(b"warc-identified-content-language")
+        langs.append(lang.decode() if lang is not None else None)
+        texts.append(block.decode("utf-8"))
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "lang": pa.array(langs, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def read_warc_file(path: str) -> pa.Table:
+    with open(path, "rb") as f:
+        data = f.read()
+    if ".wet" in path.rsplit("/", 1)[-1]:
+        return parse_wet(data)
+    return parse_warc(data)

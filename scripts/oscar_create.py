@@ -103,6 +103,14 @@ def main():
         fields["payload_dedup"] = True
     if args.positions:
         fields["index_positions"] = True
+    # WARC inputs carry html (no text column): default to the extractor;
+    # WET inputs carry extracted text directly. Explicit config wins.
+    from oscar_ray.sources.pages import resolve_paths
+
+    inputs = resolve_paths(args.input)
+    if "extract_from_html" not in fields and inputs:
+        if all(p.endswith((".warc", ".warc.gz")) for p in inputs):
+            fields["extract_from_html"] = True
     cfg = IndexBuildConfig(**fields)
 
     if args.update_base:
