@@ -746,6 +746,92 @@ def _text_length_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "lang", "len", concurrency=2).sort("lang")
 
 
+def _text_warc_roundtrip(sf_dir: str):
+    """Common-Crawl container round trip: documents -> deterministic
+    WARC response shards (one Ray write task per parquet fragment,
+    atomic + finished-skip resumable) -> distributed WARC parse +
+    html->text extraction; hash-exact vs the source table. Proves the
+    engine ingests/emits the real crawl layout (sources/warc.py)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from oscar_ray.sources.pages import (
+        input_fingerprint,
+        list_fragments,
+        read_fragment,
+    )
+    from oscar_ray.sources.warc import read_warc_file, warc_write
+    from oscar_ray.spec.extract import extract_text, make_html
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    frags = list_fragments(src)
+    out_dir = os.path.join("/tmp/oscar_ray_warc", input_fingerprint(frags))
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def write_shard(frag_dict: dict, i: int) -> str:
+        path = os.path.join(out_dir, f"shard-{i:05d}.warc.gz")
+        if os.path.exists(path):  # atomic writes: existing == finished
+            return path
+        tbl = read_fragment(
+            frag_dict, columns=["text", "lang", "source"], id_column="doc_id"
+        )
+        ids = tbl["docid"].cast(pa.string())
+        urls = pc.binary_join_element_wise(
+            "https://", tbl["source"], ".example/d/", ids, ""
+        )
+        ts = pc.multiply(tbl["docid"], 1_000_000).cast(pa.timestamp("us"))
+        htmls = [
+            make_html(t, title=u)
+            for t, u in zip(tbl["text"].to_pylist(), urls.to_pylist())
+        ]
+        warc_write(
+            path,
+            pa.table(
+                {
+                    "url": urls,
+                    "warc_ts": ts,
+                    "html": pa.array(htmls, type=pa.binary()),
+                    "lang": tbl["lang"],
+                }
+            ),
+        )
+        return path
+
+    paths = ray.get(
+        [write_shard.remote(f.to_dict(), i) for i, f in enumerate(frags)]
+    )
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for p in batch["path"].to_pylist():
+            t = read_warc_file(p)
+            text = pa.array(
+                [extract_text(h) for h in t["html"].to_pylist()],
+                type=pa.string(),
+            )
+            tabs.append(
+                pa.table(
+                    {
+                        "url": t["url"],
+                        "ts_us": t["warc_ts"].cast(pa.int64()),
+                        "lang": t["lang"],
+                        "text": text,
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
+
+    ds = ray.data.from_arrow(pa.table({"path": sorted(paths)})).repartition(
+        max(1, len(paths))
+    )
+    return ds.map_batches(parse_shard, batch_format="pyarrow").sort("url")
+
+
 def _text_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 keywords by tf-idf: routed df exchange + per-doc
     top-k, integer-micro idf exact vs the SQL window oracle."""
@@ -1388,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_select": _text_dsir_select,
         "text_length_quantiles": _text_length_quantiles,
+        "text_warc_roundtrip": _text_warc_roundtrip,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
@@ -2441,6 +2528,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.90)::BIGINT AS p90,
                    quantile_disc(length(text), 0.99)::BIGINT AS p99
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # WARC container round trip: the engine-side WARC write/parse/
+        # extract chain must reproduce the source table exactly
+        "text_warc_roundtrip": """
+            SELECT 'https://' || source || '.example/d/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id * 1000000 AS ts_us,
+                   lang, text
+            FROM documents ORDER BY url
         """,
         "text_dsir_select": f"""
             WITH {_DSIR_W_CTE},

@@ -61,13 +61,15 @@ def main():
     ap.add_argument("--force", action="store_true", help="overwrite a finished output")
     ap.add_argument(
         "--output",
-        choices=["packed", "corpus", "tokens"],
+        choices=["packed", "corpus", "tokens", "wet"],
         default="packed",
         help="'packed' = training-sequence layout; 'corpus' = the curated "
         "(doc_id, text, n_spans) corpus, indexable via oscar_create "
         "--id-column doc_id; 'tokens' = train a BPE tokenizer on the "
         "curated corpus and write per-doc token_ids list<int32> shards "
-        "(the terminal training-data step)",
+        "(the terminal training-data step); 'wet' = Common-Crawl WET "
+        "conversion shards (.wet.gz, sources/warc.py) — re-indexable "
+        "with oscar_create directly",
     )
     ap.add_argument(
         "--bpe-merges", type=int, default=4096,
@@ -169,7 +171,7 @@ def main():
         budget=args.budget,
         num_parts=args.num_parts,
         concurrency=args.concurrency,
-        output="corpus" if args.output == "tokens" else args.output,
+        output="corpus" if args.output in ("tokens", "wet") else args.output,
     )
     if args.output == "tokens":
         # curate -> train on survivors -> tokenize survivors. The
@@ -191,14 +193,55 @@ def main():
     tmp = args.out + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    curated.write_parquet(tmp)
-    wall = time.time() - t0
+    if args.output == "wet":
+        # one WET shard per block, written inside the tasks (the driver
+        # sees only (path, n) rows); url/warc_ts synthesized from doc_id
+        # exactly as the text_warc_roundtrip convention
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    # row count from footers only (no data read)
-    import pyarrow.parquet as pq
+        from oscar_ray.sources.warc import wet_write
 
-    out_files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
-    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
+        os.makedirs(tmp, exist_ok=True)
+
+        def _write_wet(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+            if len(batch) == 0:
+                return empty
+            ids = batch["doc_id"]
+            urls = pc.binary_join_element_wise(
+                "https://curated.example/d/", ids.cast(pa.string()), ""
+            )
+            ts = pc.multiply(ids, 1_000_000).cast(pa.timestamp("us"))
+            path = os.path.join(tmp, f"part-{ids[0].as_py():012d}.wet.gz")
+            n = wet_write(
+                path,
+                pa.table(
+                    {
+                        "url": urls,
+                        "warc_ts": ts,
+                        "text": batch["text"],
+                        "lang": batch["lang"],
+                    }
+                ),
+            )
+            return pa.table({"path": [path], "n": pa.array([n], pa.int64())})
+
+        stats = curated.map_batches(_write_wet, batch_format="pyarrow").to_pandas()
+        out_files = sorted(stats["path"].tolist())
+        n_rows = int(stats["n"].sum())
+        wall = time.time() - t0
+    else:
+        curated.write_parquet(tmp)
+        wall = time.time() - t0
+
+        # row count from footers only (no data read)
+        import pyarrow.parquet as pq
+
+        out_files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
 
     if os.path.exists(args.out):
         shutil.rmtree(args.out)
