@@ -746,6 +746,39 @@ def _text_length_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "lang", "len", concurrency=2).sort("lang")
 
 
+def _text_domain_stats(sf_dir: str):
+    """Per-registered-domain stats over URLs synthesized with mixed
+    public suffixes (com / co.uk / org / com.au): vectorized RE2 host
+    extraction + suffix-aware domain reduction (stages/urls.py), batch
+    distinct-host pre-aggregation, ONE hash(domain)-routed exchange."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from oscar_ray.stages.urls import domain_stats
+
+    _TLDS = np.array(["com", "co.uk", "org", "com.au"])
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        sub = pa.array(np.char.add("w", (did % 7).astype(str)))
+        tld = pa.array(_TLDS[did % 4])
+        ids = pa.array(did.astype(str))
+        url = pc.binary_join_element_wise(
+            "https://", sub, ".", t["source"].combine_chunks(), ".", tld, "/a/", ids, ""
+        )
+        return pa.table({"url": url, "n_chars": t["n_chars"]})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(mk_urls, batch_format="pyarrow")
+    return domain_stats(ds, chars_col="n_chars", concurrency=2).sort("domain")
+
+
 def _text_warc_roundtrip(sf_dir: str):
     """Common-Crawl container round trip: documents -> deterministic
     WARC response shards (one Ray write task per parquet fragment,
@@ -1475,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_select": _text_dsir_select,
         "text_length_quantiles": _text_length_quantiles,
         "text_warc_roundtrip": _text_warc_roundtrip,
+        "text_domain_stats": _text_domain_stats,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
@@ -2528,6 +2562,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.90)::BIGINT AS p90,
                    quantile_disc(length(text), 0.99)::BIGINT AS p99
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # registered-domain reduction: the SQL rebuilds the same urls
+        # closed-form and groups by the suffix-aware domain directly
+        "text_domain_stats": """
+            WITH u AS (
+                SELECT source || '.' ||
+                           (CASE doc_id % 4 WHEN 0 THEN 'com'
+                                            WHEN 1 THEN 'co.uk'
+                                            WHEN 2 THEN 'org'
+                                            ELSE 'com.au' END) AS domain,
+                       'w' || CAST(doc_id % 7 AS VARCHAR) AS sub,
+                       n_chars
+                FROM documents
+            )
+            SELECT domain,
+                   COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT sub)::BIGINT AS n_hosts,
+                   SUM(n_chars)::BIGINT AS sum_chars
+            FROM u GROUP BY domain ORDER BY domain
         """,
         # WARC container round trip: the engine-side WARC write/parse/
         # extract chain must reproduce the source table exactly

@@ -3265,3 +3265,111 @@ class TestGroupedQuantiles:
             for p in (1, 8)
         ]
         assert runs[0] == runs[1]
+
+
+class TestUrls:
+    """URL kernels + domain_stats (stages/urls.py)."""
+
+    def test_host_and_domain_kernels(self):
+        from oscar_ray.stages.urls import registered_domains, url_hosts
+
+        urls = pa.array(
+            [
+                "https://a.b.example.com/path?q=1",
+                "http://user:pw@sub.site.co.uk:8080/x",
+                "https://localhost/",
+                "ftp://files.archive.org/pub",
+                "not a url",
+                None,
+                "https://bare.com",
+                "https://deep.very.sub.com.au/y#frag",
+            ]
+        )
+        hosts = url_hosts(urls)
+        assert hosts.to_pylist() == [
+            "a.b.example.com",
+            "sub.site.co.uk",
+            "localhost",
+            "files.archive.org",
+            None,
+            None,
+            "bare.com",
+            "deep.very.sub.com.au",
+        ]
+        doms = registered_domains(hosts)
+        assert doms.to_pylist() == [
+            "example.com",
+            "site.co.uk",  # two-level public suffix -> three labels
+            "localhost",  # single label unchanged
+            "archive.org",
+            None,
+            None,
+            "bare.com",
+            "sub.com.au",
+        ]
+
+    def test_domain_stats_bruteforce(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.urls import domain_stats, registered_domains, url_hosts
+
+        rng = np.random.default_rng(11)
+        doms = ["x.com", "y.co.uk", "z.org"]
+        rows = []
+        for i in range(1500):
+            d = doms[int(rng.integers(0, 3))]
+            sub = f"s{int(rng.integers(0, 9))}"
+            rows.append((f"https://{sub}.{d}/p/{i}", int(rng.integers(1, 100))))
+        rows.append(("garbage", 5))  # unparseable row drops
+        tbl = pa.table(
+            {
+                "url": [u for u, _ in rows],
+                "n": pa.array([c for _, c in rows], type=pa.int64()),
+            }
+        )
+        out = {
+            r["domain"]: (r["n_docs"], r["n_hosts"], r["sum_chars"])
+            for r in domain_stats(
+                ray.data.from_arrow(tbl).repartition(4),
+                chars_col="n",
+                num_parts=4,
+                concurrency=1,
+            ).take_all()
+        }
+        from collections import defaultdict
+
+        want = defaultdict(lambda: [0, set(), 0])
+        for u, c in rows:
+            if u == "garbage":
+                continue
+            host = u.split("//")[1].split("/")[0]
+            d = ".".join(host.split(".")[-3 if host.endswith("co.uk") else -2 :])
+            want[d][0] += 1
+            want[d][1].add(host)
+            want[d][2] += c
+        assert out == {d: (n, len(h), s) for d, (n, h, s) in want.items()}
+
+    def test_filter_denied_domains(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.urls import filter_denied_domains
+
+        tbl = pa.table(
+            {
+                "url": [
+                    "https://a.spam.example/x",
+                    "https://keep.me/y",
+                    "https://www.spam.example/z",
+                    "bad url",
+                ],
+                "i": pa.array([0, 1, 2, 3], type=pa.int64()),
+            }
+        )
+        got = (
+            filter_denied_domains(
+                ray.data.from_arrow(tbl), ("spam.example",), concurrency=1
+            )
+            .to_pandas()["i"]
+            .tolist()
+        )
+        assert got == [1, 3]  # unparseable rows are kept, not silently dropped
