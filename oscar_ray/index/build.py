@@ -138,6 +138,10 @@ class IndexBuildConfig:
     # if a text column also exists it is asserted byte-identical per row
     # (the "byte-identical extracted text per url" contract).
     extract_from_html: bool = False
+    # which html->text extractor: "fixture" (the pinned per-row
+    # invariant, spec/extract.py::extract_text) or "generic" (the
+    # real-web boilerplate stripper, extract_text_generic)
+    extractor: str = "fixture"
     html_column: str = "html"
     text_column: str = "text"
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
@@ -212,10 +216,11 @@ class TokenizeShardWorker:
             )
         docid = tbl["docid"].to_numpy()
         if cfg.extract_from_html:
-            from oscar_ray.spec.extract import extract_text
+            from oscar_ray.spec.extract import EXTRACTORS
 
+            extract = EXTRACTORS[cfg.extractor]
             text_col = pa.array(
-                [extract_text(h) for h in tbl[cfg.html_column].to_pylist()],
+                [extract(h) for h in tbl[cfg.html_column].to_pylist()],
                 type=pa.string(),
             )
         else:
@@ -646,6 +651,12 @@ def build_index(
     ``readwritefuncs.cpp:311-325``).
     """
     cfg = cfg or IndexBuildConfig()
+    from oscar_ray.spec.extract import EXTRACTORS
+
+    if cfg.extractor not in EXTRACTORS:
+        raise ValueError(
+            f"unknown extractor {cfg.extractor!r}; choose from {sorted(EXTRACTORS)}"
+        )
     if cfg.index_positions and cfg.payload_dedup:
         raise ValueError(
             "index_positions is mutually exclusive with payload_dedup "

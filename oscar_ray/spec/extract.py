@@ -32,6 +32,57 @@ def extract_text(html_bytes: bytes) -> str:
     return " ".join(_html.unescape(p.decode("utf-8")) for p in parts)
 
 
+#: real-web extractor machinery (all compiled once; RE2-free stdlib
+#: `re` is fine here — this is a per-actor compiled pattern, and the
+#: hot path is a handful of C-level sub() passes per document)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_DROP_RE = re.compile(
+    rb"<(script|style|head|noscript|template)\b.*?</\1\s*>", re.S | re.I
+)
+_BLOCK_RE = re.compile(
+    rb"</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|section|article|header"
+    rb"|footer|nav|blockquote|pre|figure|figcaption|aside|main|form|hr"
+    rb"|dd|dt|dl|option|select|fieldset|legend|address|summary|details)"
+    rb"\b[^>]*>",
+    re.I,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_SPACE_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RUN_RE = re.compile(r" ?\n[ \n]*")
+
+
+def extract_text_generic(html_bytes: bytes) -> str:
+    """Real-web html -> text: the boilerplate-stripping extractor.
+
+    For arbitrary (non-fixture) pages ingested from WARC: drops
+    comments and non-content subtrees (head/script/style/noscript/
+    template), turns block-level tags into newlines, strips remaining
+    tags, unescapes entities, and collapses whitespace runs (space
+    runs -> one space, newline runs -> one newline). Deterministic and
+    dependency-free; selected via ``IndexBuildConfig(extractor=
+    "generic")``.
+
+    On fixture pages (:func:`make_html` output) this produces the same
+    TOKEN stream as :func:`extract_text` (newline vs space separators
+    are both non-token bytes), so the index artifacts are byte-identical
+    — the pinned extractor remains the default per-row invariant.
+    """
+    if not html_bytes:
+        return ""
+    b = _COMMENT_RE.sub(b"", html_bytes)
+    b = _DROP_RE.sub(b" ", b)
+    b = _BLOCK_RE.sub(b"\n", b)
+    b = _TAG_RE.sub(b" ", b)
+    s = _html.unescape(b.decode("utf-8", errors="replace"))
+    s = _SPACE_RUN_RE.sub(" ", s)
+    s = _NL_RUN_RE.sub("\n", s)
+    return s.strip()
+
+
+#: extractor registry for IndexBuildConfig.extractor
+EXTRACTORS = {"fixture": extract_text, "generic": extract_text_generic}
+
+
 def make_html(text: str, title: str = "") -> bytes:
     """Inverse of extract_text for the fixture generator: wrap text chunks in <p>."""
     toks = text.split(" ") if text else []

@@ -228,6 +228,35 @@ class TestDeterminismAndResume:
         hh = {k: v for k, v in _artifact_hashes(out_html).items() if not k.startswith("docmeta")}
         assert ht == hh and len(ht) > 0
 
+    def test_generic_extractor_identical_postings(
+        self, ray_session, pages_t1, tmp_path
+    ):
+        """The real-web extractor produces the same TOKEN stream on
+        fixture pages (newline vs space separators), so postings/dict
+        artifacts are byte-identical to the pinned extractor's."""
+        base = dict(num_partitions=4, block_span_bits=8, shard_fragments=2)
+        out_f = str(tmp_path / "fixture_x")
+        out_g = str(tmp_path / "generic_x")
+        build_index(
+            pages_t1, out_f, IndexBuildConfig(**base, extract_from_html=True)
+        )
+        build_index(
+            pages_t1,
+            out_g,
+            IndexBuildConfig(**base, extract_from_html=True, extractor="generic"),
+        )
+        hf = {
+            k: v
+            for k, v in _artifact_hashes(out_f).items()
+            if k.startswith(("postings", "dict"))
+        }
+        hg = {
+            k: v
+            for k, v in _artifact_hashes(out_g).items()
+            if k.startswith(("postings", "dict"))
+        }
+        assert hf == hg and len(hf) > 0
+
     def test_jsonl_source_identical_index(self, ray_session, tmp_path):
         """JSONL input (whole-file fragments) builds the same postings as
         the equivalent parquet input."""

@@ -128,3 +128,62 @@ class TestBM25:
         idf = math.log1p((1000 - 10 + 0.5) / (10 + 0.5))
         tfn = 2 * 1.9 / (2 + 0.9 * (1 - 0.4 + 0.4 * 50 / 100.0))
         assert abs(got - idf * tfn) < 1e-12
+
+
+class TestGenericExtract:
+    """Real-web extractor (spec/extract.py::extract_text_generic)."""
+
+    def test_boilerplate_stripped(self):
+        from oscar_ray.spec.extract import extract_text_generic
+
+        html = (
+            b"<!DOCTYPE html><html><head><title>DROP ME</title>"
+            b"<style>body { color: red }</style></head><body>"
+            b"<!-- comment <p>not text</p> -->"
+            b"<script type='text/javascript'>var x = '<p>nope</p>';</script>"
+            b"<h1 class=\"big\">Title</h1>"
+            b"<div><p>first &amp; second</p><p>third</p></div>"
+            b"<ul><li>a</li><li>b</li></ul>"
+            b"<span>inline <b>bold</b> tail</span>"
+            b"<noscript>enable js</noscript>"
+            b"</body></html>"
+        )
+        got = extract_text_generic(html)
+        assert got == "Title\nfirst & second\nthird\na\nb\ninline bold tail"
+
+    def test_whitespace_collapse_and_entities(self):
+        from oscar_ray.spec.extract import extract_text_generic
+
+        html = b"<body><p>  a\t\tb </p>\n\n<p> c&lt;d&gt;e </p></body>"
+        assert extract_text_generic(html) == "a b\nc<d>e"
+        assert extract_text_generic(b"") == ""
+        assert extract_text_generic(None) == ""
+
+    def test_invalid_utf8_replaced_not_crashed(self):
+        from oscar_ray.spec.extract import extract_text_generic
+
+        got = extract_text_generic(b"<p>ok \xff\xfe bytes</p>")
+        assert got.startswith("ok ") and got.endswith(" bytes")
+
+    def test_same_tokens_as_fixture_extractor(self):
+        """On fixture pages the generic extractor yields the same token
+        stream (separators differ, tokens don't)."""
+        from oscar_ray.sources.synth import generate_pages_batch
+        from oscar_ray.spec.extract import extract_text, extract_text_generic
+        from oscar_ray.spec.tokenizer import tokenize_text
+
+        tbl = generate_pages_batch(0, 120, seed=42)
+        for h in tbl["html"].to_pylist():
+            assert tokenize_text(extract_text_generic(h)) == tokenize_text(
+                extract_text(h)
+            )
+
+    def test_unknown_extractor_rejected(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        with _pytest.raises(ValueError, match="unknown extractor"):
+            build_index(
+                str(tmp_path), str(tmp_path / "o"), IndexBuildConfig(extractor="nope")
+            )
