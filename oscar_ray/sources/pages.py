@@ -89,6 +89,10 @@ def _file_row_groups(path: str) -> list[int]:
     if path.endswith(".parquet"):
         meta = pq.ParquetFile(path).metadata
         return [meta.row_group(rg).num_rows for rg in range(meta.num_row_groups)]
+    if path.endswith(_WARC_EXTS):
+        from oscar_ray.sources.warc import count_warc_file
+
+        return [count_warc_file(path)]  # header walk only, no table
     return [len(_read_whole_file(path, columns=None))]
 
 

@@ -302,6 +302,26 @@ def parse_wet(data: bytes) -> pa.Table:
     )
 
 
+def count_records(data: bytes, want: tuple[bytes, ...]) -> int:
+    """Record count without materializing any table — the metadata-scan
+    path (sources/pages.py fragment row counts): one decompress +
+    header walk; block bytes are never parsed."""
+    return sum(
+        1
+        for headers, _ in _iter_records(_decompress(data))
+        if headers.get(b"warc-type", b"") in want
+    )
+
+
+def count_warc_file(path: str) -> int:
+    """Row count matching exactly what :func:`read_warc_file` returns."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if ".wet" in path.rsplit("/", 1)[-1]:
+        return count_records(data, (b"conversion",))
+    return count_records(data, (b"response", b"resource"))
+
+
 def read_warc_file(path: str) -> pa.Table:
     with open(path, "rb") as f:
         data = f.read()
