@@ -86,6 +86,15 @@ def _record(warc_type: bytes, headers: list[tuple[bytes, bytes]], block: bytes) 
     return b"".join(out)
 
 
+def _header_safe(value: str, what: str) -> bytes:
+    """Header values are CRLF-framed: control chars would corrupt the
+    record framing, so reject rather than silently mangle."""
+    b = value.encode()
+    if any(c < 0x20 for c in b):
+        raise ValueError(f"{what} contains control bytes; not header-safe: {value!r}")
+    return b
+
+
 def _record_id(*parts: bytes) -> bytes:
     """Deterministic urn:uuid record id (md5 of the identifying parts)."""
     h = hashlib.md5(b"\x00".join(parts)).hexdigest()
@@ -142,7 +151,7 @@ def warc_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int
     fname = path.rsplit("/", 1)[-1]
     chunks = [_warcinfo(fname, b"web pages")]
     for url, html, lang, t in zip(urls, htmls, langs, ts):
-        url_b = url.encode()
+        url_b = _header_safe(url, "url")
         date = _fmt_date(int(t))
         body = html if html is not None else b""
         http = (
@@ -156,7 +165,7 @@ def warc_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int
             (b"Content-Type", b"application/http; msgtype=response"),
         ]
         if lang is not None:
-            headers.append((b"WARC-Identified-Content-Language", lang.encode()))
+            headers.append((b"WARC-Identified-Content-Language", _header_safe(lang, "lang")))
         chunks.append(_record(b"response", headers, http))
     _write_members(path, chunks, record_gzip)
     return len(urls)
@@ -173,7 +182,7 @@ def wet_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int:
     fname = path.rsplit("/", 1)[-1]
     chunks = [_warcinfo(fname, b"extracted text")]
     for url, text, lang, t in zip(urls, texts, langs, ts):
-        url_b = url.encode()
+        url_b = _header_safe(url, "url")
         date = _fmt_date(int(t))
         headers = [
             (b"WARC-Record-ID", _record_id(b"conversion", url_b, date)),
@@ -182,7 +191,7 @@ def wet_write(path: str, tbl: pa.Table, record_gzip: bool | None = None) -> int:
             (b"Content-Type", b"text/plain"),
         ]
         if lang is not None:
-            headers.append((b"WARC-Identified-Content-Language", lang.encode()))
+            headers.append((b"WARC-Identified-Content-Language", _header_safe(lang, "lang")))
         chunks.append(_record(b"conversion", headers, (text or "").encode()))
     _write_members(path, chunks, record_gzip)
     return len(urls)
@@ -203,10 +212,39 @@ def _write_members(path: str, records: list[bytes], record_gzip: bool) -> None:
 
 
 def _decompress(data: bytes) -> bytes:
-    """Concatenated gzip members -> bytes (stdlib handles multi-member)."""
-    if data[:2] == b"\x1f\x8b":
-        return gzip.decompress(data)
-    return data
+    """Concatenated gzip members -> bytes, streaming.
+
+    NOT ``gzip.decompress``: that restarts a decompressobj per member
+    and each restart copies the entire remaining buffer into
+    ``unused_data`` — O(members x bytes), i.e. quadratic on CC-style
+    per-record-member files (measured 14 s for a 15k-record shard vs
+    0.05 s for this loop). Feeding fixed chunks bounds every copy."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    import zlib
+
+    out = []
+    mv = memoryview(data)
+    pos, n = 0, len(mv)
+    chunk_size = 1 << 18
+    d = zlib.decompressobj(wbits=31)
+    pending: bytes = b""
+    while True:
+        if pending:
+            chunk, pending = pending, b""
+        elif pos < n:
+            chunk = mv[pos : pos + chunk_size]
+            pos += chunk_size
+        else:
+            break
+        out.append(d.decompress(chunk))
+        while d.eof:  # member boundary (possibly several per chunk)
+            tail = d.unused_data  # <= one chunk by construction
+            d = zlib.decompressobj(wbits=31)
+            if not tail:
+                break
+            out.append(d.decompress(tail))
+    return b"".join(out)
 
 
 def _iter_records(data: bytes):

@@ -103,8 +103,8 @@ def main():
     out = {
         "n_docs": n_docs,
         "warc_files": len(frags),
-        "convert_secs": round(convert_secs, 1),
-        "convert_docs_per_sec": round((wrote or n_docs) / max(convert_secs, 1e-9), 1),
+        "convert_secs": round(convert_secs, 1) if wrote else "cached",
+        "convert_docs_per_sec": round(wrote / convert_secs, 1) if wrote else "cached",
         "warc_gb": round(warc_bytes / 2**30, 2),
         "warc_build_secs": round(warc_build_secs, 1),
         "warc_docs_per_sec": round(m_w["stats"]["total_docs"] / warc_build_secs, 1),

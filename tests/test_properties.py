@@ -220,3 +220,57 @@ def test_avi_container_roundtrip(n, hb, wb, sub, omit_dht, with_audio, seed):
         got, rate = avi_audio(payload, info)
         assert rate == 8000 and got.shape == audio.shape
         assert np.abs(got - audio).max() < 1 / 32000 + 1e-12
+
+
+# --- WARC container round trip (sources/warc.py) ---
+
+_url_chars = st.characters(min_codepoint=0x21, max_codepoint=0x2FF)
+_urls = st.text(alphabet=_url_chars, min_size=1, max_size=80)
+_texts = st.text(
+    st.characters(exclude_categories=("Cs",)), max_size=400
+)
+_ts = st.integers(min_value=0, max_value=2**47)
+
+
+@given(
+    st.lists(st.tuples(_urls, _texts, st.binary(max_size=300), _ts), max_size=25),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_container_roundtrip(rows, use_gzip):
+    """Arbitrary payloads (including bytes that LOOK like record
+    headers or CRLF framing) survive the WARC response container;
+    arbitrary unicode survives WET; dates round-trip to the us."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from oscar_ray.sources.warc import parse_warc, parse_wet, warc_write, wet_write
+
+    tbl = pa.table(
+        {
+            "url": pa.array([u for u, _, _, _ in rows], type=pa.string()),
+            "warc_ts": pa.array([t for _, _, _, t in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "text": pa.array([x for _, x, _, _ in rows], type=pa.string()),
+            "html": pa.array([h for _, _, h, _ in rows], type=pa.binary()),
+            "lang": pa.array(["xx"] * len(rows), type=pa.string()),
+        }
+    )
+    suffix = ".warc.gz" if use_gzip else ".warc"
+    with tempfile.TemporaryDirectory() as d:
+        warc_write(d + "/t" + suffix, tbl)
+        wet_write(d + "/t.wet" + (".gz" if use_gzip else ""), tbl)
+        wa = parse_warc(open(d + "/t" + suffix, "rb").read())
+        we = parse_wet(
+            open(d + "/t.wet" + (".gz" if use_gzip else ""), "rb").read()
+        )
+    assert wa["url"].to_pylist() == tbl["url"].to_pylist()
+    assert wa["html"].to_pylist() == tbl["html"].to_pylist()
+    assert (
+        wa["warc_ts"].cast(pa.int64()).to_pylist()
+        == tbl["warc_ts"].cast(pa.int64()).to_pylist()
+    )
+    assert we["text"].to_pylist() == tbl["text"].to_pylist()
+    assert we["url"].to_pylist() == tbl["url"].to_pylist()
