@@ -39,6 +39,13 @@ def main():
         "--fields", help="comma-separated columns to index as @field: filter terms"
     )
     ap.add_argument(
+        "--extractor",
+        choices=["fixture", "generic"],
+        help="html->text extractor for WARC/html inputs: 'fixture' = the "
+        "pinned per-row invariant (default); 'generic' = real-web "
+        "boilerplate stripper (implies --extract-from-html)",
+    )
+    ap.add_argument(
         "--payload-dedup",
         action="store_true",
         help="store identical posting payloads once per partition "
@@ -103,6 +110,10 @@ def main():
         fields["payload_dedup"] = True
     if args.positions:
         fields["index_positions"] = True
+    if args.extractor:
+        fields["extractor"] = args.extractor
+        if args.extractor == "generic":
+            fields.setdefault("extract_from_html", True)
     # WARC inputs carry html (no text column): default to the extractor;
     # WET inputs carry extracted text directly. Explicit config wins.
     from oscar_ray.sources.pages import resolve_paths
