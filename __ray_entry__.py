@@ -650,6 +650,81 @@ def _text_bigram_lm(sf_dir: str):
     return bigram_lm_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _text_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): bigram-LM score
+    -> hash_join lang back on -> per-language integer tercile thresholds
+    (grouped_quantiles) -> head/middle/tail. Three distributed
+    primitives composed; integer-exact vs the SQL window chain."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.lm import perplexity_buckets
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return perplexity_buckets(ds, num_parts=32, concurrency=2).sort("doc_id")
+
+
+def _rel_order_lineitem_join(sf_dir: str):
+    """Large-large partitioned equi-join (stages/joins.py::hash_join):
+    lineitem x orders on orderkey — both sides stream through ONE
+    co-routed exchange; per-part vectorized arrow join; integer-micro
+    revenue aggregate per (priority, returnflag)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = hash_join(li, orders, on=("l_orderkey", "o_orderkey"), num_parts=32, concurrency=2)
+
+    import pyarrow.compute as pc
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        # same IEEE op order as the SQL: floor((price * (1-disc)) * 100)
+        rev = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "l_returnflag": t["l_returnflag"],
+                "qty": t["l_quantity"].cast(pa.int64()),
+                "rev": pc.floor(rev).cast(pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        j.map_batches(add_cents, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "l_returnflag"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_revenue_cents"),
+            Sum("n", alias_name="n_rows"),
+        )
+    )
+    return out.sort(["o_orderpriority", "l_returnflag"])
+
+
 def _text_nb_quality(sf_dir: str):
     """Model-based quality filter (NBSVM log-count ratios over hashed
     unigrams, curated-source weak labels): closed-form training + doc
@@ -1509,6 +1584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_length_quantiles": _text_length_quantiles,
         "text_warc_roundtrip": _text_warc_roundtrip,
         "text_domain_stats": _text_domain_stats,
+        "text_ccnet_buckets": _text_ccnet_buckets,
+        "rel_order_lineitem_join": _rel_order_lineitem_join,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,
@@ -1549,6 +1626,45 @@ tok AS (
     FROM documents,
          unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}')) AS t(term)
     WHERE t.term <> ''
+)"""
+
+# corpus bigram-LM per-doc scores (shared by text_bigram_lm /
+# text_ccnet_buckets): add-one bigram logprobs, int64 micro, summed
+# per doc — identical text to the inline chain the engine pins.
+_BIGRAM_SCORED_CTE = f"""
+tokarr AS (
+    SELECT doc_id,
+           list_filter(
+               regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+               x -> x <> '') AS arr
+    FROM documents
+),
+big AS (
+    SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+    FROM tokarr, unnest(range(1, len(arr))) AS t(i)
+),
+cab AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
+caa AS (SELECT a, sum(c)::BIGINT AS ca FROM cab GROUP BY a),
+v AS (
+    SELECT count(DISTINCT t.term)::BIGINT AS v
+    FROM tokarr, unnest(arr) AS t(term)
+),
+lp AS (
+    SELECT cab.a, cab.b,
+           floor(ln((cab.c + 1)::DOUBLE / (caa.ca + v.v)::DOUBLE)
+                 * 1e6)::BIGINT AS lp
+    FROM cab JOIN caa USING (a) CROSS JOIN v
+),
+docb AS (
+    SELECT doc_id, a, b, count(*)::BIGINT AS n
+    FROM big GROUP BY doc_id, a, b
+),
+scored AS (
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_bigrams,
+           sum(n * lp.lp)::BIGINT AS lp_total_micro
+    FROM docb JOIN lp USING (a, b)
+    GROUP BY doc_id
 )"""
 
 # DSIR weight chain (shared by text_dsir_weights / text_dsir_select):
@@ -2562,6 +2678,53 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.90)::BIGINT AS p90,
                    quantile_disc(length(text), 0.99)::BIGINT AS p99
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # CCNet perplexity buckets: LM chain + the SAME integer-ceil
+        # tercile rule via window functions (no float quantile q)
+        "text_ccnet_buckets": f"""
+            WITH {_BIGRAM_SCORED_CTE},
+            docs2 AS (
+                SELECT s.doc_id, d.lang,
+                       ((-s.lp_total_micro) * 1000) // s.n_bigrams AS ppl_milli
+                FROM scored s JOIN documents d USING (doc_id)
+                WHERE s.n_bigrams > 0
+            ),
+            ranked AS (
+                SELECT lang, ppl_milli,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY ppl_milli, doc_id
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM docs2
+            ),
+            th AS (
+                SELECT lang,
+                       -- ceil(q*cnt) on positive ints ((a+b-1)//b:
+                       -- DuckDB // truncates toward zero on negatives)
+                       max(CASE WHEN rk = (333334 * cnt + 999999) // 1000000
+                                THEN ppl_milli END) AS t33,
+                       max(CASE WHEN rk = (666667 * cnt + 999999) // 1000000
+                                THEN ppl_milli END) AS t66
+                FROM ranked GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.ppl_milli,
+                   CASE WHEN d.ppl_milli <= t.t33 THEN 'head'
+                        WHEN d.ppl_milli <= t.t66 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM docs2 d JOIN th t USING (lang)
+            ORDER BY d.doc_id
+        """,
+        # large-large partitioned equi-join (hash_join): lineitem x
+        # orders, grouped integer-cents revenue
+        "rel_order_lineitem_join": """
+            SELECT o.o_orderpriority, l.l_returnflag,
+                   sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 100)::BIGINT)::BIGINT
+                       AS sum_revenue_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority, l.l_returnflag
+            ORDER BY o.o_orderpriority, l.l_returnflag
         """,
         # registered-domain reduction: the SQL rebuilds the same urls
         # closed-form and groups by the suffix-aware domain directly

@@ -321,3 +321,119 @@ def range_count_join(
         )
 
     return merged.groupby("part").map_groups(join_partition, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str | tuple[str, str],
+    num_parts: int = 32,
+    how: str = "inner",
+    concurrency: int = 4,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Large-large equi-join: ONE co-routed exchange, per-part arrow join.
+
+    Ray Data's Dataset API has no partitioned join, and the repo's
+    broadcast hash join (pipelines/relational.py) only covers a small
+    build side. Here BOTH sides stream through the same
+    ``hash(key) % num_parts`` routing (string keys via the pinned
+    ``hash_strings_u64``, integer keys via splitmix64) into one
+    ``groupby(part)`` exchange — each side's rows for a key land in the
+    same part, where one vectorized ``pyarrow.Table.join`` runs. The
+    off-side columns travel as all-null arrays (validity bitmaps only),
+    so the exchange volume is ~|L| + |R| rows.
+
+    ``on``: shared key name, or ``(left_on, right_on)``; the output key
+    column uses the LEFT name. ``how``: "inner" or "left". Right
+    columns colliding with left names get ``right_suffix``. Row order
+    within the result is not deterministic (hash-join internals) —
+    sort downstream if order matters; row CONTENT is exact.
+
+    Skew note: one hot key concentrates in one part — acceptable for
+    foreign-key joins (key multiplicity bounded); for adversarial skew
+    pre-split the hot keys (the stage-B salt discipline, SCALE.md).
+    """
+    import pyarrow.compute as pc
+
+    from oscar_ray.stages.dedup import hash_strings_u64
+
+    l_on, r_on = (on, on) if isinstance(on, str) else on
+    ls, rs = left.schema(), right.schema()  # ray Schema: .names/.types
+    l_all = dict(zip(ls.names, ls.types))
+    r_all = dict(zip(rs.names, rs.types))
+    l_names = [n for n in ls.names if n != l_on]
+    r_names = [n for n in rs.names if n != r_on]
+    bad = set(l_names) & {l_on} | {"part", "side"} & set(l_names + r_names)
+    if bad:
+        raise ValueError(f"reserved column names in join inputs: {sorted(bad)}")
+    r_out = {n: (n + right_suffix if n in set(l_names) | {l_on} else n) for n in r_names}
+    l_types = {n: l_all[n] for n in l_names}
+    r_types = {r_out[n]: r_all[n] for n in r_names}
+    key_type = l_all[l_on]
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def _route(side: int, key_col: str):
+        def route(batch: pa.Table) -> pa.Table:
+            k = batch[key_col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            k = k.cast(key_type)
+            # null keys never match (SQL semantics): drop them, except
+            # left-side rows under how="left", which survive unmatched
+            # (arrow's left-outer join also treats null keys as no-match)
+            if k.null_count and not (side == 0 and how == "left"):
+                batch = batch.filter(pc.is_valid(k))
+                k = k.drop_null()
+            if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+                h = hash_strings_u64(k.fill_null("") if k.null_count else k)
+            else:
+                kn = k.fill_null(0) if k.null_count else k
+                h = _splitmix_u64(kn.cast(pa.int64()).to_numpy(zero_copy_only=False))
+            n = len(batch)
+            cols: dict = {
+                "part": pa.array((h % np.uint64(num_parts)).astype(np.int64)),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                l_on: k,
+            }
+            for name in l_names:
+                cols[name] = (
+                    batch[name] if side == 0 else pa.nulls(n, l_types[name])
+                )
+            for orig in r_names:
+                cols[r_out[orig]] = (
+                    batch[orig] if side == 1 else pa.nulls(n, r_types[r_out[orig]])
+                )
+            return pa.table(cols)
+
+        return route
+
+    routed = left.map_batches(
+        _route(0, l_on), batch_format="pyarrow", concurrency=concurrency
+    ).union(
+        right.map_batches(
+            _route(1, r_on), batch_format="pyarrow", concurrency=concurrency
+        )
+    )
+    out_names = [l_on, *l_names, *(r_out[n] for n in r_names)]
+
+    def _join_part(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_l = pc.equal(g["side"], 0)
+        L = g.filter(is_l).select([l_on, *l_names])
+        R = g.filter(pc.invert(is_l)).select([l_on, *(r_out[n] for n in r_names)])
+        return L.join(R, keys=l_on, join_type=join_type).select(out_names)
+
+    return routed.groupby("part").map_groups(
+        lambda g: _join_part(g.drop_columns(["part"])),
+        batch_format="pyarrow",
+    )
+
+
+def _splitmix_u64(x: np.ndarray) -> np.ndarray:
+    from oscar_ray.stages.dedup import _splitmix64
+
+    with np.errstate(over="ignore"):
+        return _splitmix64(x.astype(np.uint64))

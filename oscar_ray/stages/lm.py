@@ -241,3 +241,97 @@ def bigram_lm_scores(
         lambda g: _combine_docs(g.drop_columns(["dpart"]), id_col),
         batch_format="pyarrow",
     )
+
+
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    num_parts: int = 32,
+    concurrency: int = 4,
+    vocab_size: int | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    score every doc under the corpus bigram LM, then split each
+    language into head / middle / tail at its perplexity terciles.
+
+    Composition of three of the repo's distributed primitives — the LM
+    scorer (one term-routed exchange), :func:`~oscar_ray.stages.joins.
+    hash_join` (one co-routed exchange to re-attach ``group_col``), and
+    :func:`~oscar_ray.stages.quantiles.grouped_quantiles` (per-group
+    tercile thresholds; the threshold table is ~#languages rows, the
+    only thing the driver ever holds, broadcast back into the bucket
+    stage). Integer-exact end to end: ``ppl_milli = (-lp_total_micro *
+    1000) // n_bigrams`` (floor on non-negative operands == SQL ``//``),
+    thresholds via the integer percentile_disc rule. Docs with no
+    bigram (< 2 tokens) are excluded, as CCNet drops empty docs.
+
+    -> (id, group, ppl_milli, bucket) with bucket in head|middle|tail
+    (head = lowest perplexity, i.e. most-fluent tercile).
+    """
+    import pyarrow.compute as pc
+
+    from oscar_ray.stages.joins import hash_join
+    from oscar_ray.stages.quantiles import grouped_quantiles
+
+    scores = bigram_lm_scores(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        num_parts=num_parts,
+        concurrency=concurrency,
+        vocab_size=vocab_size,
+    )
+    joined = hash_join(
+        scores,
+        ds.map_batches(
+            lambda t: t.select([id_col, group_col]), batch_format="pyarrow"
+        ),
+        on=id_col,
+        num_parts=num_parts,
+        concurrency=concurrency,
+    )
+
+    def _ppl(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["n_bigrams"], 0))
+        n = batch["n_bigrams"].to_numpy()
+        lp = batch["lp_total_micro"].to_numpy()
+        ppl = (-lp) * np.int64(1000) // n
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "ppl_milli": pa.array(ppl.astype(np.int64)),
+            }
+        )
+
+    scored = joined.map_batches(_ppl, batch_format="pyarrow")
+    th_rows = grouped_quantiles(
+        scored,
+        group_col,
+        "ppl_milli",
+        qs_micro=(333_334, 666_667),
+        names=("t33", "t66"),
+        num_parts=num_parts,
+        concurrency=concurrency,
+    ).take_all()  # one row per language — driver-bounded by design
+    t33 = {r[group_col]: r["t33"] for r in th_rows}
+    t66 = {r[group_col]: r["t66"] for r in th_rows}
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        denc = g.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        dvals = denc.dictionary.to_pylist()
+        lo = np.array([t33[v] for v in dvals], dtype=np.int64)[codes]
+        hi = np.array([t66[v] for v in dvals], dtype=np.int64)[codes]
+        ppl = batch["ppl_milli"].to_numpy()
+        bucket = np.where(ppl <= lo, "head", np.where(ppl <= hi, "middle", "tail"))
+        return batch.append_column("bucket", pa.array(bucket.astype(object), type=pa.string()))
+
+    return scored.map_batches(_bucket, batch_format="pyarrow")

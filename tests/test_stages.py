@@ -3373,3 +3373,156 @@ class TestUrls:
             .tolist()
         )
         assert got == [1, 3]  # unparseable rows are kept, not silently dropped
+
+
+class TestHashJoin:
+    """Large-large partitioned equi-join (stages/joins.py::hash_join)."""
+
+    def _mk(self, rng, n_l, n_r, key_space, string_keys=False):
+        import pyarrow as pa
+
+        lk = rng.integers(0, key_space, n_l)
+        rk = rng.integers(0, key_space, n_r)
+        if string_keys:
+            lk = np.array([f"k{v}" for v in lk], dtype=object)
+            rk = np.array([f"k{v}" for v in rk], dtype=object)
+        L = pa.table({"k": lk, "a": np.arange(n_l, dtype=np.int64)})
+        R = pa.table({"kk": rk, "a": np.arange(n_r, dtype=np.int64) * 10})
+        return L, R
+
+    def _want(self, L, R, how):
+        import pandas as pd
+
+        ldf, rdf = L.to_pandas(), R.to_pandas().rename(columns={"kk": "k", "a": "a_r"})
+        m = ldf.merge(rdf, on="k", how=how)
+        return sorted(
+            (r.k, r.a, -1 if pd.isna(r.a_r) else int(r.a_r)) for r in m.itertuples()
+        )
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    @pytest.mark.parametrize("string_keys", [False, True])
+    def test_matches_pandas(self, ray_session, how, string_keys):
+        import pandas as pd
+        import ray.data
+
+        from oscar_ray.stages.joins import hash_join
+
+        rng = np.random.default_rng(3)
+        L, R = self._mk(rng, 400, 300, 120, string_keys)
+        out = hash_join(
+            ray.data.from_arrow(L).repartition(3),
+            ray.data.from_arrow(R).repartition(2),
+            on=("k", "kk"),
+            num_parts=8,
+            how=how,
+            concurrency=1,
+        ).to_pandas()
+        got = sorted(
+            (r.k, r.a, -1 if pd.isna(r.a_r) else int(r.a_r))
+            for r in out.itertuples()
+        )
+        assert got == self._want(L, R, how)
+
+    def test_num_parts_invariance_and_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.joins import hash_join
+
+        L = pa.table({"k": [1, None, 2, 2], "x": ["a", "b", "c", "d"]})
+        R = pa.table({"k": [2, None, 3], "y": [9, 8, 7]})
+        runs = []
+        for p in (1, 7):
+            out = hash_join(
+                ray.data.from_arrow(L),
+                ray.data.from_arrow(R),
+                on="k",
+                num_parts=p,
+                concurrency=1,
+            ).take_all()
+            runs.append(sorted((r["k"], r["x"], r["y"]) for r in out))
+        assert runs[0] == runs[1] == [(2, "c", 9), (2, "d", 9)]
+        left = hash_join(
+            ray.data.from_arrow(L),
+            ray.data.from_arrow(R),
+            on="k",
+            how="left",
+            num_parts=4,
+            concurrency=1,
+        ).take_all()
+        got = sorted(
+            (-1 if r["k"] is None else r["k"], r["x"], r["y"] or -1) for r in left
+        )
+        assert got == [(-1, "b", -1), (1, "a", -1), (2, "c", 9), (2, "d", 9)]
+
+    def test_reserved_names_rejected(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.joins import hash_join
+
+        ds = ray.data.from_arrow(pa.table({"k": [1], "part": [2]}))
+        with pytest.raises(ValueError, match="reserved"):
+            hash_join(ds, ds, on="k")
+
+
+class TestPerplexityBuckets:
+    def test_terciles_and_invariance(self, ray_session):
+        """Buckets split each group at the integer tercile rule; the
+        result is parallelism-invariant."""
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.lm import perplexity_buckets
+        from oscar_ray.stages.quantiles import disc_index
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(300):
+            k = int(rng.integers(2, 40))
+            rows.append(
+                (
+                    i,
+                    " ".join(vocab[int(rng.integers(0, 30))] for _ in range(k)),
+                    ["aa", "bb"][i % 2],
+                )
+            )
+        rows.append((300, "solo", "aa"))  # <2 tokens -> excluded
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        )
+        outs = []
+        for p in (4, 16):
+            got = perplexity_buckets(
+                ray.data.from_arrow(tbl).repartition(3),
+                num_parts=p,
+                concurrency=1,
+            ).take_all()
+            outs.append(sorted((r["doc_id"], r["ppl_milli"], r["bucket"]) for r in got))
+        assert outs[0] == outs[1]
+        got = outs[0]
+        assert len(got) == 300 and all(d != 300 for d, _, _ in got)
+        from collections import defaultdict
+
+        by_lang = defaultdict(list)
+        rows_by_id = {r["doc_id"]: r for r in perplexity_buckets(
+            ray.data.from_arrow(tbl), num_parts=4, concurrency=1
+        ).take_all()}
+        for r in rows_by_id.values():
+            by_lang[r["lang"]].append(r)
+        for lang, rs in by_lang.items():
+            ppl = np.sort(np.array([r["ppl_milli"] for r in rs]))
+            t33 = ppl[disc_index(333_334, len(ppl))]
+            t66 = ppl[disc_index(666_667, len(ppl))]
+            for r in rs:
+                want = (
+                    "head"
+                    if r["ppl_milli"] <= t33
+                    else "middle" if r["ppl_milli"] <= t66 else "tail"
+                )
+                assert r["bucket"] == want, (lang, r)
