@@ -650,6 +650,43 @@ def _text_bigram_lm(sf_dir: str):
     return bigram_lm_scores(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _graph_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py): raw-task ref exchanges,
+    integer-exact power iteration (shares (r*85)//(100*outdeg), base
+    (1e12*15)//(100*N)) over a closed-form link graph — 3 out-links per
+    doc at (doc_id*2654435761 + j*40503) % N, the same expression the
+    SQL oracle unrolls for 5 iterations."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from oscar_ray.stages.graph import pagerank
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(src_path).metadata.num_rows  # footer only
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        for j in (1, 2, 3):
+            srcs.append(did)
+            dsts.append((did * np.int64(2654435761) + j * np.int64(40503)) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    edges = ray.data.read_parquet(src_path, columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    return pagerank(edges, n_nodes=n, iters=5, num_parts=16).sort("node")
+
+
 def _text_ccnet_buckets(sf_dir: str):
     """CCNet perplexity bucketing (Wenzek et al. 2020): bigram-LM score
     -> hash_join lang back on -> per-language integer tercile thresholds
@@ -1585,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_warc_roundtrip": _text_warc_roundtrip,
         "text_domain_stats": _text_domain_stats,
         "text_ccnet_buckets": _text_ccnet_buckets,
+        "graph_pagerank": _graph_pagerank,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
@@ -1666,6 +1704,47 @@ scored AS (
     FROM docb JOIN lp USING (a, b)
     GROUP BY doc_id
 )"""
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled integer PageRank CTE chain (graph_pagerank oracle).
+
+    Same pinned integer rule as stages/graph.py; DuckDB `//` truncates
+    toward zero but every operand here is non-negative, so // == floor.
+    """
+    parts = [
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents)",
+        "n0 AS (SELECT doc_id AS node FROM documents)",
+        """edges AS (
+            SELECT doc_id AS src,
+                   (doc_id * 2654435761 + j * 40503) % nn.n AS dst
+            FROM documents CROSS JOIN nn, unnest([1, 2, 3]) AS t(j)
+        )""",
+        "r0 AS (SELECT node, (1000000000000 // nn.n)::BIGINT AS r FROM n0 CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""s{t} AS (
+                SELECT e.dst AS node,
+                       sum((p.r * 85) // (100 * 3))::BIGINT AS inc
+                FROM edges e JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst
+            )"""
+        )
+        parts.append(
+            f"""r{t} AS (
+                SELECT n0.node,
+                       ((1000000000000 * 15) // (100 * nn.n)
+                        + coalesce(s{t}.inc, 0))::BIGINT AS r
+                FROM n0 CROSS JOIN nn LEFT JOIN s{t} ON s{t}.node = n0.node
+            )"""
+        )
+        prev = f"r{t}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_micro FROM {prev} ORDER BY node"
+    )
+
 
 # DSIR weight chain (shared by text_dsir_weights / text_dsir_select):
 # hashed unigram+bigram counts -> add-one multinomial log ratios
@@ -2679,6 +2758,8 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.99)::BIGINT AS p99
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        # distributed PageRank vs the unrolled integer CTE chain
+        "graph_pagerank": _pagerank_sql(5),
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil
         # tercile rule via window functions (no float quantile q)
         "text_ccnet_buckets": f"""

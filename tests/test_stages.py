@@ -3526,3 +3526,66 @@ class TestPerplexityBuckets:
                     else "middle" if r["ppl_milli"] <= t66 else "tail"
                 )
                 assert r["bucket"] == want, (lang, r)
+
+
+class TestPageRank:
+    """Distributed integer PageRank (stages/graph.py)."""
+
+    def _reference(self, N, T, src, dst):
+        from oscar_ray.stages.graph import SCALE
+
+        r = np.full(N, SCALE // N, dtype=np.int64)
+        outdeg = np.bincount(src, minlength=N).astype(np.int64)
+        base = (np.int64(SCALE) * 15) // (np.int64(100) * N)
+        for _ in range(T):
+            share = np.zeros(N, dtype=np.int64)
+            nz = outdeg > 0
+            share[nz] = (r[nz] * np.int64(85)) // (np.int64(100) * outdeg[nz])
+            newr = np.full(N, base, dtype=np.int64)
+            np.add.at(newr, dst, share[src])
+            r = newr
+        return r
+
+    @pytest.mark.parametrize("P", [1, 4, 16])
+    def test_bit_exact_any_parallelism(self, ray_session, P):
+        import ray.data
+
+        from oscar_ray.stages.graph import pagerank
+
+        N, T = 400, 5
+        rng = np.random.default_rng(2)
+        src = rng.integers(0, N, 1200).astype(np.int64)
+        dst = rng.integers(0, N, 1200).astype(np.int64)
+        edges = ray.data.from_arrow(
+            pa.table({"src": src, "dst": dst})
+        ).repartition(3)
+        got = (
+            pagerank(edges, N, iters=T, num_parts=P)
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert (got["node"].values == np.arange(N)).all()
+        assert (got["rank_micro"].values == self._reference(N, T, src, dst)).all()
+
+    def test_structure(self, ray_session):
+        """A sink node pulls rank; an isolated node holds the base."""
+        import ray.data
+
+        from oscar_ray.stages.graph import SCALE, pagerank
+
+        # 0->2, 1->2; node 3 isolated
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 1], type=pa.int64()),
+                    "dst": pa.array([2, 2], type=pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(edges, 4, iters=10, num_parts=2).take_all()
+        }
+        base = (SCALE * 15) // (100 * 4)
+        assert got[3] == base and got[0] == base and got[1] == base
+        assert got[2] > 2 * base  # the sink accumulates both shares
