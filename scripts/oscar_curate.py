@@ -118,14 +118,55 @@ def main():
     from oscar_ray.pipelines.curate import curate_corpus
 
     path = args.input
-    if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    wet_exts = (".wet", ".wet.gz")
+    is_wet = path.endswith(wet_exts) or (
+        os.path.isdir(path)
+        and any(glob.glob(os.path.join(path, f"*{e}")) for e in wet_exts)
+    )
+    if is_wet:
+        # Common-Crawl WET shards in -> curated corpus out: rows come
+        # through the deterministic fragment reader (doc_id = layout
+        # docid), one Ray block per .wet.gz file
+        if args.dsir_k:
+            print("--dsir-k needs a source column; WET inputs have none",
+                  file=sys.stderr)
+            sys.exit(2)
+        import pyarrow as pa
+
+        from oscar_ray.sources.pages import list_fragments, read_fragment
+
+        frags = list_fragments(path)
+        files = sorted({f.path for f in frags})
+
+        def _load_wet(batch: pa.Table) -> pa.Table:
+            tabs = []
+            for fd in batch.to_pylist():
+                t = read_fragment(fd, columns=["text", "lang"])
+                tabs.append(
+                    pa.table(
+                        {
+                            "doc_id": t["docid"].cast(pa.int64()),
+                            "text": t["text"],
+                            "lang": t["lang"],
+                        }
+                    )
+                )
+            return pa.concat_tables(tabs)
+
+        ds = (
+            ray.data.from_items([f.to_dict() for f in frags])
+            .repartition(max(1, len(frags)))
+            .map_batches(_load_wet, batch_format="pyarrow")
+        )
     else:
-        files = [path]
-    cols = ["doc_id", "text", "lang"]
-    if args.dsir_k:
-        cols.append("source")
-    ds = ray.data.read_parquet(files, columns=cols)
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        else:
+            files = [path]
+        cols = ["doc_id", "text", "lang"]
+        if args.dsir_k:
+            cols.append("source")
+        ds = ray.data.read_parquet(files, columns=cols)
 
     t0 = time.time()
     if args.dsir_k:
