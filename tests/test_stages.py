@@ -3589,3 +3589,62 @@ class TestPageRank:
         base = (SCALE * 15) // (100 * 4)
         assert got[3] == base and got[0] == base and got[1] == base
         assert got[2] > 2 * base  # the sink accumulates both shares
+
+
+class TestPageRankStaticOrder:
+    def test_pagerank_feeds_rank_column_build(self, ray_session, tmp_path):
+        """The web-search composition: PageRank over the link graph ->
+        rank_column build -> docids in rank order, so BM25 ties prefer
+        high-PageRank docs (the applySort analog with a computed rank)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.query.engine import QueryEngine
+        from oscar_ray.stages.graph import pagerank
+
+        # star + chain: everyone links to node 3; 0 also gets a link
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 1, 2, 4, 1], type=pa.int64()),
+                    "dst": pa.array([3, 3, 3, 3, 0], type=pa.int64()),
+                }
+            )
+        )
+        ranks = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(edges, 5, iters=8, num_parts=2).take_all()
+        }
+        assert ranks[3] == max(ranks.values())
+
+        tbl = pa.table(
+            {
+                "url": [f"u{i}" for i in range(5)],
+                "text": ["same text here"] * 5,  # identical BM25 scores
+                "rank": pa.array(
+                    [float(ranks[i]) for i in range(5)], type=pa.float64()
+                ),
+            }
+        )
+        src = str(tmp_path / "ranked_pages")
+        os.makedirs(src)
+        pq.write_table(tbl, os.path.join(src, "p.parquet"))
+        out = str(tmp_path / "idx_pr")
+        build_index(
+            src,
+            out,
+            IndexBuildConfig(
+                num_partitions=2, rank_column="rank", lang_column=None,
+                dedup_urls=False,
+            ),
+        )
+        ids, scores = QueryEngine(out).search("same", k=5)
+        # docid 0 == highest PageRank (node 3); ties broken by docid
+        # ascending => results come back in PageRank order
+        assert list(ids) == [0, 1, 2, 3, 4]
+        order = sorted(range(5), key=lambda i: -ranks[i])
+        assert order[0] == 3  # and the engine's docid 0 IS node 3
