@@ -1197,6 +1197,34 @@ def _ann_lsh_topk(sf_dir: str):
     return knn_lsh_partitioned(bucket_dir, _queries_embeddings(sf_dir), k=ANN_K)
 
 
+def _ann_nsw_topk(sf_dir: str):
+    """Graph ANN (NSW — the HNSW base layer, Lucene per-segment
+    layout): shard-partitioned navigable-small-world graphs built once
+    per input (the expensive step, parallel across shards); one
+    beam-search task per shard, tie-safe merge. Rows-only; recall>=0.95
+    and exhaustive-beam parity are pytest-verified."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+    from oscar_ray.stages.similarity import knn_nsw, nsw_build
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint(list_fragments(src))
+    graph_dir = f"/tmp/oscar_ray_cache/anngraph-{fp}"
+    if not os.path.exists(os.path.join(graph_dir, "ann_manifest.json")):
+        nsw_build(
+            ray.data.read_parquet(src),
+            graph_dir,
+            m_links=8,
+            ef_construction=40,
+            shard_rows=4096,
+            concurrency=2,
+        )
+    return knn_nsw(graph_dir, _queries_embeddings(sf_dir), k=ANN_K, ef_search=64)
+
+
 def _ann_ivf_topk(sf_dir: str):
     """IVF ANN: distributed spherical k-means centroids + cluster-
     partitioned vectors; probes the nprobe nearest clusters' partitions
@@ -1624,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ccnet_buckets": _text_ccnet_buckets,
         "graph_pagerank": _graph_pagerank,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
+        "ann_nsw_topk": _ann_nsw_topk,
         "text_tfidf_keywords": _text_tfidf_keywords,
         "text_dedup_spans": _text_dedup_spans,
         "text_dedup_substr": _text_dedup_substr,

@@ -1165,3 +1165,217 @@ def ivf_pq_search(
         ProbeAdc, batch_format="pyarrow", concurrency=concurrency
     ).take_all()
     return _merge_topk(partials, len(q), k, id_col)
+
+
+# -- NSW graph ANN: the per-segment HNSW layout ------------------------------
+
+
+def _nsw_search_graph(
+    vn: np.ndarray, nbrs: np.ndarray, q: np.ndarray, ef: int, entry: int = 0
+):
+    """Best-first beam search over one shard's graph.
+
+    Returns (ids, sims) of the ef best found, sim desc then id asc —
+    deterministic: heap keys carry ids, no float ties left to chance.
+    """
+    import heapq
+
+    visited = np.zeros(len(vn), dtype=bool)
+    s0 = float(vn[entry] @ q)
+    visited[entry] = True
+    cand = [(-s0, entry)]  # max-heap on sim (negated)
+    best = [(s0, -entry)]  # min-heap keeping the ef best
+    while cand:
+        negs, u = heapq.heappop(cand)
+        if len(best) >= ef and -negs < best[0][0]:
+            break  # nothing in the frontier can improve the result set
+        nb = nbrs[u]
+        nb = nb[nb >= 0]
+        nb = nb[~visited[nb]]
+        if not len(nb):
+            continue
+        visited[nb] = True
+        sims = vn[nb] @ q
+        worst = best[0][0]
+        for s, v in zip(sims.tolist(), nb.tolist()):
+            if len(best) < ef or s > worst:
+                heapq.heappush(cand, (-s, v))
+                heapq.heappush(best, (s, -v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+                worst = best[0][0]
+    out = sorted(best, key=lambda t: (-t[0], -t[1]))
+    return (
+        np.array([-i for _, i in out], dtype=np.int64),
+        np.array([s for s, _ in out], dtype=np.float64),
+    )
+
+
+def _nsw_connect(nbrs: np.ndarray, deg: np.ndarray, vn: np.ndarray, a: int, b: int):
+    cap = nbrs.shape[1]
+    if deg[a] < cap:
+        nbrs[a, deg[a]] = b
+        deg[a] += 1
+        return
+    cur = np.append(nbrs[a], np.int32(b))
+    sims = vn[cur] @ vn[a]
+    keep = np.lexsort((cur, -sims))[:cap]  # best sims, ties by id asc
+    nbrs[a] = cur[keep]
+
+
+def _nsw_build_graph(vn: np.ndarray, m_links: int, ef_construction: int) -> np.ndarray:
+    """Incremental NSW construction (Malkov et al.: the HNSW base
+    layer): each point links to its m_links best beam-search results
+    over the graph so far, bidirectionally, neighbor lists pruned to
+    2*m_links by similarity. Deterministic: fixed insertion order,
+    id-keyed tie-breaks. Returns the int32 (n, 2*m_links) adjacency."""
+    n = len(vn)
+    nbrs = np.full((n, 2 * m_links), -1, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        ids, _ = _nsw_search_graph(vn, nbrs, vn[i], ef_construction)
+        for j in ids[:m_links].tolist():
+            _nsw_connect(nbrs, deg, vn, i, j)
+            _nsw_connect(nbrs, deg, vn, j, i)
+    return nbrs
+
+
+def nsw_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    m_links: int = 8,
+    ef_construction: int = 40,
+    shard_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> str:
+    """Write a shard-partitioned NSW graph artifact (`shard=<s>/...`).
+
+    One shard per ~shard_rows input rows (the Lucene segment model:
+    each segment owns an independent graph; construction parallelizes
+    across shards, the expensive step of any HNSW-family index). Shard
+    keys are the shard's min id — deterministic for disjoint blocks."""
+    import json
+    import os
+
+    def build_shard(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=pa.list_(pa.float32())),
+                    "nbrs": pa.array([], type=pa.list_(pa.int32())),
+                    "shard": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = t[id_col].to_numpy()
+        vn = _normalize(_batch_matrix(t, vec_col))
+        nbrs = _nsw_build_graph(vn, m_links, ef_construction)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                # adjacency stored as GLOBAL ids so the searcher is
+                # independent of parquet row order within the shard
+                "nbrs": pa.array([ids[row[row >= 0]].tolist() for row in nbrs]),
+                "shard": pa.array(
+                    np.full(len(ids), ids.min(), dtype=np.int64)
+                ),
+            }
+        )
+
+    ds.map_batches(
+        build_shard,
+        batch_format="pyarrow",
+        batch_size=shard_rows,
+        concurrency=concurrency,
+    ).write_parquet(out_dir, partition_cols=["shard"])
+    with open(os.path.join(out_dir, "ann_manifest.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "nsw",
+                "m_links": m_links,
+                "ef_construction": ef_construction,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+    return out_dir
+
+
+@ray.remote(num_cpus=1)
+def _nsw_shard_search(
+    paths: list, q: np.ndarray, k: int, ef: int, id_col: str, vec_col: str
+) -> pa.Table:
+    import pyarrow.parquet as pq_
+
+    t = pa.concat_tables([pq_.read_table(p, columns=[id_col, vec_col, "nbrs"]) for p in paths])
+    ids = t[id_col].to_numpy()
+    vn = _normalize(_batch_matrix(t, vec_col))
+    # local row index -> padded adjacency matrix
+    lists = t["nbrs"].combine_chunks()
+    flat = np.asarray(lists.flatten(), dtype=np.int64)
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    # stored ids are GLOBAL: remap to shard-local rows (sorted ids)
+    order = np.argsort(ids, kind="stable")
+    pos = order[np.searchsorted(ids[order], flat)]
+    counts = np.diff(offs)
+    cap = int(counts.max()) if len(counts) else 1
+    adj = np.full((len(ids), cap), -1, dtype=np.int64)
+    rows = np.repeat(np.arange(len(ids)), counts)
+    cols = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, np.int64)
+    adj[rows, cols] = pos
+    qids, out_ids, out_sc = [], [], []
+    for qi in range(q.shape[0]):
+        loc, sims = _nsw_search_graph(vn, adj, q[qi], max(ef, k))
+        loc, sims = loc[:k], sims[:k]
+        qids.extend([qi] * len(loc))
+        out_ids.extend(ids[loc].tolist())
+        out_sc.extend(sims.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            id_col: pa.array(out_ids, type=pa.int64()),
+            "score": pa.array(out_sc, type=pa.float64()),
+        }
+    )
+
+
+def knn_nsw(
+    graph_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    ef_search: int = 64,
+    concurrency: int = 8,
+) -> pa.Table:
+    """Graph-ANN top-k: one beam-search task per shard, tie-safe merge.
+
+    Every shard is probed (segments are independent graphs); recall is
+    governed by ef_search exactly as in HNSW serving."""
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(graph_dir, "ann_manifest.json")) as f:
+        mf = json.load(f)
+    id_col, vec_col = mf["id_col"], mf["vec_col"]
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    shard_dirs = sorted(glob.glob(os.path.join(graph_dir, "shard=*")))
+    qref = ray.put(q)
+    tables = ray.get(
+        [
+            _nsw_shard_search.remote(
+                sorted(glob.glob(os.path.join(d, "*.parquet"))),
+                qref,
+                k,
+                ef_search,
+                id_col,
+                vec_col,
+            )
+            for d in shard_dirs
+        ]
+    )
+    partials = [r for t in tables for r in t.to_pylist()]
+    return _merge_topk(partials, len(q), k, id_col)

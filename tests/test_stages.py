@@ -3648,3 +3648,85 @@ class TestPageRankStaticOrder:
         assert list(ids) == [0, 1, 2, 3, 4]
         order = sorted(range(5), key=lambda i: -ranks[i])
         assert order[0] == 3  # and the engine's docid 0 IS node 3
+
+
+class TestNswAnn:
+    """Graph ANN (similarity.py nsw_build/knn_nsw)."""
+
+    def _data(self, n=1200, d=20, seed=4):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, d))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in m], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        q = m[rng.integers(0, n, 10)] + rng.standard_normal((10, d)) * 0.01
+        return tbl, q
+
+    def test_recall_vs_brute_force(self, ray_session, tmp_path):
+        import ray.data
+
+        from oscar_ray.stages.similarity import knn_brute_force, knn_nsw, nsw_build
+
+        tbl, q = self._data()
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        nsw_build(
+            ds, str(tmp_path / "g"), m_links=8, ef_construction=40,
+            shard_rows=512, concurrency=1,
+        )
+        got = knn_nsw(str(tmp_path / "g"), q, k=10, ef_search=64).to_pandas()
+        # concurrency < session CPUs: a 4-actor pool at 4 CPUs starves
+        # the upstream repartition (the documented pool-sizing deadlock)
+        exact = knn_brute_force(ds, q, k=10, concurrency=2).to_pandas()
+        hits = set(map(tuple, got[["query_id", "vec_id"]].values.tolist()))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+        assert len(hits & want) / len(want) >= 0.95
+        # matched pairs carry the same rounded cosine as the exact path
+        m = got.merge(exact, on=["query_id", "vec_id"], suffixes=("_g", "_e"))
+        assert (m["score_g"] == m["score_e"]).all()
+
+    def test_exhaustive_beam_equals_brute_force(self, ray_session, tmp_path):
+        """ef_search == n degrades to exact search on a connected
+        shard: top-k identical to brute force, ranks included."""
+        import ray.data
+
+        from oscar_ray.stages.similarity import knn_brute_force, knn_nsw, nsw_build
+
+        tbl, q = self._data(n=300)
+        ds = ray.data.from_arrow(tbl)
+        nsw_build(
+            ds, str(tmp_path / "g1"), m_links=8, ef_construction=60,
+            shard_rows=4096, concurrency=1,  # ONE shard
+        )
+        got = knn_nsw(str(tmp_path / "g1"), q, k=10, ef_search=300).to_pandas()
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        assert got[["query_id", "rank", "vec_id"]].values.tolist() == (
+            exact[["query_id", "rank", "vec_id"]].values.tolist()
+        )
+
+    def test_build_deterministic(self, ray_session, tmp_path):
+        import hashlib
+        import glob
+
+        import ray.data
+
+        from oscar_ray.stages.similarity import nsw_build
+
+        tbl, _ = self._data(n=400)
+        for sub in ("a", "b"):
+            nsw_build(
+                ray.data.from_arrow(tbl), str(tmp_path / sub),
+                m_links=6, ef_construction=30, shard_rows=200, concurrency=1,
+            )
+
+        def digest(d):
+            h = hashlib.sha256()
+            for p in sorted(glob.glob(f"{d}/shard=*/*.parquet")):
+                h.update(open(p, "rb").read())
+            return h.hexdigest()
+
+        assert digest(tmp_path / "a") == digest(tmp_path / "b")
