@@ -146,6 +146,17 @@ class IndexBuildConfig:
     text_column: str = "text"
     url_column: str | None = "url"  # None: synthesize doc://<docid>, no dedup
     lang_column: str | None = "lang"
+    # inherited-strings columns (the reference's region-inherited strings,
+    # SURVEY.md M6 / ``OsmKeyValueObjectStore`` region-string inheritance,
+    # re-expressed for webtext as anchor-text inheritance — see
+    # stages/links.py): each listed string column's tokens are APPENDED to
+    # the doc's scored term stream (concatenated after the text column with
+    # a space), so they contribute tf, doclen and positions exactly like
+    # body tokens. The text column itself — and the byte-identical
+    # extracted-text invariant — is untouched. Positions note: the appended
+    # stream is position-contiguous with the body (a phrase can span the
+    # boundary); the reference's per-string phrase scoping is not modeled.
+    extra_text_columns: list = None  # e.g. ["anchor_text"]; None/[] = off
     id_column: str | None = None  # use an existing unique int64 id as docid
     # static-rank docid ordering (the applySort analog,
     # ``OsmKeyValueObjectStore.cpp:1339-1399`` — "docID order is rank
@@ -199,6 +210,9 @@ class TokenizeShardWorker:
         for fc in cfg.field_columns or []:
             if fc not in cols:
                 cols.append(fc)
+        for ec in cfg.extra_text_columns or []:
+            if ec not in cols:
+                cols.append(ec)
         tbl = pa.concat_tables(
             read_fragment(Fragment(**f), columns=cols, id_column=cfg.id_column)
             for f in frags
@@ -225,6 +239,21 @@ class TokenizeShardWorker:
             )
         else:
             text_col = tbl[cfg.text_column]
+        if cfg.extra_text_columns:
+            # inherited strings (M6 analog): append each extra column's
+            # token stream after the body by space-concatenation — one
+            # vectorized kernel; empties/nulls contribute no tokens (the
+            # flatten_tokens '' filter drops separator artifacts)
+            def _contig(col):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return pc.fill_null(col, "")
+
+            text_col = pc.binary_join_element_wise(
+                _contig(text_col),
+                *[_contig(tbl[ec]) for ec in cfg.extra_text_columns],
+                " ",
+            )
         parent_a, tokens_a = flatten_tokens(text_col)
         parent = np.asarray(parent_a)
         dict_enc = pc.dictionary_encode(

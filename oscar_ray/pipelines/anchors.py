@@ -1,0 +1,162 @@
+"""Anchor-text inheritance pipeline over the ``documents`` corpus.
+
+The M6 webtext analog end-to-end (see stages/links.py for the operator
+and the pinned fixture link rule): generate linked pages (html with a
+``<nav>`` of fixture links), extract ``<a href>`` rows, aggregate
+anchors per target, join them onto the corpus with the partitioned
+``hash_join``, and build an index whose docs are ALSO searchable under
+their inlink anchor text (``IndexBuildConfig.extra_text_columns``).
+
+Everything is cached under /tmp keyed by the input fingerprint, like
+the other per-sf index caches (pipelines/search.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from oscar_ray.index.build import IndexBuildConfig, build_index
+from oscar_ray.pipelines.search import _CACHE_ROOT, documents_path
+from oscar_ray.spec.extract import make_html
+from oscar_ray.spec.tokenizer import flatten_tokens
+from oscar_ray.stages.links import (
+    aggregate_anchors,
+    doc_url,
+    extract_links,
+    fixture_links_for_tokens,
+)
+
+MAX_INLINKS = 8  # anchors kept per target (the aggregation cap)
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    from oscar_ray.sources.pages import input_fingerprint, list_fragments
+
+    return input_fingerprint(list_fragments(documents_path(sf_dir)))
+
+
+def _commit_dir(tmp_dir: str, out_dir: str) -> None:
+    """Atomic publish: rename the fully-written tmp dir into place."""
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if not os.path.isdir(out_dir):  # lost a race for a different reason
+            raise
+
+
+def _gen_linked_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+    """documents rows -> pages rows with fixture <nav> links in the html.
+
+    Token lists come from ONE vectorized tokenize pass; the per-row html
+    assembly is a Python loop (the same cost class as the media fixture
+    generators, sources/synth.py — generator-only, not an operator path).
+    """
+    doc_ids = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pylist()
+    parent, toks = flatten_tokens(batch["text"].combine_chunks())
+    counts = np.bincount(np.asarray(parent), minlength=len(batch))
+    offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    toks_py = toks.to_pylist()
+    htmls = []
+    urls = []
+    for i, d in enumerate(doc_ids):
+        row_toks = toks_py[offsets[i] : offsets[i + 1]]
+        links = fixture_links_for_tokens(int(d), row_toks, n_docs)
+        urls.append(doc_url(int(d)))
+        htmls.append(make_html(texts[i] or "", title=urls[-1], links=links))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": batch["text"],
+            "lang": batch["lang"],
+        }
+    )
+
+
+def linked_pages_dir(sf_dir: str) -> str:
+    """Build (or reuse) the linked-pages fixture table for one sf dir."""
+    fp = _docs_fingerprint(sf_dir)
+    out = os.path.join(_CACHE_ROOT, f"linked-pages-{fp}")
+    if os.path.isdir(out):
+        return out
+    src = documents_path(sf_dir)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(src).metadata.num_rows
+    tmp = f"{out}.tmp-{os.getpid()}"
+    (
+        ray.data.read_parquet(src, columns=["doc_id", "text", "lang"])
+        .map_batches(
+            lambda b: _gen_linked_batch(b, n_docs), batch_format="pyarrow"
+        )
+        .write_parquet(tmp)
+    )
+    _commit_dir(tmp, out)
+    return out
+
+
+def anchors_dataset(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_inlinks, anchor_text) — one row per link-target doc."""
+    pages = ray.data.read_parquet(
+        os.path.join(linked_pages_dir(sf_dir), "*.parquet"),
+        columns=["url", "html"],
+    )
+    agg = aggregate_anchors(extract_links(pages), max_inlinks=MAX_INLINKS)
+
+    def _parse_doc_id(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_replace_slice(batch["dst_url"], 0, 6, ""), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_inlinks": batch["n_inlinks"],
+                "anchor_text": batch["anchor_text"],
+            }
+        )
+
+    return agg.map_batches(_parse_doc_id, batch_format="pyarrow")
+
+
+def anchored_documents_index_dir(sf_dir: str) -> str:
+    """Enriched corpus (text + inherited anchor_text) index, cached."""
+    from oscar_ray.stages.joins import hash_join
+
+    fp = _docs_fingerprint(sf_dir)
+    corpus = os.path.join(_CACHE_ROOT, f"documents-anchored-{fp}")
+    if not os.path.isdir(corpus):
+        docs = ray.data.read_parquet(
+            documents_path(sf_dir), columns=["doc_id", "text", "lang"]
+        )
+        joined = hash_join(
+            docs, anchors_dataset(sf_dir), on="doc_id", how="left", num_parts=8
+        )
+        tmp = f"{corpus}.tmp-{os.getpid()}"
+        joined.select_columns(["doc_id", "text", "lang", "anchor_text"]).write_parquet(
+            tmp
+        )
+        _commit_dir(tmp, corpus)
+
+    out = os.path.join(_CACHE_ROOT, f"documents-anchored-idx-{fp}")
+    cfg = IndexBuildConfig(
+        num_partitions=8,
+        block_span_bits=12,
+        shard_fragments=2,
+        id_column="doc_id",
+        url_column=None,
+        lang_column="lang",
+        dedup_urls=False,
+        field_columns=["lang"],
+        extra_text_columns=["anchor_text"],
+    )
+    build_index(os.path.join(corpus, "*.parquet"), out, cfg)
+    return out

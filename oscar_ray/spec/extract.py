@@ -83,17 +83,34 @@ def extract_text_generic(html_bytes: bytes) -> str:
 EXTRACTORS = {"fixture": extract_text, "generic": extract_text_generic}
 
 
-def make_html(text: str, title: str = "") -> bytes:
-    """Inverse of extract_text for the fixture generator: wrap text chunks in <p>."""
+def make_html(
+    text: str, title: str = "", links: list[tuple[str, str]] | None = None
+) -> bytes:
+    """Inverse of extract_text for the fixture generator: wrap text chunks in <p>.
+
+    ``links`` (optional) appends a ``<nav>`` block of ``<a href>`` elements
+    after the body paragraphs, in order. The fixture extractor reads ONLY
+    ``<p>`` bodies, so links never perturb the byte-identical
+    extracted-text invariant; :func:`extract_text_generic` (a different
+    extractor contract) does surface anchor text as page text, as a real
+    boilerplate stripper would.
+    """
     toks = text.split(" ") if text else []
     chunks = [" ".join(toks[i : i + _CHUNK_TOKENS]) for i in range(0, len(toks), _CHUNK_TOKENS)]
     if text and not chunks:
         chunks = [text]
     body = "".join(f"<p>{_html.escape(c, quote=False)}</p>" for c in chunks)
+    nav = ""
+    if links:
+        nav = "<nav>" + "".join(
+            f'<a href="{_html.escape(u)}">{_html.escape(a, quote=False)}</a>'
+            for u, a in links
+        ) + "</nav>"
     return (
         "<html><head><title>"
         + _html.escape(title, quote=False)
         + "</title></head><body>"
         + body
+        + nav
         + "</body></html>"
     ).encode("utf-8")
