@@ -705,6 +705,41 @@ def _text_ccnet_buckets(sf_dir: str):
     return perplexity_buckets(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _link_anchor_stats(sf_dir: str):
+    """Anchor-text inheritance aggregate (the reference's region-inherited
+    strings, SURVEY.md M6, as its webtext analog — stages/links.py): real
+    ``<a href>`` regex extraction over the linked-pages fixture html, one
+    hash-routed exchange keyed on dst_url, per-part vectorized sort + cap
+    (first 8 inlinks in (src, link_pos) order) + tokenizer-normalized
+    anchor join. (doc_id, n_inlinks, anchor_text), one row per target."""
+    from oscar_ray.pipelines.anchors import anchors_dataset
+
+    return anchors_dataset(sf_dir).sort("doc_id")
+
+
+def _search_bm25_anchor(sf_dir: str):
+    """BM25 over the anchor-ENRICHED index: every doc is also searchable
+    under the anchor text of its inlinks (IndexBuildConfig
+    .extra_text_columns — build.py stage A appends the inherited token
+    stream, so anchors contribute tf/doclen like body tokens). Full match
+    set for the pinned head term; scores bit-identical to the SQL oracle
+    whose token stream unions body tokens with capped anchor tokens."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oscar_ray.pipelines.anchors import anchored_documents_index_dir
+    from oscar_ray.query.engine import QueryEngine
+
+    eng = QueryEngine(anchored_documents_index_dir(sf_dir))
+    ids, scores = eng.search(BM25_TERM, k=1 << 62)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "score": pa.array(np.round(scores, 4), type=pa.float64()),
+        }
+    ).sort_by("doc_id")
+
+
 def _rel_order_lineitem_join(sf_dir: str):
     """Large-large partitioned equi-join (stages/joins.py::hash_join):
     lineitem x orders on orderkey — both sides stream through ONE
@@ -1651,6 +1686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_domain_stats": _text_domain_stats,
         "text_ccnet_buckets": _text_ccnet_buckets,
         "graph_pagerank": _graph_pagerank,
+        "link_anchor_stats": _link_anchor_stats,
+        "search_bm25_anchor": _search_bm25_anchor,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
         "ann_nsw_topk": _ann_nsw_topk,
         "text_tfidf_keywords": _text_tfidf_keywords,
@@ -1859,6 +1896,103 @@ scores AS (
     JOIN df USING (term)
     CROSS JOIN corpus
 )"""
+
+
+def _anchor_ranked_cte() -> str:
+    """Shared CTE: the pinned fixture link rule (stages/links.py — single
+    source of truth for the constants) -> per-target ranked anchor rows.
+    Fixture list slices are DuckDB 1-based inclusive: toks[3j-2 : 3j] ==
+    python toks[3(j-1) : 3(j-1)+3]."""
+    from oscar_ray.stages.links import (
+        LINK_MULT,
+        LINK_STEP,
+        MAX_OUT_LINKS,
+        TOKENS_PER_LINK,
+    )
+
+    return f"""
+tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+nd AS (SELECT count(*) AS n FROM documents),
+js AS (SELECT unnest(range(1, {MAX_OUT_LINKS + 1})) AS j),
+links AS (
+    SELECT tl.doc_id AS src_doc,
+           (tl.doc_id * {LINK_MULT} + js.j * {LINK_STEP}) % nd.n AS dst_doc,
+           array_to_string(tl.toks[3*js.j-2 : 3*js.j], ' ') AS anchor,
+           js.j AS link_pos
+    FROM tl CROSS JOIN nd CROSS JOIN js
+    WHERE js.j <= least({MAX_OUT_LINKS}, len(tl.toks) // {TOKENS_PER_LINK})
+),
+ranked AS (
+    SELECT dst_doc, anchor,
+           row_number() OVER (PARTITION BY dst_doc
+                              ORDER BY src_doc, link_pos) AS rk,
+           count(*) OVER (PARTITION BY dst_doc) AS n_inlinks
+    FROM links
+)"""
+
+
+def _anchor_stats_sql() -> str:
+    from oscar_ray.pipelines.anchors import MAX_INLINKS
+
+    return f"""
+        WITH {_anchor_ranked_cte()}
+        SELECT dst_doc AS doc_id, any_value(n_inlinks)::BIGINT AS n_inlinks,
+               string_agg(anchor, ' ' ORDER BY rk)
+                   FILTER (WHERE rk <= {MAX_INLINKS}) AS anchor_text
+        FROM ranked GROUP BY dst_doc ORDER BY doc_id
+    """
+
+
+def _anchor_bm25_sql(term: str) -> str:
+    """BM25 whose token stream UNIONs body tokens with the capped inherited
+    anchor tokens — the SQL mirror of extra_text_columns concatenation."""
+    from oscar_ray.pipelines.anchors import MAX_INLINKS
+
+    return f"""
+        WITH {_anchor_ranked_cte()},
+        tok AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+            WHERE t.term <> ''
+            UNION ALL
+            SELECT r.dst_doc AS doc_id, t.term
+            FROM ranked r, unnest(string_split(r.anchor, ' ')) AS t(term)
+            WHERE r.rk <= {MAX_INLINKS} AND t.term <> ''
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS doclen FROM tok GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                   (SELECT sum(doclen) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (
+            SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+        ),
+        scores AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({K1} + 1)) /
+                     (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / corpus.avgdl)) AS score
+            FROM tf
+            JOIN dl USING (doc_id)
+            JOIN df USING (term)
+            CROSS JOIN corpus
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scores WHERE term = '{term}' ORDER BY doc_id
+    """
 
 
 def _sql_stoplist(lang: str) -> str:
@@ -2789,6 +2923,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distributed PageRank vs the unrolled integer CTE chain
         "graph_pagerank": _pagerank_sql(5),
+        "link_anchor_stats": _anchor_stats_sql(),
+        "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil
         # tercile rule via window functions (no float quantile q)
         "text_ccnet_buckets": f"""

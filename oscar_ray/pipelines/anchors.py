@@ -107,8 +107,7 @@ def linked_pages_dir(sf_dir: str) -> str:
 def anchors_dataset(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_inlinks, anchor_text) — one row per link-target doc."""
     pages = ray.data.read_parquet(
-        os.path.join(linked_pages_dir(sf_dir), "*.parquet"),
-        columns=["url", "html"],
+        linked_pages_dir(sf_dir), columns=["url", "html"]
     )
     agg = aggregate_anchors(extract_links(pages), max_inlinks=MAX_INLINKS)
 
