@@ -705,6 +705,44 @@ def _text_ccnet_buckets(sf_dir: str):
     return perplexity_buckets(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _graph_hits(sf_dir: str):
+    """Distributed HITS (stages/graph.py::hits): per iteration one forward
+    and one reverse co-located edge exchange + two scalar max allreduces;
+    the classic L2 normalization is replaced by the pinned integer rescale
+    x*S//max(x), so every parallelism level and the unrolled SQL CTE chain
+    are bit-identical. Same closed-form 3-out-link graph as
+    graph_pagerank."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from oscar_ray.stages.graph import hits
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(src_path).metadata.num_rows
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        for j in (1, 2, 3):
+            srcs.append(did)
+            dsts.append((did * np.int64(2654435761) + j * np.int64(40503)) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    edges = ray.data.read_parquet(src_path, columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    return hits(edges, n_nodes=n, iters=3, num_parts=16).sort("node")
+
+
 def _link_anchor_stats(sf_dir: str):
     """Anchor-text inheritance aggregate (the reference's region-inherited
     strings, SURVEY.md M6, as its webtext analog — stages/links.py): real
@@ -1686,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_domain_stats": _text_domain_stats,
         "text_ccnet_buckets": _text_ccnet_buckets,
         "graph_pagerank": _graph_pagerank,
+        "graph_hits": _graph_hits,
         "link_anchor_stats": _link_anchor_stats,
         "search_bm25_anchor": _search_bm25_anchor,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
@@ -1810,6 +1849,63 @@ def _pagerank_sql(iters: int = 5) -> str:
         ",\n".join(parts)
         + f"\nSELECT node, r AS rank_micro FROM {prev} ORDER BY node"
     )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled integer HITS CTE chain (graph_hits oracle).
+
+    Mirrors stages/graph.py::hits exactly: h0 = HITS_SCALE for every node
+    (the engine's h0 = SCALE rescaled by max=SCALE is exactly HITS_SCALE,
+    no floor loss), then per iteration authority raw sums over in-edges,
+    rescale x*S//max, hub raw sums over out-edges, rescale. `//` truncates
+    but every operand is non-negative, so // == floor.
+    """
+    from oscar_ray.stages.graph import HITS_SCALE as S
+
+    parts = [
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents)",
+        "n0 AS (SELECT doc_id AS node FROM documents)",
+        """edges AS (
+            SELECT doc_id AS src,
+                   (doc_id * 2654435761 + j * 40503) % nn.n AS dst
+            FROM documents CROSS JOIN nn, unnest([1, 2, 3]) AS t(j)
+        )""",
+        f"hs0 AS (SELECT node, {S}::BIGINT AS x FROM n0)",
+    ]
+    prev_h = "hs0"
+    for t in range(1, iters + 1):
+        parts += [
+            f"""ar{t} AS (
+                SELECT e.dst AS node, sum(p.x)::BIGINT AS raw
+                FROM edges e JOIN {prev_h} p ON p.node = e.src
+                GROUP BY e.dst
+            )""",
+            f"""as{t} AS (
+                SELECT n0.node,
+                       (coalesce(ar{t}.raw, 0) * {S})
+                       // greatest(1, (SELECT max(raw) FROM ar{t})) AS x
+                FROM n0 LEFT JOIN ar{t} ON ar{t}.node = n0.node
+            )""",
+            f"""hr{t} AS (
+                SELECT e.src AS node, sum(p.x)::BIGINT AS raw
+                FROM edges e JOIN as{t} p ON p.node = e.dst
+                GROUP BY e.src
+            )""",
+            f"""hs{t} AS (
+                SELECT n0.node,
+                       (coalesce(hr{t}.raw, 0) * {S})
+                       // greatest(1, (SELECT max(raw) FROM hr{t})) AS x
+                FROM n0 LEFT JOIN hr{t} ON hr{t}.node = n0.node
+            )""",
+        ]
+        prev_h = f"hs{t}"
+    return ",\n".join(parts) + f"""
+        SELECT n0.node, a.x::BIGINT AS authority_micro, h.x::BIGINT AS hub_micro
+        FROM n0
+        JOIN as{iters} a ON a.node = n0.node
+        JOIN hs{iters} h ON h.node = n0.node
+        ORDER BY n0.node
+    """
 
 
 # DSIR weight chain (shared by text_dsir_weights / text_dsir_select):
@@ -2923,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distributed PageRank vs the unrolled integer CTE chain
         "graph_pagerank": _pagerank_sql(5),
+        "graph_hits": _hits_sql(3),
         "link_anchor_stats": _anchor_stats_sql(),
         "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil

@@ -187,3 +187,168 @@ def pagerank(
             for q in range(num_parts)
         ]
     return ray.data.from_arrow_refs([_emit.remote(npart) for npart in node_parts])
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities, Kleinberg 1999) — same raw-task ref-exchange
+# discipline as pagerank, but BOTH edge directions exchange per iteration:
+# a(v) = sum of h(u) over in-edges (edges co-located by part(src), partials
+# routed to part(dst)), then h(u) = sum of a(v) over out-edges (a second
+# edge layout co-located by part(dst), partials routed to part(src)).
+#
+# Integer determinism: the classic L2 normalization is replaced by a pinned
+# integer rescale after every half-step — x <- x * HITS_SCALE // max(x)
+# (floor on non-negative operands; the max is a P-scalar allreduce, the only
+# driver-side value per half-step). Every parallelism level and the
+# unrolled DuckDB CTE chain produce bit-identical values. Overflow bound:
+# raw <= deg_max * HITS_SCALE and raw * HITS_SCALE must fit int64, so
+# deg_max < 2^63 / HITS_SCALE^2 ~ 9.2e6 at 1e6 — far above any real
+# per-page degree (the aggregation caps anchors at 8; crawl graphs cap
+# out-links); asserted per part.
+# --------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000  # "micro" units; see overflow bound above
+
+
+@ray.remote
+def _hits_scatter(edges, nodes, scale_max: int, num_parts: int):
+    """One co-located part: emit per-other-part (other_ids, sum of x(key)).
+
+    ``edges`` is the (key, other, u_key, deg) layout from _edges_init —
+    key = the co-location side whose value x flows along each edge.
+    ``scale_max`` applies the pinned lazy rescale (x * S // max) to the
+    incoming raw state; the raw/scaled split keeps every rescale a pure
+    function of (raw, global max) — no mutation between iterations.
+    """
+    key, other, u_key, deg = edges
+    ids, x = nodes
+    x = (x * np.int64(HITS_SCALE)) // np.int64(max(1, scale_max))
+    xv = x[np.searchsorted(ids, u_key)]
+    assert xv.size == 0 or int(xv.max()) <= HITS_SCALE  # rescale invariant
+    contrib = np.repeat(xv, deg)
+    p = _part_of(other, num_parts)
+    out = []
+    for q in range(num_parts):
+        m = p == q
+        d = other[m]
+        order = np.argsort(d, kind="stable")
+        ds_, sh_ = d[order], contrib[m][order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        isums = np.add.reduceat(sh_, starts) if len(sh_) else sh_[:0]
+        out.append(
+            np.stack([ds_[starts] if len(sh_) else ds_[:0], isums.astype(np.int64)])
+        )
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _hits_gather(ids: np.ndarray, *incoming):
+    """One part: fold incoming partial sums -> (raw state, local max)."""
+    incoming = [x for s in incoming for x in (s if isinstance(s, tuple) else (s,))]
+    raw = np.zeros(len(ids), dtype=np.int64)
+    for inc in incoming:
+        if inc.size:
+            pos = np.searchsorted(ids, inc[0])
+            np.add.at(raw, pos, inc[1])
+    return (ids, raw), int(raw.max(initial=0))
+
+
+@ray.remote
+def _hits_emit(a_state, a_max: int, h_state, h_max: int) -> pa.Table:
+    ids, a_raw = a_state
+    _, h_raw = h_state
+    a = (a_raw * np.int64(HITS_SCALE)) // np.int64(max(1, a_max))
+    h = (h_raw * np.int64(HITS_SCALE)) // np.int64(max(1, h_max))
+    return pa.table(
+        {
+            "node": pa.array(ids),
+            "authority_micro": pa.array(a),
+            "hub_micro": pa.array(h),
+        }
+    )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_nodes: int,
+    iters: int = 3,
+    num_parts: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Integer-exact HITS; nodes are ids in [0, n_nodes).
+
+    -> Dataset (node, authority_micro, hub_micro), one row per node.
+    Start state h0 = HITS_SCALE for every node; per iteration one
+    forward and one reverse edge exchange plus two scalar max
+    allreduces (the driver holds refs and 2 ints per iteration, never
+    node-sized arrays).
+    """
+    blocks = edges.to_arrow_refs()
+    nb = len(blocks)
+
+    def _layout(key_col: str, other_col: str):
+        split = [
+            _edges_split.options(num_returns=num_parts).remote(
+                b, key_col, other_col, num_parts
+            )
+            for b in blocks
+        ]
+        if num_parts == 1:
+            split = [[s] for s in split]
+        return [
+            _edges_init.remote(*[split[i][p] for i in range(nb)])
+            for p in range(num_parts)
+        ]
+
+    by_src = _layout(src_col, dst_col)  # h flows src -> dst (authority)
+    by_dst = _layout(dst_col, src_col)  # a flows dst -> src (hub)
+
+    all_ids = np.arange(n_nodes, dtype=np.int64)
+    pid = _part_of(all_ids, num_parts)
+    id_parts = [ray.put(all_ids[pid == p]) for p in range(num_parts)]
+    h_parts = [
+        _nodes_init.remote(all_ids[pid == p], 1) for p in range(num_parts)
+    ]  # n_nodes=1 -> uniform start value SCALE (pagerank's unit)
+    h_max = SCALE  # so the first scatter's lazy rescale lands h0 at HITS_SCALE
+
+    a_parts = a_max = None
+    for _ in range(iters):
+        scat = [
+            _hits_scatter.options(num_returns=num_parts).remote(
+                by_src[p], h_parts[p], h_max, num_parts
+            )
+            for p in range(num_parts)
+        ]
+        if num_parts == 1:
+            scat = [[s] for s in scat]
+        gath = [
+            _hits_gather.remote(
+                id_parts[q], *[scat[p][q] for p in range(num_parts)]
+            )
+            for q in range(num_parts)
+        ]
+        a_parts = [g[0] for g in gath]
+        a_max = max(ray.get([g[1] for g in gath]))
+        scat = [
+            _hits_scatter.options(num_returns=num_parts).remote(
+                by_dst[p], a_parts[p], a_max, num_parts
+            )
+            for p in range(num_parts)
+        ]
+        if num_parts == 1:
+            scat = [[s] for s in scat]
+        gath = [
+            _hits_gather.remote(
+                id_parts[q], *[scat[p][q] for p in range(num_parts)]
+            )
+            for q in range(num_parts)
+        ]
+        h_parts = [g[0] for g in gath]
+        h_max = max(ray.get([g[1] for g in gath]))
+    return ray.data.from_arrow_refs(
+        [
+            _hits_emit.remote(a_parts[q], a_max, h_parts[q], h_max)
+            for q in range(num_parts)
+        ]
+    )

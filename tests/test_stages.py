@@ -3730,3 +3730,76 @@ class TestNswAnn:
             return h.hexdigest()
 
         assert digest(tmp_path / "a") == digest(tmp_path / "b")
+
+
+class TestHITS:
+    """Distributed integer HITS (stages/graph.py::hits)."""
+
+    def _reference(self, N, T, src, dst):
+        from oscar_ray.stages.graph import HITS_SCALE, SCALE
+
+        h = np.full(N, SCALE, dtype=np.int64)
+        hmax = SCALE
+        a_raw = np.zeros(N, dtype=np.int64)
+        amax = 1
+        for _ in range(T):
+            hs = (h * np.int64(HITS_SCALE)) // np.int64(max(1, hmax))
+            a_raw = np.zeros(N, dtype=np.int64)
+            np.add.at(a_raw, dst, hs[src])
+            amax = max(1, int(a_raw.max(initial=0)))
+            asc = (a_raw * np.int64(HITS_SCALE)) // np.int64(amax)
+            h = np.zeros(N, dtype=np.int64)
+            np.add.at(h, src, asc[dst])
+            hmax = max(1, int(h.max(initial=0)))
+        return (
+            (a_raw * np.int64(HITS_SCALE)) // amax,
+            (h * np.int64(HITS_SCALE)) // hmax,
+        )
+
+    @pytest.mark.parametrize("P", [1, 4, 16])
+    def test_bit_exact_any_parallelism(self, ray_session, P):
+        import ray.data
+
+        from oscar_ray.stages.graph import hits
+
+        N, T = 300, 3
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, N, 900).astype(np.int64)
+        dst = rng.integers(0, N, 900).astype(np.int64)
+        edges = ray.data.from_arrow(
+            pa.table({"src": src, "dst": dst})
+        ).repartition(3)
+        got = (
+            hits(edges, N, iters=T, num_parts=P)
+            .to_pandas()
+            .sort_values("node")
+        )
+        ra, rh = self._reference(N, T, src, dst)
+        assert (got["node"].values == np.arange(N)).all()
+        assert (got["authority_micro"].values == ra).all()
+        assert (got["hub_micro"].values == rh).all()
+
+    def test_structure(self, ray_session):
+        """The pointed-at node is the top authority; the pointing nodes
+        are the top hubs; an isolated node scores zero on both."""
+        import ray.data
+
+        from oscar_ray.stages.graph import HITS_SCALE, hits
+
+        # 0->2, 1->2, 0->3; node 4 isolated
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 1, 0], type=pa.int64()),
+                    "dst": pa.array([2, 2, 3], type=pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["node"]: (r["authority_micro"], r["hub_micro"])
+            for r in hits(edges, 5, iters=3, num_parts=2).take_all()
+        }
+        assert got[2][0] == HITS_SCALE  # max authority
+        assert got[0][1] == HITS_SCALE  # max hub (two out-links)
+        assert got[4] == (0, 0)
+        assert got[3][0] < got[2][0] and got[1][1] < got[0][1]
