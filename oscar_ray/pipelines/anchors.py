@@ -126,6 +126,53 @@ def anchors_dataset(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(_parse_doc_id, batch_format="pyarrow")
 
 
+def enrich_corpus_with_anchors(
+    input_paths: str | list[str],
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_inlinks: int = MAX_INLINKS,
+    num_parts: int = 32,
+) -> None:
+    """Corpus rewrite: pages -> pages + inherited ``anchor_text`` column.
+
+    The ``oscar_create --anchors`` pre-pass: extract links from the
+    corpus's OWN html, aggregate anchors per target url, left-join them
+    back on via the partitioned hash_join, and write the enriched corpus
+    (all original columns + ``anchor_text`` + the layout docid as
+    ``_docid``). The join reorders rows, so the docid travels WITH each
+    row (sources/pages.pages_dataset_with_docids) and the subsequent
+    build uses ``id_column="_docid"`` — artifacts are independent of the
+    rewrite's row order. Scale: two corpus passes (extract + join) and
+    one anchor exchange, all streaming; nothing corpus-sized on the
+    driver.
+    """
+    from oscar_ray.stages.joins import hash_join
+    from oscar_ray.sources.pages import pages_dataset_with_docids
+
+    # two pruned corpus passes, separate lineages (a Dataset consumed
+    # twice re-executes its read): extraction needs only (url, html)
+    link_pages = pages_dataset_with_docids(
+        input_paths, columns=[url_col, html_col]
+    )
+    pages = pages_dataset_with_docids(input_paths)
+    anchors = aggregate_anchors(
+        extract_links(link_pages, html_col=html_col, url_col=url_col),
+        max_inlinks=max_inlinks,
+        num_parts=num_parts,
+    ).drop_columns(["n_inlinks"])
+    enriched = hash_join(
+        pages,
+        anchors,
+        on=(url_col, "dst_url"),
+        how="left",
+        num_parts=num_parts,
+    )
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    enriched.write_parquet(tmp)
+    _commit_dir(tmp, out_dir)
+
+
 def anchored_documents_index_dir(sf_dir: str) -> str:
     """Enriched corpus (text + inherited anchor_text) index, cached."""
     from oscar_ray.stages.joins import hash_join

@@ -199,3 +199,42 @@ def read_fragment(
             np.arange(frag.base_docid, frag.base_docid + len(tbl), dtype=np.int64)
         )
     return tbl.append_column("docid", docid)
+
+
+def pages_dataset_with_docids(
+    paths: str | list[str],
+    columns: list[str] | None = None,
+    id_column: str | None = None,
+    docid_col: str = "_docid",
+    frags_per_task: int = 4,
+) -> "ray.data.Dataset":
+    """All input fragments as ONE Dataset carrying the deterministic docid.
+
+    For corpus REWRITES that must survive row reordering (e.g. the
+    ``--anchors`` enrichment join): the layout docid (or ``id_column``)
+    travels with each row as ``docid_col``, so the rewritten corpus can be
+    indexed with ``IndexBuildConfig(id_column=docid_col)`` and produce
+    artifacts independent of the rewrite's row order. Fragment reads fan
+    out as Ray tasks over descriptor rows (the stage-A pattern).
+    """
+    import json as _json
+
+    import ray.data
+
+    frags = list_fragments(paths)
+    desc = pa.table(
+        {"frag": pa.array([_json.dumps(f.to_dict()) for f in frags])}
+    )
+
+    def _read(batch: pa.Table):
+        for fj in batch["frag"].to_pylist():
+            tbl = read_fragment(_json.loads(fj), columns=columns, id_column=id_column)
+            i = tbl.schema.get_field_index("docid")
+            yield tbl.set_column(i, docid_col, tbl.column(i))
+
+    n_blocks = max(1, (len(frags) + frags_per_task - 1) // frags_per_task)
+    return (
+        ray.data.from_arrow(desc)
+        .repartition(n_blocks)
+        .map_batches(_read, batch_format="pyarrow", batch_size=frags_per_task)
+    )

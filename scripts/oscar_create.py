@@ -58,6 +58,15 @@ def main():
         "proximity '\"a b\"~k' queries; ~2x postings bytes)",
     )
     ap.add_argument(
+        "--anchors",
+        action="store_true",
+        help="anchor-text inheritance (the region-inherited-strings "
+        "analog): extract <a href> links from the corpus's own html, "
+        "aggregate anchor text per target url, and index each doc under "
+        "its inlink anchors too (adds a corpus rewrite pre-pass under "
+        "<out>/anchored_corpus)",
+    )
+    ap.add_argument(
         "--update-base",
         help="incremental update: index ONLY the new input as a delta and "
         "merge it with this existing base index into --out (the store-dir/"
@@ -143,7 +152,27 @@ def main():
         ray.shutdown()
         return
 
-    manifest = build_index(args.input, args.out, cfg, resume=not args.no_resume)
+    build_input = args.input
+    if args.anchors:
+        from oscar_ray.pipelines.anchors import enrich_corpus_with_anchors
+
+        corpus = os.path.join(args.out, "anchored_corpus")
+        if not os.path.isdir(corpus):  # resumable: reuse a finished rewrite
+            os.makedirs(args.out, exist_ok=True)
+            enrich_corpus_with_anchors(
+                args.input,
+                corpus,
+                url_col=cfg.url_column or "url",
+                html_col=cfg.html_column,
+            )
+        build_input = corpus
+        fields["id_column"] = "_docid"
+        fields["extra_text_columns"] = (cfg.extra_text_columns or []) + [
+            "anchor_text"
+        ]
+        cfg = IndexBuildConfig(**fields)
+
+    manifest = build_index(build_input, args.out, cfg, resume=not args.no_resume)
     print(
         json.dumps(
             {

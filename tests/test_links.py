@@ -219,3 +219,71 @@ class TestEnrichedBuild:
                 if not f.endswith(".parquet"):
                     continue
                 assert (a_dir / f).read_bytes() == (b_dir / f).read_bytes(), f
+
+
+class TestEnrichCorpusCLIPath:
+    def _write_corpus(self, path):
+        def html(text, links=None):
+            return make_html(text, links=links)
+
+        rows = [
+            {
+                "url": "page://a",
+                "html": html(
+                    "alpha beta gamma", links=[("page://b", "zeta eta")]
+                ),
+                "text": "alpha beta gamma",
+                "lang": "en",
+            },
+            {
+                "url": "page://b",
+                "html": html("delta epsilon"),
+                "text": "delta epsilon",
+                "lang": "en",
+            },
+            {
+                "url": "page://c",
+                "html": html("iota kappa", links=[("page://b", "zeta")]),
+                "text": "iota kappa",
+                "lang": "en",
+            },
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), path)
+
+    def test_anchor_only_term_finds_target_and_rebuild_identical(
+        self, ray_session, tmp_path
+    ):
+        """A doc becomes searchable under a term that appears ONLY in its
+        inlink anchors; the rewrite+build is byte-deterministic."""
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.pipelines.anchors import enrich_corpus_with_anchors
+        from oscar_ray.query.engine import QueryEngine
+
+        src = tmp_path / "pages.parquet"
+        self._write_corpus(str(src))
+        digests = []
+        for run in ("r1", "r2"):
+            corpus = tmp_path / run / "anchored_corpus"
+            os.makedirs(tmp_path / run)
+            enrich_corpus_with_anchors(str(src), str(corpus))
+            cfg = IndexBuildConfig(
+                num_partitions=2,
+                block_span_bits=10,
+                shard_fragments=1,
+                id_column="_docid",
+                extra_text_columns=["anchor_text"],
+            )
+            idx = tmp_path / run / "idx"
+            build_index(str(corpus), str(idx), cfg)
+            eng = QueryEngine(str(idx))
+            ids, _ = eng.search("zeta", k=10)
+            assert list(ids) == [1]  # page://b's layout docid
+            ids2, _ = eng.search("delta", k=10)
+            assert list(ids2) == [1]
+            d = b""
+            for sub in ("postings", "dict"):
+                for f in sorted(os.listdir(idx / sub)):
+                    if f.endswith(".parquet"):
+                        d += (idx / sub / f).read_bytes()
+            digests.append(d)
+        assert digests[0] == digests[1]
