@@ -169,7 +169,11 @@ def enrich_corpus_with_anchors(
         num_parts=num_parts,
     )
     tmp = f"{out_dir}.tmp-{os.getpid()}"
-    enriched.write_parquet(tmp)
+    # bounded row groups: the join emits ONE block per part (num_parts
+    # files); without a row-group cap the downstream build's stage-A
+    # sharding (one shard per few row groups) would collapse to
+    # num_parts-way parallelism regardless of corpus size
+    enriched.write_parquet(tmp, row_group_size=16384)
     _commit_dir(tmp, out_dir)
 
 

@@ -545,3 +545,196 @@ def tfidf_keywords(
         .groupby("dpart")
         .map_groups(lambda g: doc_topk(g.drop_columns(["dpart"])), batch_format="pyarrow")
     )
+
+
+def cooccurrence_pmi(
+    ds,
+    n_docs: int,
+    max_terms_per_doc: int = 16,
+    min_pair_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+):
+    """Collocation extraction: doc-level term co-occurrence with PMI.
+
+    Universe: each doc's FIRST ``max_terms_per_doc`` distinct terms in
+    document order (the bounded per-doc set that keeps pair volume
+    O(docs * K^2) — the shingle-cap discipline). For every unordered
+    in-universe pair (a < b lexicographically):
+
+        pmi_micro = fln(pair_docs) + fln(n_docs) - fln(docs_a) - fln(docs_b)
+        fln(x)    = floor(ln(x) * 1e6)  on exact-integer float64 operands
+
+    — ln once per distinct count, floors summed as int64 (the repo's
+    integer-micro ln discipline), so the SQL oracle is hash-exact.
+
+    Distributed shape: per-batch vectorized first-K extraction + pair
+    expansion -> ONE pair-hash-routed count exchange and ONE term-routed
+    doc-count exchange -> two partitioned hash_joins to attach the
+    marginals -> vectorized PMI. Output Dataset:
+    (term_a, term_b, pair_docs, pmi_micro), pair_docs >= min_pair_docs.
+    Driver holds nothing; pair cardinality is vocab^2-bounded and
+    further cut by the min-support filter.
+    """
+    import pyarrow.compute as pc
+
+    from oscar_ray.stages.dedup import hash_strings_u64
+    from oscar_ray.stages.joins import hash_join
+
+    K = max_terms_per_doc
+
+    def _kept_first_k(batch: pa.Table):
+        """-> (doc ids, lexrank-sorted kept codes per doc, dictionary)."""
+        parent_a, tokens_a = flatten_tokens(batch[text_col])
+        parent = np.asarray(parent_a, dtype=np.int64)
+        if len(parent) == 0:
+            return None
+        denc = pc.dictionary_encode(tokens_a)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        nv = np.int64(len(denc.dictionary))
+        key = parent * nv + codes
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()  # doc-grouped, within-doc first-appearance order
+        p, c = parent[first_idx], codes[first_idx]
+        starts = np.concatenate([[0], np.flatnonzero(p[1:] != p[:-1]) + 1])
+        seg_of = np.searchsorted(starts, np.arange(len(p)), side="right") - 1
+        rank = np.arange(len(p)) - starts[seg_of]
+        keep = rank < K
+        p, c = p[keep], c[keep]
+        # within each doc, order kept terms lexicographically
+        lexrank = np.empty(int(nv), dtype=np.int64)
+        lexrank[np.argsort(denc.dictionary.to_numpy(zero_copy_only=False))] = (
+            np.arange(int(nv))
+        )
+        order = np.lexsort((lexrank[c], p))
+        return batch[id_col].to_numpy(), p[order], c[order], denc.dictionary
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term_a": pa.array([], type=pa.string()),
+                "term_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        got = _kept_first_k(batch)
+        if got is None:
+            return empty
+        _, p, c, vocab = got
+        starts = np.concatenate([[0], np.flatnonzero(p[1:] != p[:-1]) + 1])
+        seg_of = np.searchsorted(starts, np.arange(len(p)), side="right") - 1
+        pos = np.arange(len(p)) - starts[seg_of]
+        total = int(pos.sum())
+        if total == 0:
+            return empty
+        # b side: element at in-doc position j pairs with its j predecessors
+        b_idx = np.repeat(np.arange(len(p)), pos)
+        offs = np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.arange(total) - offs + np.repeat(starts[seg_of], pos)
+        ca, cb = c[a_idx], c[b_idx]
+        # batch-level pre-aggregation before the exchange
+        nv = np.int64(len(vocab))
+        pkey = ca * nv + cb
+        uniq, cnt = np.unique(pkey, return_counts=True)
+        ta = vocab.take(pa.array(uniq // nv))
+        tb = vocab.take(pa.array(uniq % nv))
+        joined = pc.binary_join_element_wise(ta, tb, "\x1f")
+        parts = (hash_strings_u64(joined) % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "term_a": ta,
+                "term_b": tb,
+                "n": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(parts),
+            }
+        )
+
+    def explode_terms(batch: pa.Table) -> pa.Table:
+        got = _kept_first_k(batch)
+        if got is None:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        _, _, c, vocab = got
+        uniq, cnt = np.unique(c, return_counts=True)
+        t = vocab.take(pa.array(uniq))
+        parts = (hash_strings_u64(t) % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "term": t,
+                "n": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(parts),
+            }
+        )
+
+    def _sum_part(g: pa.Table, cols: list[str], out: str) -> pa.Table:
+        joined = g[cols[0]].combine_chunks()
+        for extra in cols[1:]:
+            joined = pc.binary_join_element_wise(
+                joined, g[extra].combine_chunks(), "\x1f"
+            )
+        denc = pc.dictionary_encode(joined)
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        sums = np.bincount(
+            codes, weights=g["n"].to_numpy(), minlength=len(denc.dictionary)
+        ).astype(np.int64)
+        firsts = np.unique(codes, return_index=True)[1]
+        res = {c_: g[c_].combine_chunks().take(pa.array(firsts)) for c_ in cols}
+        res[out] = pa.array(sums[np.asarray(denc.indices.take(pa.array(firsts)))])
+        return pa.table(res)
+
+    pairs = (
+        ds.map_batches(explode_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _sum_part(g, ["term_a", "term_b"], "pair_docs"),
+            batch_format="pyarrow",
+        )
+    )
+    terms = (
+        ds.map_batches(explode_terms, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _sum_part(g, ["term"], "term_docs"),
+            batch_format="pyarrow",
+        )
+    )
+    j1 = hash_join(pairs, terms, on=("term_a", "term"), num_parts=num_parts)
+    j2 = hash_join(
+        j1,
+        terms,
+        on=("term_b", "term"),
+        num_parts=num_parts,
+        right_suffix="_b",
+    )
+
+    fln_n = int(np.floor(np.log(np.float64(n_docs)) * 1_000_000))
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        pd_ = batch["pair_docs"].to_numpy()
+        keep = pd_ >= min_pair_docs
+        pd_ = pd_[keep]
+        ca = batch["term_docs"].to_numpy()[keep]
+        cb = batch["term_docs_b"].to_numpy()[keep]
+        fln = lambda x: np.floor(  # noqa: E731 — ln once per operand row
+            np.log(x.astype(np.float64)) * 1_000_000
+        ).astype(np.int64)
+        pmi = fln(pd_) + np.int64(fln_n) - fln(ca) - fln(cb)
+        return pa.table(
+            {
+                "term_a": batch["term_a"].filter(pa.array(keep)),
+                "term_b": batch["term_b"].filter(pa.array(keep)),
+                "pair_docs": pa.array(pd_.astype(np.int64)),
+                "pmi_micro": pa.array(pmi),
+            }
+        )
+
+    return j2.map_batches(_pmi, batch_format="pyarrow")
