@@ -705,6 +705,25 @@ def _text_ccnet_buckets(sf_dir: str):
     return perplexity_buckets(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _text_cooccurrence(sf_dir: str):
+    """Collocation extraction (stages/sketches.py::cooccurrence_pmi):
+    first-16 distinct terms per doc -> vectorized pair expansion -> one
+    pair-routed count exchange + one term-routed doc-count exchange ->
+    two partitioned hash_joins -> integer-micro PMI (ln once per count,
+    floors summed as int64). min support 5 docs."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from oscar_ray.stages.sketches import cooccurrence_pmi
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(src).metadata.num_rows
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    return cooccurrence_pmi(ds, n_docs=n).sort(["term_a", "term_b"])
+
+
 def _graph_hits(sf_dir: str):
     """Distributed HITS (stages/graph.py::hits): per iteration one forward
     and one reverse co-located edge exchange + two scalar max allreduces;
@@ -1725,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ccnet_buckets": _text_ccnet_buckets,
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
+        "text_cooccurrence": _text_cooccurrence,
         "link_anchor_stats": _link_anchor_stats,
         "search_bm25_anchor": _search_bm25_anchor,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
@@ -3020,6 +3040,37 @@ def oracle_sql() -> dict[str, str]:
         # distributed PageRank vs the unrolled integer CTE chain
         "graph_pagerank": _pagerank_sql(5),
         "graph_hits": _hits_sql(3),
+        "text_cooccurrence": """
+            WITH tokarr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            tokpos AS (
+              SELECT doc_id, arr[i] AS term, i
+              FROM tokarr, unnest(range(1, len(arr) + 1)) AS t(i)),
+            firsts AS (
+              SELECT doc_id, term, min(i) AS fi FROM tokpos GROUP BY doc_id, term),
+            kept AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, term,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rk
+                FROM firsts) WHERE rk <= 16),
+            ca AS (SELECT term, count(*)::BIGINT AS term_docs FROM kept GROUP BY term),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS pair_docs
+              FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY a.term, b.term HAVING count(*) >= 5)
+            SELECT p.term_a, p.term_b, p.pair_docs,
+                   (floor(ln(p.pair_docs::DOUBLE) * 1000000)::BIGINT
+                    + floor(ln((SELECT count(*) FROM documents)::DOUBLE) * 1000000)::BIGINT
+                    - floor(ln(x.term_docs::DOUBLE) * 1000000)::BIGINT
+                    - floor(ln(y.term_docs::DOUBLE) * 1000000)::BIGINT) AS pmi_micro
+            FROM pairs p
+            JOIN ca x ON x.term = p.term_a
+            JOIN ca y ON y.term = p.term_b
+            ORDER BY term_a, term_b
+        """,
         "link_anchor_stats": _anchor_stats_sql(),
         "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil

@@ -3803,3 +3803,92 @@ class TestHITS:
         assert got[0][1] == HITS_SCALE  # max hub (two out-links)
         assert got[4] == (0, 0)
         assert got[3][0] < got[2][0] and got[1][1] < got[0][1]
+
+
+class TestCooccurrencePMI:
+    """Collocation extraction (sketches.cooccurrence_pmi)."""
+
+    def _brute(self, texts, K, min_pairs):
+        from itertools import combinations
+
+        from oscar_ray.spec.tokenizer import flatten_tokens
+
+        kept_sets = []
+        for t in texts:
+            _, toks = flatten_tokens(pa.array([t], type=pa.string()))
+            seen: list[str] = []
+            for tok in toks.to_pylist():
+                if tok not in seen:
+                    seen.append(tok)
+            kept_sets.append(set(seen[:K]))
+        n = len(texts)
+        from collections import Counter
+
+        ca: Counter = Counter()
+        cp: Counter = Counter()
+        for s in kept_sets:
+            for t in s:
+                ca[t] += 1
+            for a, b in combinations(sorted(s), 2):
+                cp[(a, b)] += 1
+        fln = lambda x: int(np.floor(np.log(np.float64(x)) * 1_000_000))
+        out = {}
+        for (a, b), c in cp.items():
+            if c >= min_pairs:
+                out[(a, b)] = (c, fln(c) + fln(n) - fln(ca[a]) - fln(ca[b]))
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.sketches import cooccurrence_pmi
+
+        rng = np.random.default_rng(21)
+        vocab = [f"t{i:02d}" for i in range(25)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+            for _ in range(150)
+        ] + ["", "t00"]  # empty + single-term docs contribute no pairs
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(4)
+        got = (
+            cooccurrence_pmi(
+                ds, n_docs=len(texts), max_terms_per_doc=8, min_pair_docs=3
+            )
+            .to_pandas()
+            .sort_values(["term_a", "term_b"])
+            .reset_index(drop=True)
+        )
+        want = self._brute(texts, K=8, min_pairs=3)
+        assert len(got) == len(want)
+        for r in got.itertuples():
+            c, pmi = want[(r.term_a, r.term_b)]
+            assert (r.pair_docs, r.pmi_micro) == (c, pmi), (r.term_a, r.term_b)
+
+    def test_first_k_is_document_order(self, ray_session):
+        """K=2 keeps the first two DISTINCT terms in document order —
+        later repeats of an early term don't displace position-3 terms."""
+        import ray.data
+
+        from oscar_ray.stages.sketches import cooccurrence_pmi
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(["b a b c", "a b"]),
+                }
+            )
+        )
+        got = cooccurrence_pmi(
+            ds, n_docs=2, max_terms_per_doc=2, min_pair_docs=2
+        ).to_pandas()
+        # doc0 universe {b,a} (c is 3rd distinct), doc1 {a,b} -> pair (a,b) x2
+        assert len(got) == 1
+        assert (got.term_a[0], got.term_b[0], got.pair_docs[0]) == ("a", "b", 2)
