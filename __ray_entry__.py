@@ -705,6 +705,60 @@ def _text_ccnet_buckets(sf_dir: str):
     return perplexity_buckets(ds, num_parts=32, concurrency=2).sort("doc_id")
 
 
+def _url_canonicalize(sf_dir: str):
+    """URL canonicalization (stages/urls.py::canonicalize_urls — the
+    crawl-dedup pre-step): scheme/host lowercase, default ports stripped,
+    empty path -> '/', query params deduped of utm_* + sorted, fragment
+    dropped; all arrow kernels (extract_regex + explode/lexsort/rebuild
+    for the param sort). Fixture: messy URLs synthesized per doc_id
+    (mixed-case scheme/host, default + non-default ports, unsorted params
+    with a tracking param, fragments); the oracle re-parses the SAME
+    strings with DuckDB regexp/list functions — two independent
+    implementations of the pinned rule."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.urls import canonicalize_urls
+
+    def mk(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        scheme = np.where(did % 2 == 0, "HTTP", "https").astype(object)
+        host = "WWW" + (did % 5).astype(str).astype(object) + ".Example.COM"
+        port = np.where(
+            did % 3 == 0,
+            np.where(did % 2 == 0, ":80", ":443").astype(object),
+            np.where(did % 3 == 1, ":8080", "").astype(object),
+        )
+        query = (
+            "?b=" + (did % 3).astype(str).astype(object)
+            + "&utm_source=feed&a=" + (did % 7).astype(str).astype(object)
+        )
+        frag = np.where(did % 2 == 0, "#s1", "").astype(object)
+        url = (
+            scheme + "://" + host + port
+            + "/p/" + did.astype(str).astype(object) + query + frag
+        )
+        u = pa.array(url, type=pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": u,
+                "canonical_url": canonicalize_urls(u),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(mk, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def _text_cooccurrence(sf_dir: str):
     """Collocation extraction (stages/sketches.py::cooccurrence_pmi):
     first-16 distinct terms per doc -> vectorized pair expansion -> one
@@ -1745,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
         "text_cooccurrence": _text_cooccurrence,
+        "url_canonicalize": _url_canonicalize,
         "link_anchor_stats": _link_anchor_stats,
         "search_bm25_anchor": _search_bm25_anchor,
         "rel_order_lineitem_join": _rel_order_lineitem_join,
@@ -3040,6 +3095,47 @@ def oracle_sql() -> dict[str, str]:
         # distributed PageRank vs the unrolled integer CTE chain
         "graph_pagerank": _pagerank_sql(5),
         "graph_hits": _hits_sql(3),
+        "url_canonicalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                     || '://WWW' || (doc_id % 5) || '.Example.COM'
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+                     || '/p/' || doc_id
+                     || '?b=' || (doc_id % 3) || '&utm_source=feed&a=' || (doc_id % 7)
+                     || (CASE WHEN doc_id % 2 = 0 THEN '#s1' ELSE '' END) AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM u),
+            c AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+                     regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                     (CASE WHEN contains(auth, '@')
+                           THEN regexp_extract(auth, '^([^@]*)@', 1) || '@'
+                           ELSE '' END) AS userpfx,
+                     scheme, path,
+                     array_to_string(
+                       list_sort(list_filter(string_split(q, '&'),
+                                 x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                       '&') AS q2
+              FROM p)
+            SELECT doc_id, url,
+                   scheme || '://' || userpfx || host
+                   || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                OR (scheme = 'https' AND port = '443')
+                            THEN '' ELSE ':' || port END)
+                   || (CASE WHEN path = '' THEN '/' ELSE path END)
+                   || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical_url
+            FROM c ORDER BY doc_id
+        """,
         "text_cooccurrence": """
             WITH tokarr AS (
               SELECT doc_id,

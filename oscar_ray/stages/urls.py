@@ -206,3 +206,90 @@ def filter_denied_domains(
         return batch.filter(pc.if_else(pc.is_valid(bad), pc.invert(bad), True))
 
     return ds.map_batches(_gate, batch_format="pyarrow", concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (the crawl-dedup pre-step): one pinned, vectorized
+# normal form so syntactic variants of the same resource collapse before
+# exact/URL dedup. Rule (documented envelope — no IDN/percent-encoding
+# normalization, userinfo kept verbatim):
+#   1. scheme and host lowercase
+#   2. default ports stripped (http:80, https:443)
+#   3. empty path -> "/"
+#   4. query: params split on '&'; empties and 'utm_'-prefixed tracking
+#      params dropped; remainder sorted lexicographically (whole "k=v"
+#      string, duplicates kept); '?' dropped when nothing remains
+#   5. fragment stripped
+# Strings that don't parse as scheme://... URLs pass through UNCHANGED.
+# --------------------------------------------------------------------------
+
+_URL_PAT = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<auth>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$"
+)
+_AUTH_PAT = r"^(?:(?P<user>[^@]*)@)?(?P<host>[^:]*)(?::(?P<port>[0-9]*))?$"
+
+
+def _canon_queries(query: pa.Array) -> pa.Array:
+    """Vectorized param filter+sort: explode -> lexsort -> rebuild lists."""
+    n = len(query)
+    lists = pc.split_pattern(pc.fill_null(query, ""), pattern="&")
+    parent = np.asarray(pc.list_parent_indices(lists), dtype=np.int64)
+    flat = pc.list_flatten(lists)
+    keep = pc.and_(
+        pc.not_equal(flat, ""), pc.invert(pc.starts_with(flat, pattern="utm_"))
+    )
+    parent = parent[np.asarray(keep)]
+    flat = flat.filter(keep)
+    params = flat.to_numpy(zero_copy_only=False).astype(str)
+    order = np.lexsort((params, parent))
+    counts = np.bincount(parent, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    sorted_lists = pa.ListArray.from_arrays(pa.array(offsets), flat.take(pa.array(order)))
+    return pc.binary_join(sorted_lists, "&")
+
+
+def canonicalize_urls(urls) -> pa.Array:
+    """One canonical string per input url (see module rule above)."""
+    urls = _combine(urls)
+    parts = pc.extract_regex(urls, pattern=_URL_PAT)
+    valid = parts.is_valid()
+    # null structs (non-URLs): run the kernels on "" placeholders, then
+    # if_else the originals back in at the end
+    def f(name):
+        return pc.fill_null(pc.struct_field(parts, name), "")
+
+    auth = pc.extract_regex(f("auth"), pattern=_AUTH_PAT)
+
+    def a(name):
+        return pc.fill_null(pc.struct_field(auth, name), "")
+
+    scheme = pc.utf8_lower(f("scheme"))
+    host = pc.utf8_lower(a("host"))
+    port = a("port")
+    user = a("user")
+    default_port = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+    )
+    port_sfx = pc.if_else(
+        pc.or_(default_port, pc.equal(port, "")),
+        "",
+        pc.binary_join_element_wise(":", port, ""),
+    )
+    # the user group only matches when an '@' was present, but '' user
+    # ("@host") still needs the separator — distinguish via raw auth
+    has_at = pc.match_substring(f("auth"), pattern="@")
+    user_pfx = pc.if_else(
+        has_at, pc.binary_join_element_wise(user, "@", ""), ""
+    )
+    path = pc.if_else(pc.equal(f("path"), ""), "/", f("path"))
+    q = _canon_queries(f("query"))
+    q_sfx = pc.if_else(
+        pc.equal(q, ""), "", pc.binary_join_element_wise("?", q, "")
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, "://", user_pfx, host, port_sfx, path, q_sfx, ""
+    )
+    return pc.if_else(valid, canon, urls)

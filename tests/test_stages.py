@@ -3892,3 +3892,36 @@ class TestCooccurrencePMI:
         # doc0 universe {b,a} (c is 3rd distinct), doc1 {a,b} -> pair (a,b) x2
         assert len(got) == 1
         assert (got.term_a[0], got.term_b[0], got.pair_docs[0]) == ("a", "b", 2)
+
+
+class TestCanonicalizeUrls:
+    """URL canonical form (urls.canonicalize_urls), pure-kernel op."""
+
+    def test_pinned_rule(self):
+        from oscar_ray.stages.urls import canonicalize_urls
+
+        cases = {
+            "HTTP://WWW.Ex.COM:80/p/1?b=2&utm_source=f&a=9#frag":
+                "http://www.ex.com/p/1?a=9&b=2",
+            "https://a.com": "https://a.com/",
+            "https://a.com:443?z=1&y=2&y=2": "https://a.com/?y=2&y=2&z=1",
+            "http://u:pw@H.io:8080/x": "http://u:pw@h.io:8080/x",
+            "https://b.com/p?utm_a=1&utm_b=2": "https://b.com/p",
+            "http://a.com:8080/": "http://a.com:8080/",
+            "ftp://Host/Path": "ftp://host/Path",  # path case preserved
+            "not a url": "not a url",  # non-URL passes through
+            "": "",
+        }
+        got = canonicalize_urls(pa.array(list(cases), type=pa.string()))
+        assert got.to_pylist() == list(cases.values())
+
+    def test_idempotent_and_nulls(self):
+        from oscar_ray.stages.urls import canonicalize_urls
+
+        urls = pa.array(
+            ["HTTPS://A.B:443/x?b=1&a=2#f", None, "http://q.r/?utm_x=1"],
+            type=pa.string(),
+        )
+        once = canonicalize_urls(urls)
+        assert canonicalize_urls(once).to_pylist() == once.to_pylist()
+        assert once[1].as_py() is None
