@@ -93,6 +93,13 @@ class IndexBuildConfig:
     shard_fragments: int = 4  # input row-groups per stage-A shard
     dedup_urls: bool = True
     url_partitions: int = 16  # docmeta hash-partition count (dedup parallelism)
+    # dedup on the CANONICAL url (stages/urls.py::canonicalize_urls — the
+    # pinned crawl normal form) instead of the raw string: syntactic
+    # variants (case, default ports, fragments, param order, utm_*) of one
+    # resource collapse to one live doc. Docmeta stores the canonical form
+    # alongside the raw url (`curl` column) and partition routing keys on
+    # it so variants co-locate; hydration/display keep the raw url.
+    canonical_url_dedup: bool = False
     # substring search support (the reference's suffix-string insertion,
     # ``SampleSuffixStringsContainer``/suffixDelimeters, SURVEY.md M5):
     # every proper suffix (len >= min_suffix_len) of every token is indexed
@@ -374,10 +381,16 @@ class TokenizeShardWorker:
             "url": url_arr,
             "doclen": pa.array(doclen_per_row, type=pa.int64()),
         }
+        route_arr = url_arr
+        if cfg.canonical_url_dedup:
+            from oscar_ray.stages.urls import canonicalize_urls
+
+            route_arr = canonicalize_urls(url_arr)
+            meta_cols["curl"] = route_arr
         if cfg.lang_column:
             meta_cols["lang"] = tbl[cfg.lang_column]
         meta_tbl = pa.table(meta_cols)
-        url_parts = layout.term_partitions_np(url_arr.to_pylist(), cfg.url_partitions)
+        url_parts = layout.term_partitions_np(route_arr.to_pylist(), cfg.url_partitions)
         uorder = np.argsort(url_parts, kind="stable")
         meta_tbl = meta_tbl.take(pa.array(uorder))
         up_sorted = url_parts[uorder]
@@ -1165,25 +1178,27 @@ def _stage_b_task(part: int, cfg: dict, out_dir: str, stats: dict, tombstones_re
 
 
 @ray.remote(num_cpus=1)
-def _dedup_part_task(out_dir: str, url_part: int) -> tuple:
+def _dedup_part_task(out_dir: str, url_part: int, use_canonical: bool = False) -> tuple:
     """Find tombstones within one url-hash partition of docmeta.
 
     All rows of any url live in exactly one partition (crc32 routing at
-    stage-A write), so dedup needs no exchange: sort by (url, docid),
-    mark every row whose url equals its predecessor's.
+    stage-A write — on the CANONICAL url when canonical_url_dedup, so
+    variants still co-locate), so dedup needs no exchange: sort by
+    (url, docid), mark every row whose url equals its predecessor's.
     """
     files = layout.docmeta_files(out_dir, url_part)
     if not files:
         return np.empty(0, dtype=np.int64), 0
+    key_col = "curl" if use_canonical else "url"
     t = pa.concat_tables(
-        pq.read_table(f, columns=["docid", "url", "doclen"]) for f in files
+        pq.read_table(f, columns=["docid", key_col, "doclen"]) for f in files
     )
     import pandas as pd
 
     df = pd.DataFrame(
         {
             "docid": t["docid"].to_numpy(),
-            "url": t["url"].to_pylist(),
+            "url": t[key_col].to_pylist(),
             "doclen": t["doclen"].to_numpy(),
         }
     ).sort_values(["url", "docid"], kind="mergesort")
@@ -1227,7 +1242,10 @@ def _dedup_and_stats(
         return np.empty(0, dtype=np.int64), _stats(0, 0)
 
     results = ray.get(
-        [_dedup_part_task.remote(out_dir, p) for p in range(cfg.url_partitions)]
+        [
+            _dedup_part_task.remote(out_dir, p, cfg.canonical_url_dedup)
+            for p in range(cfg.url_partitions)
+        ]
     )
     tombstones = np.sort(np.concatenate([r[0] for r in results])).astype(np.int64)
     tomb_dl = int(sum(r[1] for r in results))

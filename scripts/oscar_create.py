@@ -58,6 +58,12 @@ def main():
         "proximity '\"a b\"~k' queries; ~2x postings bytes)",
     )
     ap.add_argument(
+        "--canonical-urls",
+        action="store_true",
+        help="dedup on the canonical url form (case/port/fragment/param-"
+        "order/utm_* variants collapse to one live doc)",
+    )
+    ap.add_argument(
         "--anchors",
         action="store_true",
         help="anchor-text inheritance (the region-inherited-strings "
@@ -117,6 +123,8 @@ def main():
         fields["field_columns"] = args.fields.split(",")
     if args.payload_dedup:
         fields["payload_dedup"] = True
+    if args.canonical_urls:
+        fields["canonical_url_dedup"] = True
     if args.positions:
         fields["index_positions"] = True
     if args.extractor:

@@ -599,3 +599,44 @@ class TestKillResumeCli:
         ha = _artifact_hashes(clean_dir)
         hb = _artifact_hashes(kill_dir)
         assert ha == hb and len(ha) > 0
+
+
+class TestCanonicalUrlDedup:
+    def _pages(self, path):
+        import pyarrow as pa
+
+        # three urls that canonicalize to ONE resource + one distinct
+        rows = [
+            {"url": "HTTP://A.com:80/x?b=1&a=1#f", "text": "alpha beta"},
+            {"url": "http://a.com/x?a=1&b=1", "text": "alpha gamma"},
+            {"url": "http://a.com/x?b=1&a=1&utm_source=z", "text": "alpha delta"},
+            {"url": "http://b.com/y", "text": "alpha epsilon"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), path)
+
+    def test_variants_collapse_to_one_live_doc(self, ray_session, tmp_path):
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+        from oscar_ray.query.engine import QueryEngine
+
+        src = tmp_path / "pages.parquet"
+        self._pages(str(src))
+        kw = dict(
+            num_partitions=2, block_span_bits=10, shard_fragments=1,
+            lang_column=None,
+        )
+        m = build_index(
+            str(src), str(tmp_path / "idx_canon"),
+            IndexBuildConfig(canonical_url_dedup=True, **kw),
+        )
+        assert m["stats"]["n_duplicates"] == 2  # docids 1, 2 tombstoned
+        eng = QueryEngine(str(tmp_path / "idx_canon"))
+        ids, _ = eng.search("alpha", k=10)
+        assert sorted(ids) == [0, 3]
+        # raw-string dedup keeps all four (urls differ byte-wise)
+        m2 = build_index(
+            str(src), str(tmp_path / "idx_raw"), IndexBuildConfig(**kw)
+        )
+        assert m2["stats"]["n_duplicates"] == 0
+        eng2 = QueryEngine(str(tmp_path / "idx_raw"))
+        ids2, _ = eng2.search("alpha", k=10)
+        assert sorted(ids2) == [0, 1, 2, 3]
