@@ -1737,6 +1737,65 @@ def _mm_video_frames(sf_dir: str):
     )
 
 
+def _text_c4_filters(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over documents.
+
+    The synthetic corpus has neither newlines nor punctuation, so the
+    pinned ruleset maps the SAME machinery onto the vocab: " line " is
+    the line break, a 9-word terminal set stands in for terminal
+    punctuation, "slow" for "javascript" (stages/c4.py module doc; the
+    REAL C4 defaults are pytest-exercised over a punctuation fixture).
+    """
+    import functools
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.c4 import C4Rules, c4_line_filter
+
+    rules = C4Rules(
+        line_sep=" line ",
+        terminal_regex=r"(data|merge|sort|join|key|row|table|scan|agg)$",
+        min_words=2,
+        bad_line_substr="slow",
+        min_sentences=3,
+        sentence_regex=r"(data|merge|sort|join|key|row|table|scan|agg)",
+        bad_doc_substr="",
+        brace_doc_filter=True,
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        functools.partial(c4_line_filter, rules=rules), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def _dedup_keep_best(sf_dir: str):
+    """Keep-best-copy dedup: one survivor per n-gram-Jaccard cluster,
+    argmax n_chars (tie -> min doc_id); singleton docs survive as their
+    own cluster. Join + packed-max groupby (stages/dedup.py)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import (
+        cluster_pairs,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(ds, n=NGRAM_N, tau=JACCARD_TAU, max_shingle_df=MAX_SHINGLE_DF)
+    labels = cluster_pairs(pairs)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return keep_best_per_cluster(docs, labels, score_col="n_chars").sort("cluster_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_term_stats": _search_term_stats,
@@ -1775,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep_best": _dedup_keep_best,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "text_token_stats": _text_token_stats,
@@ -1796,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_warc_roundtrip": _text_warc_roundtrip,
         "text_domain_stats": _text_domain_stats,
         "text_ccnet_buckets": _text_ccnet_buckets,
+        "text_c4_filters": _text_c4_filters,
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
         "text_cooccurrence": _text_cooccurrence,
@@ -2677,6 +2738,68 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY h
         """,
         "dedup_ngram_jaccard": _ngram_pairs_sql() + " ORDER BY a_id, b_id",
+        "dedup_keep_best": f"""
+            WITH RECURSIVE p AS (
+                SELECT * FROM ({_ngram_pairs_sql()}) q
+            ),
+            nodes AS (SELECT a_id AS id FROM p UNION SELECT b_id FROM p),
+            edges AS (SELECT a_id AS u, b_id AS v FROM p
+                      UNION ALL SELECT b_id, a_id FROM p),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+            ),
+            cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY id),
+            alld AS (
+                SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_docs
+                FROM alld
+            )
+            SELECT cluster_id::BIGINT AS cluster_id,
+                   doc_id::BIGINT AS best_doc_id,
+                   n_chars::BIGINT AS best_n_chars,
+                   n_docs::BIGINT AS n_docs
+            FROM ranked WHERE rn = 1 ORDER BY cluster_id
+        """,
+        "text_c4_filters": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_transform(string_split(text, ' line '),
+                                      x -> trim(x, ' ' || chr(9) || chr(13))) AS ls
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+                       list_filter(ls, x ->
+                           regexp_matches(x, '(data|merge|sort|join|key|row|table|scan|agg)$')
+                           AND len(regexp_extract_all(x, '\\S+')) >= 2
+                           AND NOT contains(lower(x), 'slow')) AS kept
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, text, n_lines, len(kept)::BIGINT AS n_kept,
+                       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+                FROM f
+            )
+            SELECT doc_id, n_lines, n_kept,
+                   len(regexp_extract_all(text_clean,
+                       '(data|merge|sort|join|key|row|table|scan|agg)'))::BIGINT
+                       AS n_sentences,
+                   CAST((len(regexp_extract_all(text_clean,
+                             '(data|merge|sort|join|key|row|table|scan|agg)')) >= 3
+                         AND NOT contains(text, '{')) AS INTEGER) AS keep,
+                   text_clean
+            FROM g ORDER BY doc_id
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE p AS (
                 SELECT * FROM ({_ngram_pairs_sql()}) q

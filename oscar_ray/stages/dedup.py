@@ -1227,3 +1227,77 @@ def cluster_pairs_ds(
         if not changed:
             break
     return ray.data.from_arrow_refs([_cc_to_table.remote(l) for l in labels_p])
+
+
+# ---------------------------------------------------------------------------
+# cluster survivor selection
+
+
+def keep_best_per_cluster(
+    docs: ray.data.Dataset,
+    clusters: ray.data.Dataset | pa.Table,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """One survivor per near-dup cluster: argmax ``score_col``, tie -> min id.
+
+    The canonical LLM-corpus dedup policy "keep the best copy, not the
+    first copy": every document joins its connected-component label
+    (docs in no pair form singleton clusters, label = own id), then a
+    single groupby picks the representative. -> Dataset(cluster_id,
+    best_doc_id, best_<score_col>, n_docs), one row per cluster.
+
+    Scale shape: ONE partitioned hash join (docs x labels, both sides
+    streamed through the same hash(key)%num_parts exchange) + ONE
+    groupby over a PACKED int64 max — argmax without a sort or a
+    per-group Python call. Packing is exact while ``score < 2^23`` and
+    ``doc_id < 2^40`` (asserted): ``packed = score * 2^40 +
+    (2^40 - 1 - doc_id)`` so max(packed) orders by (score DESC, id ASC).
+
+    Reference analog: the reference keeps the FIRST item per duplicate
+    group (`OsmKeyValueObjectStore` insertion order); this is the
+    scored generalization the curation brief needs.
+    """
+    from ray.data.aggregate import Count, Max
+
+    from oscar_ray.stages.joins import hash_join
+
+    if isinstance(clusters, pa.Table):
+        clusters = ray.data.from_arrow(clusters)
+    joined = hash_join(
+        docs, clusters, on=id_col, how="left", num_parts=num_parts
+    )
+
+    id_span = np.int64(1) << np.int64(40)
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        cl = pc.cast(pc.coalesce(t["cluster_id"], ids), pa.int64())
+        ids_np = ids.to_numpy()
+        score = t[score_col].to_numpy().astype(np.int64)
+        assert score.size == 0 or (
+            score.max() < (1 << 23) and score.min() >= 0
+        ), "score out of packed range"
+        assert ids_np.size == 0 or ids_np.max() < id_span, "doc_id >= 2^40"
+        packed = score * id_span + (id_span - np.int64(1) - ids_np)
+        return pa.table({"cluster_id": cl, "packed": pa.array(packed)})
+
+    agg = (
+        joined.map_batches(pack, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Max("packed"), Count())
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t["max(packed)"].to_numpy()
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "best_doc_id": pa.array(id_span - np.int64(1) - packed % id_span),
+                f"best_{score_col}": pa.array(packed // id_span),
+                "n_docs": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

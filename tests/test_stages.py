@@ -3925,3 +3925,165 @@ class TestCanonicalizeUrls:
         once = canonicalize_urls(urls)
         assert canonicalize_urls(once).to_pylist() == once.to_pylist()
         assert once[1].as_py() is None
+
+
+class TestC4Filters:
+    """stages/c4.py: C4 line-level cleaning, REAL published rules."""
+
+    DOCS = [
+        # keeps 5 sentences -> survives
+        "This is a good first sentence.\nShort.\nAnother fine sentence here!"
+        "\nIs this kept?\nYes it is kept.\nAnd one more to pass five.",
+        # javascript line dropped, still 5 kept -> survives
+        "enable javascript to view this page.\nA real sentence stands here."
+        "\nB real sentence stands here.\nC real sentence stands here."
+        "\nD real sentence stands here.\nE real sentence stands here.",
+        # lorem ipsum -> doc dropped even with 5 sentences
+        "Lorem Ipsum dolor sit amet one.\nTwo more words here today fine."
+        "\nThree more words here today fine.\nFour more words here today fine."
+        "\nFive more words here today fine.",
+        # curly brace -> doc dropped
+        "function f() { return 1; }\nA real sentence stands here."
+        "\nB real sentence stands here.\nC real sentence stands here."
+        "\nD real sentence stands here.\nE real sentence stands here.",
+        # no terminal punctuation anywhere -> nothing kept
+        "no terminal punctuation at all\nstill none here\nnothing",
+        # trimming: spaces/tabs/CR stripped; 2-word line dropped (min 3)
+        '  Trimmed line with spaces.  \nTab\ttrailing.\r\nQuote ends "here."'
+        "\nFour word sentence okay.\nFive word sentence okay too.",
+    ]
+
+    def _reference(self, text: str) -> dict:
+        """Row-wise Python oracle of the published C4 rules."""
+        import re
+
+        lines = [ln.strip(" \t\r") for ln in text.split("\n")]
+        kept = [
+            ln
+            for ln in lines
+            if re.search(r'[.!?"]$', ln)
+            and len(re.findall(r"\S+", ln)) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", clean))
+        keep = (
+            n_sent >= 5
+            and "lorem ipsum" not in text.lower()
+            and "{" not in text
+        )
+        return {
+            "n_lines": len(lines),
+            "n_kept": len(kept),
+            "n_sentences": n_sent,
+            "keep": int(keep),
+            "text_clean": clean,
+        }
+
+    def test_real_rules_match_rowwise_reference(self):
+        import pyarrow as pa
+
+        from oscar_ray.stages.c4 import c4_line_filter
+
+        t = pa.table({"doc_id": list(range(len(self.DOCS))), "text": self.DOCS})
+        out = c4_line_filter(t).to_pandas()
+        assert out.keep.tolist()[:6] == [1, 1, 0, 0, 0, 0]
+        for i, row in out.iterrows():
+            want = self._reference(self.DOCS[i])
+            for k, v in want.items():
+                assert row[k] == v, (i, k, row[k], v)
+
+    def test_empty_and_null_text(self):
+        import pyarrow as pa
+
+        from oscar_ray.stages.c4 import c4_line_filter
+
+        t = pa.table(
+            {"doc_id": [0, 1], "text": pa.array(["", None], type=pa.string())}
+        )
+        out = c4_line_filter(t).to_pandas()
+        assert out.n_kept.tolist() == [0, 0]
+        assert out.keep.tolist() == [0, 0]
+        assert out.text_clean.tolist() == ["", ""]
+
+    def test_dataset_helper(self, ray_session):
+        import ray.data
+
+        from oscar_ray.stages.c4 import c4_clean_documents
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": d} for i, d in enumerate(self.DOCS)]
+        )
+        out = c4_clean_documents(ds, stats_only=True).to_pandas()
+        assert set(out.columns) == {"doc_id", "n_lines", "n_kept", "n_sentences", "keep"}
+        assert len(out) == len(self.DOCS)
+
+
+class TestKeepBestPerCluster:
+    def test_argmax_and_singletons(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import keep_best_per_cluster
+
+        # clusters: {1,2,5} labeled 1, {3,7} labeled 3; 4 and 6 singletons
+        labels = pa.table(
+            {"doc_id": [1, 2, 5, 3, 7], "cluster_id": [1, 1, 1, 3, 3]}
+        )
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "n_chars": 10},
+                {"doc_id": 2, "n_chars": 30},
+                {"doc_id": 3, "n_chars": 7},
+                {"doc_id": 4, "n_chars": 99},
+                {"doc_id": 5, "n_chars": 30},  # ties doc 2 -> min id wins
+                {"doc_id": 6, "n_chars": 1},
+                {"doc_id": 7, "n_chars": 7},  # ties doc 3 -> min id wins
+            ]
+        )
+        out = (
+            keep_best_per_cluster(docs, labels, num_parts=4)
+            .to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True)
+        )
+        assert out.cluster_id.tolist() == [1, 3, 4, 6]
+        assert out.best_doc_id.tolist() == [2, 3, 4, 6]
+        assert out.best_n_chars.tolist() == [30, 7, 99, 1]
+        assert out.n_docs.tolist() == [3, 2, 1, 1]
+
+    def test_num_parts_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import keep_best_per_cluster
+
+        rng = np.random.default_rng(7)
+        n = 400
+        ids = np.arange(n)
+        # ~50 clusters of varying size over the first 300 docs
+        cl = rng.integers(0, 50, size=300)
+        lab = pa.table(
+            {"doc_id": ids[:300], "cluster_id": cl.astype(np.int64)}
+        )
+        docs = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": ids, "n_chars": rng.integers(1, 1000, size=n)}
+            )
+        )
+        a = (
+            keep_best_per_cluster(docs, lab, num_parts=2)
+            .to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            keep_best_per_cluster(docs, lab, num_parts=16)
+            .to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
