@@ -1796,6 +1796,26 @@ def _dedup_keep_best(sf_dir: str):
     return keep_best_per_cluster(docs, labels, score_col="n_chars").sort("cluster_id")
 
 
+def _dedup_bloom(sf_dir: str):
+    """Bloom-filter first-seen dedup (Dolma BFF pattern; stages/bloom.py).
+
+    SQL-oracled as EXACT first-seen dedup: at this scale with
+    m_bits=2^26 and k=4 the false-positive probability is ~1e-18 per
+    doc and the pipeline is bit-deterministic, so the approximate
+    engine provably coincides with the exact rule (the approximate
+    regime itself is pytest-exercised under a tiny bitmap)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.bloom import bloom_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bloom_dedup(ds).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_term_stats": _search_term_stats,
@@ -1835,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_best": _dedup_keep_best,
+        "dedup_bloom": _dedup_bloom,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "text_token_stats": _text_token_stats,
@@ -2738,6 +2759,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY h
         """,
         "dedup_ngram_jaccard": _ngram_pairs_sql() + " ORDER BY a_id, b_id",
+        "dedup_bloom": """
+            SELECT doc_id,
+                   CAST(doc_id = min(doc_id) OVER (PARTITION BY text)
+                        AS INTEGER) AS kept
+            FROM documents ORDER BY doc_id
+        """,
         "dedup_keep_best": f"""
             WITH RECURSIVE p AS (
                 SELECT * FROM ({_ngram_pairs_sql()}) q

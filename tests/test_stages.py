@@ -4087,3 +4087,82 @@ class TestKeepBestPerCluster:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBloomDedup:
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        texts = [
+            " ".join(rng.choice(["a", "b", "c", "d"], size=12).tolist()) + f" u{i}"
+            for i in range(400)
+        ]
+        # plant dup groups: ids 400.. copy earlier texts
+        dups = [(400 + j, texts[j * 3]) for j in range(30)]
+        ids = list(range(400)) + [i for i, _ in dups]
+        return ids, texts + [t for _, t in dups]
+
+    def test_large_m_equals_exact_first_seen(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.bloom import bloom_dedup
+
+        ids, texts = self._corpus()
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        out = (
+            bloom_dedup(ds, m_bits=1 << 24)
+            .to_pandas()
+            .set_index("doc_id")
+            .kept.sort_index()
+        )
+        first = {}
+        for i, t in sorted(zip(ids, texts)):
+            first.setdefault(t, i)
+        for i, t in zip(ids, texts):
+            assert out[i] == int(first[t] == i), i
+
+    def test_no_false_negatives_under_fp_pressure(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.bloom import bloom_dedup
+
+        ids, texts = self._corpus()
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        out = (
+            bloom_dedup(ds, m_bits=1 << 8, k=4, num_parts=2, chunk_rows=16)
+            .to_pandas()
+            .set_index("doc_id")
+            .kept
+        )
+        # every non-first copy of a duplicate group MUST be dropped
+        for j in range(30):
+            assert out[400 + j] == 0
+        # and FPs exist at this fill level (the approximate regime is live)
+        assert out.sum() < 400
+
+    def test_deterministic(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.bloom import bloom_dedup
+
+        ids, texts = self._corpus()
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        kw = dict(m_bits=1 << 10, k=3, num_parts=4, chunk_rows=32)
+        a = bloom_dedup(ds, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = bloom_dedup(ds, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_power_of_two_guard(self, ray_session):
+        import pytest
+        import ray.data
+
+        from oscar_ray.stages.bloom import bloom_dedup
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "x"}])
+        with pytest.raises(AssertionError):
+            bloom_dedup(ds, m_bits=1000)
