@@ -155,6 +155,9 @@ def curate_corpus(
     concurrency: int = 4,
     output: str = "packed",
     coalesce_blocks: int | None = None,
+    c4_rules=None,
+    dedup: str = "exact",
+    bloom_mbits: int = 1 << 26,
 ) -> ray.data.Dataset:
     """documents(doc_id, text, lang) -> packed training-sequence layout
     (doc_id, n_tokens, cum_before, seq_id, seq_offset, n_seqs) over the
@@ -163,7 +166,30 @@ def curate_corpus(
     ``output="corpus"`` stops after the span-dedup rewrite and returns
     the curated corpus itself (doc_id, text, n_spans) — the shape the
     index builder consumes (``oscar_create --id-column doc_id``), so
-    curation chains straight into index construction."""
+    curation chains straight into index construction.
+
+    ``c4_rules`` (a :class:`oscar_ray.stages.c4.C4Rules`) prepends C4
+    line-level cleaning: downstream stages see ``text_clean`` and only
+    keep==1 docs. ``dedup="bloom"`` swaps the exact keep-first stage for
+    the pinned-memory Bloom first-seen filter (``bloom_mbits`` bits per
+    partition; stages/bloom.py for the FP contract)."""
+    if c4_rules is not None:
+        # C4 line-level cleaning FIRST (the published order: line rules,
+        # then doc gates, then everything downstream sees text_clean)
+        import pyarrow.compute as _pc
+
+        from oscar_ray.stages.c4 import c4_line_filter
+
+        def c4_pass(t: pa.Table) -> pa.Table:
+            lang = t["lang"] if "lang" in t.column_names else None
+            out = c4_line_filter(t, rules=c4_rules)
+            cols = {"doc_id": out["doc_id"], "text": out["text_clean"]}
+            if lang is not None:
+                cols["lang"] = lang
+            kept = pa.table(cols).filter(_pc.equal(out["keep"], 1))
+            return kept
+
+        ds = ds.map_batches(c4_pass, batch_format="pyarrow")
     gated = ds.map_batches(
         CurateGate,
         fn_constructor_kwargs={
@@ -176,9 +202,16 @@ def curate_corpus(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    deduped = exact_dedup_keep(
-        gated, num_parts=num_parts, coalesce_blocks=coalesce_blocks
-    )
+    if dedup == "bloom":
+        from oscar_ray.stages.bloom import bloom_dedup_keep
+
+        deduped = bloom_dedup_keep(
+            gated, m_bits=bloom_mbits, num_parts=num_parts
+        )
+    else:
+        deduped = exact_dedup_keep(
+            gated, num_parts=num_parts, coalesce_blocks=coalesce_blocks
+        )
     rewritten = dedup_spans(
         deduped,
         k=span_k,

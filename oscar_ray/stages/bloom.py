@@ -64,9 +64,20 @@ def _splitmix64_np(x: np.ndarray) -> np.ndarray:
 
 
 def _bloom_part(
-    t: pa.Table, m_bits: int, k: int, chunk_rows: int, id_col: str
+    t: pa.Table,
+    m_bits: int,
+    k: int,
+    chunk_rows: int,
+    id_col: str,
+    keep_rows: bool = False,
 ) -> pa.Table:
-    """One partition: sorted first-seen pass over its (doc_id, h1) rows."""
+    """One partition: sorted first-seen pass over its (doc_id, h1) rows.
+
+    ``keep_rows=False`` -> verdict table (id_col, kept int32);
+    ``keep_rows=True`` -> the SURVIVING input rows themselves (sorted by
+    id, routing columns dropped) — the filter shape pipelines consume.
+    """
+    t = t.combine_chunks()
     ids = t[id_col].to_numpy().astype(np.int64)
     h1 = t["h1"].to_numpy().astype(np.uint64)
     order = np.argsort(ids, kind="stable")
@@ -93,6 +104,9 @@ def _bloom_part(
         # later cross-chunk copies must always test positive
         fw, fb = word[:, is_first], bit[:, is_first]
         np.bitwise_or.at(bitmap, fw.ravel(), fb.ravel())
+    if keep_rows:
+        surv = t.take(pa.array(order[kept])) if kept.any() else t.slice(0, 0)
+        return surv.drop_columns([c for c in ("h1", "part") if c in t.column_names])
     return pa.table(
         {
             id_col: pa.array(ids),
@@ -145,6 +159,48 @@ def bloom_dedup(
                 k=k,
                 chunk_rows=chunk_rows,
                 id_col=id_col,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def bloom_dedup_keep(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 26,
+    k: int = 4,
+    num_parts: int = 16,
+    chunk_rows: int = 1 << 16,
+) -> ray.data.Dataset:
+    """First-seen dedup returning the SURVIVING rows with all their
+    columns — the pinned-memory drop-in for
+    :func:`dedup.exact_dedup_keep` (same keep-lowest-id rule; plus the
+    bounded FP budget documented in the module header). All input
+    columns travel through the one routed exchange, exactly like the
+    exact path."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    import functools
+
+    def route(batch: pa.Table) -> pa.Table:
+        h1 = hash_strings_u64(batch[text_col])
+        batch = batch.append_column("h1", pa.array(h1))
+        return batch.append_column(
+            "part", pa.array((h1 % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            functools.partial(
+                _bloom_part,
+                m_bits=m_bits,
+                k=k,
+                chunk_rows=chunk_rows,
+                id_col=id_col,
+                keep_rows=True,
             ),
             batch_format="pyarrow",
         )

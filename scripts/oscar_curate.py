@@ -92,6 +92,21 @@ def main():
     )
     ap.add_argument("--dsir-seed", type=int, default=1,
                     help="Gumbel hashed-uniform seed for --dsir-k")
+    ap.add_argument(
+        "--dedup", choices=("exact", "bloom"), default="exact",
+        help="exact keep-first (O(distinct) state) or Bloom first-seen "
+        "(pinned bitmap per partition, bounded FP rate)",
+    )
+    ap.add_argument("--bloom-mbits", type=int, default=1 << 26,
+                    help="Bloom bitmap bits per partition (power of two)")
+    ap.add_argument(
+        "--c4", action="store_true",
+        help="C4 line-level cleaning first (published Raffel et al. rules)",
+    )
+    ap.add_argument(
+        "--c4-rules", metavar="FILE.json",
+        help="JSON C4Rules override (keys as in oscar_ray.stages.c4.C4Rules)",
+    )
     args = ap.parse_args()
 
     manifest_path = os.path.join(args.out, "_MANIFEST.json")
@@ -201,6 +216,17 @@ def main():
         ds = ds.map_batches(_dsir_filter, batch_format="pyarrow").drop_columns(
             ["source"]
         )
+    c4_rules = None
+    if args.c4 or args.c4_rules:
+        from oscar_ray.stages.c4 import C4Rules
+
+        if args.c4_rules:
+            import json as _json
+
+            with open(args.c4_rules) as f:
+                c4_rules = C4Rules(**_json.load(f))
+        else:
+            c4_rules = C4Rules()
     curated = curate_corpus(
         ds,
         denylist=tuple(sorted(args.denylist.split(","))) if args.denylist else (),
@@ -213,6 +239,9 @@ def main():
         num_parts=args.num_parts,
         concurrency=args.concurrency,
         output="corpus" if args.output in ("tokens", "wet") else args.output,
+        c4_rules=c4_rules,
+        dedup=args.dedup,
+        bloom_mbits=args.bloom_mbits,
     )
     if args.output == "tokens":
         # curate -> train on survivors -> tokenize survivors. The
@@ -305,6 +334,9 @@ def main():
             "dsir_k": args.dsir_k,
             "dsir_target": sorted(args.dsir_target.split(",")) if args.dsir_k else None,
             "dsir_seed": args.dsir_seed if args.dsir_k else None,
+            "dedup": args.dedup,
+            "bloom_mbits": args.bloom_mbits if args.dedup == "bloom" else None,
+            "c4_rules": (c4_rules.__dict__ if c4_rules is not None else None),
         },
         "input_files": len(files),
     }

@@ -4166,3 +4166,89 @@ class TestBloomDedup:
         ds = ray.data.from_items([{"doc_id": 0, "text": "x"}])
         with pytest.raises(AssertionError):
             bloom_dedup(ds, m_bits=1000)
+
+
+class TestCurateVariants:
+    """curate_corpus with bloom dedup / C4 pre-cleaning options."""
+
+    def _docs(self, n=60):
+        texts = [
+            " ".join(f"w{(i % 9) * 3 + j % 5} common tail" for j in range(6))
+            for i in range(n)
+        ]
+        langs = [["en", "es"][i % 2] for i in range(n)]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+
+    def test_bloom_dedup_keep_equals_exact(self, ray_session):
+        import ray.data
+
+        from oscar_ray.pipelines.curate import exact_dedup_keep
+        from oscar_ray.stages.bloom import bloom_dedup_keep
+
+        ds = ray.data.from_arrow(self._docs()).repartition(4)
+        a = sorted(
+            exact_dedup_keep(ds).take_all(), key=lambda r: r["doc_id"]
+        )
+        b = sorted(
+            bloom_dedup_keep(ds, m_bits=1 << 22).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [(r["doc_id"], r["text"], r["lang"]) for r in a] == [
+            (r["doc_id"], r["text"], r["lang"]) for r in b
+        ]
+
+    def test_curate_bloom_equals_curate_exact(self, ray_session):
+        import ray.data
+
+        from oscar_ray.pipelines.curate import curate_corpus
+
+        kw = dict(quality_min_micro=0, output="corpus", num_parts=4, concurrency=2)
+        ds = ray.data.from_arrow(self._docs())
+        a = sorted(
+            curate_corpus(ds, dedup="exact", **kw).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            curate_corpus(ds, dedup="bloom", bloom_mbits=1 << 22, **kw).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b and len(a) > 0
+
+    def test_curate_c4_prepass(self, ray_session):
+        import ray.data
+
+        from oscar_ray.pipelines.curate import curate_corpus
+        from oscar_ray.stages.c4 import C4Rules
+
+        # vocab-adapted rules: " tail " splits lines, "common" is the
+        # terminal mark (the final "... common tail" line gets dropped)
+        rules = C4Rules(
+            line_sep=" tail ",
+            terminal_regex=r"common$",
+            min_words=1,
+            bad_line_substr="",
+            min_sentences=2,
+            sentence_regex=r"common",
+            bad_doc_substr="",
+            brace_doc_filter=False,
+        )
+        ds = ray.data.from_arrow(self._docs())
+        out = curate_corpus(
+            ds,
+            c4_rules=rules,
+            quality_min_micro=0,
+            output="corpus",
+            num_parts=4,
+            concurrency=2,
+        ).take_all()
+        assert len(out) > 0
+        # every surviving text is rebuilt from kept (terminal) lines only
+        for r in out:
+            assert " tail " not in r["text"]
+            assert r["text"].endswith("common")
