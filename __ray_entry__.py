@@ -1796,6 +1796,18 @@ def _dedup_keep_best(sf_dir: str):
     return keep_best_per_cluster(docs, labels, score_col="n_chars").sort("cluster_id")
 
 
+MLT_DOC = 7  # pinned More-Like-This source doc (present at every sf tier)
+MLT_M = 5
+
+
+def _search_more_like_this(sf_dir: str):
+    """Lucene-MLT analog: top-m tf*idf terms of doc MLT_DOC as an OR
+    query over the index; full match set minus the source doc."""
+    from oscar_ray.pipelines.search import more_like_this
+
+    return more_like_this(sf_dir, doc_id=MLT_DOC, m=MLT_M, k=None)
+
+
 def _dedup_bloom(sf_dir: str):
     """Bloom-filter first-seen dedup (Dolma BFF pattern; stages/bloom.py).
 
@@ -1838,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_hybrid_rrf": _search_hybrid_rrf,
         "search_snippets": _search_snippets,
         "search_hydrate": _search_hydrate,
+        "search_more_like_this": _search_more_like_this,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -2355,6 +2368,21 @@ def oracle_sql() -> dict[str, str]:
                 -- dictionary terms, ascending — mirror the cap here
                 SELECT term FROM df WHERE term LIKE '{BM25_PREFIX}%'
                 ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "search_more_like_this": _BM25_BASE
+        + f""",
+            src AS (
+                SELECT tf.term,
+                       tf.tf * ln(1 + (corpus.n_docs - df.df + 0.5)
+                                      / (df.df + 0.5)) AS w
+                FROM tf JOIN df USING (term) CROSS JOIN corpus
+                WHERE tf.doc_id = {MLT_DOC}
+            ),
+            mlt AS (SELECT term FROM src ORDER BY w DESC, term LIMIT {MLT_M})
+            SELECT doc_id, round(sum(score), 4) AS score
+            FROM scores JOIN mlt USING (term)
+            WHERE doc_id <> {MLT_DOC}
             GROUP BY doc_id ORDER BY doc_id
         """,
         "search_bm25_substring": _BM25_BASE

@@ -368,3 +368,67 @@ def kwic_snippets(sf_dir: str, query: str, terms: tuple, window: int = 3):
         batch_format="pyarrow",
         concurrency=2,
     ).sort("doc_id")
+
+
+def more_like_this(
+    sf_dir: str,
+    doc_id: int,
+    m: int = 5,
+    k: int | None = None,
+    round_to: int = 4,
+) -> pa.Table:
+    """Lucene-style More-Like-This: the source doc's top-``m`` tf*idf
+    terms become an OR query; -> (doc_id, score) over the OTHER matching
+    docs (k=None: full set sorted by id; else top-k in rank order).
+
+    Term selection is pinned: tf from the source document's token
+    stream (spec tokenizer), idf from the index's df via the exact
+    ``spec.bm25.bm25_idf`` kernel, top-m by (tf*idf DESC, term ASC) —
+    bit-reproducible in SQL, so the whole chain is hash-oracled
+    (`search_more_like_this`). The OR query is evaluated by the normal
+    engine (block-max pruning and all); query terms are joined in
+    ascending term order so float accumulation matches the engine's
+    pinned union order.
+
+    Reference analog: the item-context workflows in oscar-cmd (seed an
+    item, complete over its own strings, `Workfunctions.cpp` item info
+    + completion chaining); re-expressed as the standard MLT operator.
+    """
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from oscar_ray.spec.bm25 import bm25_idf
+    from oscar_ray.spec.tokenizer import tokenize_text
+
+    idx = documents_index_dir(sf_dir)
+    engine = QueryEngine(idx)
+    reader = engine.reader
+
+    src = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") == doc_id
+    )
+    if len(src) == 0:
+        raise KeyError(f"doc_id {doc_id} not found in {sf_dir}")
+    tf = Counter(tokenize_text(src["text"][0].as_py()))
+    weighted = sorted(
+        (
+            (-(cnt * bm25_idf(reader.postings(t).df, reader.n_docs)), t)
+            for t, cnt in tf.items()
+        ),
+    )[:m]
+    terms = sorted(t for _, t in weighted)
+    # +1: the source doc usually ranks itself first and is then excluded
+    eff_k = (k + 1) if k is not None else 1 << 62
+    ids, scores = engine.search(" + ".join(terms), k=eff_k)
+    keep = ids != np.uint64(doc_id)
+    ids, scores = ids[keep], scores[keep]
+    if k is not None:
+        ids, scores = ids[:k], scores[:k]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "score": pa.array(np.round(scores, round_to), type=pa.float64()),
+        }
+    )
+    return tbl if k is not None else tbl.sort_by("doc_id")

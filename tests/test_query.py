@@ -584,3 +584,51 @@ class TestCmdCliWorkItems:
             assert cf >= df > 0
             cfs.append(cf)
         assert cfs == sorted(cfs, reverse=True)
+
+
+class TestMoreLikeThis:
+    SF = "/root/testdata/sf0.001"
+
+    def test_excludes_source_and_matches_manual_or(self, ray_session):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        from oscar_ray.pipelines.search import (
+            bm25_scores_table,
+            documents_index_dir,
+            more_like_this,
+        )
+        from oscar_ray.query.engine import QueryEngine
+        from oscar_ray.spec.bm25 import bm25_idf
+        from oscar_ray.spec.tokenizer import tokenize_text
+
+        out = more_like_this(self.SF, doc_id=7, m=5, k=None).to_pandas()
+        assert 7 not in set(out.doc_id)
+        assert len(out) > 0
+
+        # manual replica: same term selection -> same OR query result
+        reader = QueryEngine(documents_index_dir(self.SF)).reader
+        src = pads.dataset(f"{self.SF}/documents.parquet").to_table(
+            columns=["doc_id", "text"], filter=pads.field("doc_id") == 7
+        )
+        tf = Counter(tokenize_text(src["text"][0].as_py()))
+        w = sorted(
+            (-(c * bm25_idf(reader.postings(t).df, reader.n_docs)), t)
+            for t, c in tf.items()
+        )[:5]
+        terms = sorted(t for _, t in w)
+        ref = bm25_scores_table(self.SF, " + ".join(terms), k=None).to_pandas()
+        ref = ref[ref.doc_id != 7].reset_index(drop=True)
+        assert out.doc_id.tolist() == ref.doc_id.tolist()
+        assert np.allclose(out.score, ref.score)
+
+    def test_topk_mode_is_rank_prefix(self, ray_session):
+        from oscar_ray.pipelines.search import more_like_this
+
+        full = more_like_this(self.SF, doc_id=7, m=5, k=None).to_pandas()
+        top = more_like_this(self.SF, doc_id=7, m=5, k=5).to_pandas()
+        assert len(top) == 5
+        best = full.sort_values(["score", "doc_id"], ascending=[False, True])
+        assert set(top.doc_id) <= set(best.head(20).doc_id)
