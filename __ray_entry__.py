@@ -1796,6 +1796,25 @@ def _dedup_keep_best(sf_dir: str):
     return keep_best_per_cluster(docs, labels, score_col="n_chars").sort("cluster_id")
 
 
+def _text_winnowing(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003): k-gram hashes,
+    per-window min selection (leftmost-tie pinned variant), distinct
+    (pos, fp) per doc. Shuffle-free map_batches; md5-mod-p hashes so
+    the DuckDB oracle reproduces every value."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.text_analysis import winnowing_fingerprints
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(winnowing_fingerprints, batch_format="pyarrow").sort(
+        ["doc_id", "pos"]
+    )
+
+
 MLT_DOC = 7  # pinned More-Like-This source doc (present at every sf tier)
 MLT_M = 5
 
@@ -1891,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_domain_stats": _text_domain_stats,
         "text_ccnet_buckets": _text_ccnet_buckets,
         "text_c4_filters": _text_c4_filters,
+        "text_winnowing": _text_winnowing,
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
         "text_cooccurrence": _text_cooccurrence,
@@ -3021,6 +3041,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(fp.f, 0) AS fingerprint
             FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
+        """,
+        "text_winnowing": f"""
+            -- Winnowing (k=3, w=4; leftmost-min tie rule via packed key):
+            -- k-gram hash = md5-token polynomial mod 2^61-1 (the
+            -- text_fingerprint discipline), fp = top 40 bits, key =
+            -- fp*2^20 + pos, window min over 4 consecutive keys
+            WITH tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, i - 1 AS pos,
+                       (((((md5_number_lower(arr[i])::HUGEINT % {FP_MOD_SQL})
+                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
+                           + (md5_number_lower(arr[i + 1])::HUGEINT % {FP_MOD_SQL}))
+                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
+                          + (md5_number_lower(arr[i + 2])::HUGEINT % {FP_MOD_SQL}))
+                       % {FP_MOD_SQL} AS h
+                FROM tokarr, unnest(range(1, len(arr) - 1)) AS u(i)
+                WHERE len(arr) >= 3
+            ),
+            keys AS (
+                SELECT doc_id, pos,
+                       ((h // 2097152)::BIGINT * 1048576 + pos) AS key
+                FROM sh
+            ),
+            win AS (
+                SELECT doc_id,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW) AS mk,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW) AS cnt
+                FROM keys
+            ),
+            sel AS (SELECT DISTINCT doc_id, mk FROM win WHERE cnt = 4)
+            SELECT doc_id, (mk % 1048576)::BIGINT AS pos,
+                   (mk // 1048576)::BIGINT AS fp
+            FROM sel ORDER BY doc_id, pos
         """,
         "text_decontaminate": f"""
             WITH tokarr AS (

@@ -308,3 +308,113 @@ def doc_repetition_stats(
             "dup_frac_micro": pa.array(dup_frac_micro),
         }
     )
+
+
+#: winnowing selection packs (fp40, pos) into one int64 key
+WINNOW_FP_BITS = 40
+WINNOW_POS_BITS = 20
+
+
+def winnowing_fingerprints(
+    batch: pa.Table,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    local fingerprinting scheme) -> (id, pos, fp) rows.
+
+    Per doc: k-gram hashes over the token stream (polynomial in the
+    per-token md5 hashes, mod 2^61-1 — the exact doc_fingerprint
+    discipline, so DuckDB reproduces every value), reduced to
+    ``WINNOW_FP_BITS`` bits; each length-``w`` window of consecutive
+    k-gram hashes selects its minimum, tie broken toward the LEFTMOST
+    position (pinned variant; classic winnowing picks rightmost — the
+    guarantee, one fingerprint per w-window, is identical) by packing
+    ``key = fp * 2^20 + pos`` and taking the window min. Distinct
+    selected (pos, fp) pairs are the fingerprint set; any shared
+    substring of length >= w + k - 1 tokens is guaranteed to share a
+    fingerprint.
+
+    Fully vectorized: md5 once per DISTINCT token, one modmul chain per
+    k offset, ``sliding_window_view`` min per batch (w is small), doc
+    boundaries masked. Per-doc complete -> embarrassingly parallel
+    map_batches; no exchange. Docs need >= k + w - 1 tokens to emit.
+    Position cap 2^20 tokens/doc (asserted), fp collision budget 2^-40.
+    """
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    parent_a, tokens_a = flatten_tokens(batch[text_col])
+    parent = np.asarray(parent_a).astype(np.int64)
+    ids = batch[id_col].cast(pa.int64()).to_numpy()
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "fp": pa.array([], type=pa.int64()),
+        }
+    )
+    n_tok = len(parent)
+    if n_tok < k + w - 1:
+        return empty
+    denc = pc.dictionary_encode(tokens_a)
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    uniq_hash = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+            % FP_MOD
+            for t in denc.dictionary.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(denc.dictionary),
+    )
+    th = uniq_hash[codes]
+
+    # k-gram polynomial hash per window start (same-doc starts only)
+    n_sh = n_tok - k + 1
+    base = np.full(n_sh, 0, dtype=np.uint64)
+    for j in range(k):
+        base = _mulmod61(base, np.full(n_sh, FP_BASE, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            base = base + th[j : j + n_sh]
+        base = np.where(base >= np.uint64(FP_MOD), base - np.uint64(FP_MOD), base)
+    same_doc = parent[:n_sh] == parent[k - 1 :]
+    fp40 = base >> np.uint64(61 - WINNOW_FP_BITS)
+
+    # position within the doc (token index of the k-gram start)
+    starts = np.flatnonzero(np.diff(parent, prepend=-1))
+    doc_start = np.zeros(n_tok, dtype=np.int64)
+    doc_start[starts] = starts
+    doc_start = np.maximum.accumulate(doc_start)
+    pos = np.arange(n_sh, dtype=np.int64) - doc_start[:n_sh]
+    assert int(pos.max()) < (1 << WINNOW_POS_BITS), "doc exceeds winnow pos budget"
+    key = (fp40.astype(np.int64) << WINNOW_POS_BITS) | pos
+
+    if n_sh < w:
+        return empty
+    wins = sliding_window_view(key, w).min(axis=1)  # window i covers [i, i+w)
+    # full windows of w VALID shingles: all starts in one doc (parent
+    # run) and the LAST shingle's k-gram inside it (validity within a
+    # doc's start-run is monotone — only the tail k-1 starts cross out)
+    ok = (parent[: n_sh - w + 1] == parent[w - 1 : n_sh]) & same_doc[w - 1 :]
+    sel_doc = parent[: n_sh - w + 1][ok]
+    sel_key = wins[ok]
+    if not len(sel_key):
+        return empty
+    # distinct (doc, key) in (doc, pos) order: keys embed pos so one
+    # lexsort orders and dedups both
+    order = np.lexsort((sel_key, sel_doc))
+    sd, sk = sel_doc[order], sel_key[order]
+    first = np.ones(len(sk), dtype=bool)
+    first[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+    sd, sk = sd[first], sk[first]
+    return pa.table(
+        {
+            id_col: pa.array(ids[sd]),
+            "pos": pa.array(sk & np.int64((1 << WINNOW_POS_BITS) - 1)),
+            "fp": pa.array(sk >> np.int64(WINNOW_POS_BITS)),
+        }
+    )

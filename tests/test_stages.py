@@ -4252,3 +4252,82 @@ class TestCurateVariants:
         for r in out:
             assert " tail " not in r["text"]
             assert r["text"].endswith("common")
+
+
+class TestWinnowing:
+    def _reference(self, texts, k=3, w=4):
+        import hashlib
+        import re
+
+        from oscar_ray.stages.text_analysis import FP_BASE, FP_MOD
+
+        out = []
+        for d, text in enumerate(texts):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            th = [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                % FP_MOD
+                for t in toks
+            ]
+            hs = []
+            for i in range(len(th) - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h * FP_BASE + th[i + j]) % FP_MOD
+                hs.append(h >> 21)
+            sel = set()
+            for i in range(len(hs) - w + 1):
+                sel.add(min((hs[i + j] << 20) | (i + j) for j in range(w)))
+            out += [(d, kk & ((1 << 20) - 1), kk >> 20) for kk in sorted(sel)]
+        return sorted(out)
+
+    def test_matches_rowwise_reference(self):
+        import pyarrow as pa
+
+        from oscar_ray.stages.text_analysis import winnowing_fingerprints
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog the quick brown fox",
+            "a b c",  # too short: no full window
+            "x y z x y z x y z x y z",  # heavy repetition -> dedup bites
+            "one two three four five six seven eight nine ten",
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = winnowing_fingerprints(t).to_pandas()
+        assert sorted(zip(got.doc_id, got.pos, got.fp)) == self._reference(texts)
+
+    def test_shared_substring_guarantee(self):
+        import pyarrow as pa
+
+        from oscar_ray.stages.text_analysis import winnowing_fingerprints
+
+        # winnowing guarantee: any shared token run >= w+k-1 (=6) shares
+        # at least one selected fingerprint
+        core = "alpha beta gamma delta epsilon zeta eta theta"
+        t = pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["xx yy " + core + " qq", "pp " + core + " rr ss tt"],
+            }
+        )
+        g = winnowing_fingerprints(t).to_pandas()
+        shared = set(g[g.doc_id == 0].fp) & set(g[g.doc_id == 1].fp)
+        assert shared
+
+    def test_batch_boundaries_are_free(self):
+        import pandas as pd
+        import pyarrow as pa
+
+        from oscar_ray.stages.text_analysis import winnowing_fingerprints
+
+        texts = [f"w{i} w{i+1} w{i+2} w{i%3} w{i%5} w{i%7} w{i+3}" for i in range(20)]
+        t = pa.table({"doc_id": list(range(20)), "text": texts})
+        whole = winnowing_fingerprints(t).to_pandas()
+        parts = pd.concat(
+            [
+                winnowing_fingerprints(t.slice(0, 7)).to_pandas(),
+                winnowing_fingerprints(t.slice(7, 6)).to_pandas(),
+                winnowing_fingerprints(t.slice(13)).to_pandas(),
+            ]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(whole, parts)
