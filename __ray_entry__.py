@@ -1796,6 +1796,68 @@ def _dedup_keep_best(sf_dir: str):
     return keep_best_per_cluster(docs, labels, score_col="n_chars").sort("cluster_id")
 
 
+WINNOW_MAX_FP_DF = 64  # stop-fingerprint cap (mirrored in the oracle)
+WINNOW_MIN_SHARED = 2
+
+
+def _winnow_sel_cte() -> str:
+    """Shared winnowing CTE chain (k=3, w=4; leftmost-min tie rule via
+    packed key): k-gram hash = md5-token polynomial mod 2^61-1 (the
+    text_fingerprint discipline), fp = top 40 bits, key = fp*2^20 + pos,
+    window min over 4 consecutive keys; -> `sel(doc_id, mk)`."""
+    return f"""tokarr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
+                           x -> x <> '') AS arr
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, i - 1 AS pos,
+                       (((((md5_number_lower(arr[i])::HUGEINT % {FP_MOD_SQL})
+                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
+                           + (md5_number_lower(arr[i + 1])::HUGEINT % {FP_MOD_SQL}))
+                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
+                          + (md5_number_lower(arr[i + 2])::HUGEINT % {FP_MOD_SQL}))
+                       % {FP_MOD_SQL} AS h
+                FROM tokarr, unnest(range(1, len(arr) - 1)) AS u(i)
+                WHERE len(arr) >= 3
+            ),
+            keys AS (
+                SELECT doc_id, pos,
+                       ((h // 2097152)::BIGINT * 1048576 + pos) AS key
+                FROM sh
+            ),
+            win AS (
+                SELECT doc_id,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW) AS mk,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW) AS cnt
+                FROM keys
+            ),
+            sel AS (SELECT DISTINCT doc_id, mk FROM win WHERE cnt = 4)"""
+
+
+def _dedup_winnowing_pairs(sf_dir: str):
+    """MOSS-style overlap pairs: docs sharing >= WINNOW_MIN_SHARED
+    winnowing fingerprints (fp groups capped at WINNOW_MAX_FP_DF)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.dedup import winnowing_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return winnowing_pairs(
+        ds, min_shared=WINNOW_MIN_SHARED, max_fp_df=WINNOW_MAX_FP_DF
+    ).sort(["a_id", "b_id"])
+
+
 def _text_winnowing(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003): k-gram hashes,
     per-window min selection (leftmost-tie pinned variant), distinct
@@ -1911,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ccnet_buckets": _text_ccnet_buckets,
         "text_c4_filters": _text_c4_filters,
         "text_winnowing": _text_winnowing,
+        "dedup_winnowing_pairs": _dedup_winnowing_pairs,
         "graph_pagerank": _graph_pagerank,
         "graph_hits": _graph_hits,
         "text_cooccurrence": _text_cooccurrence,
@@ -3043,47 +3106,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
         """,
         "text_winnowing": f"""
-            -- Winnowing (k=3, w=4; leftmost-min tie rule via packed key):
-            -- k-gram hash = md5-token polynomial mod 2^61-1 (the
-            -- text_fingerprint discipline), fp = top 40 bits, key =
-            -- fp*2^20 + pos, window min over 4 consecutive keys
-            WITH tokarr AS (
-                SELECT doc_id,
-                       list_filter(
-                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_SQL}'),
-                           x -> x <> '') AS arr
-                FROM documents
-            ),
-            sh AS (
-                SELECT doc_id, i - 1 AS pos,
-                       (((((md5_number_lower(arr[i])::HUGEINT % {FP_MOD_SQL})
-                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
-                           + (md5_number_lower(arr[i + 1])::HUGEINT % {FP_MOD_SQL}))
-                             * {FP_BASE_SQL}) % {FP_MOD_SQL}
-                          + (md5_number_lower(arr[i + 2])::HUGEINT % {FP_MOD_SQL}))
-                       % {FP_MOD_SQL} AS h
-                FROM tokarr, unnest(range(1, len(arr) - 1)) AS u(i)
-                WHERE len(arr) >= 3
-            ),
-            keys AS (
-                SELECT doc_id, pos,
-                       ((h // 2097152)::BIGINT * 1048576 + pos) AS key
-                FROM sh
-            ),
-            win AS (
-                SELECT doc_id,
-                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS BETWEEN 3 PRECEDING
-                                      AND CURRENT ROW) AS mk,
-                       count(*) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS BETWEEN 3 PRECEDING
-                                      AND CURRENT ROW) AS cnt
-                FROM keys
-            ),
-            sel AS (SELECT DISTINCT doc_id, mk FROM win WHERE cnt = 4)
+            WITH {_winnow_sel_cte()}
             SELECT doc_id, (mk % 1048576)::BIGINT AS pos,
                    (mk // 1048576)::BIGINT AS fp
             FROM sel ORDER BY doc_id, pos
+        """,
+        "dedup_winnowing_pairs": f"""
+            WITH {_winnow_sel_cte()},
+            fps AS (
+                SELECT DISTINCT doc_id, (mk // 1048576)::BIGINT AS fp FROM sel
+            ),
+            okfp AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_FP_DF}
+            ),
+            pr AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(*)::BIGINT AS n_shared
+                FROM fps a JOIN fps b USING (fp) JOIN okfp USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT a_id, b_id, n_shared FROM pr
+            WHERE n_shared >= {WINNOW_MIN_SHARED} ORDER BY a_id, b_id
         """,
         "text_decontaminate": f"""
             WITH tokarr AS (

@@ -1301,3 +1301,91 @@ def keep_best_per_cluster(
         )
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint near-dup pairs (MOSS-style overlap detection)
+
+
+def winnowing_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 64,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """MOSS-style overlap pairs: docs sharing >= ``min_shared`` winnowing
+    fingerprints (DISTINCT per doc; positions dropped), a_id < b_id ->
+    (a_id, b_id, n_shared).
+
+    The winnowing guarantee makes this a principled candidate generator:
+    any shared token run of >= w + k - 1 tokens contributes at least one
+    shared fingerprint, at ~2/(w+1) the volume of full shingle pairs.
+    Distributed shape mirrors :func:`ngram_jaccard_pairs` exactly — ONE
+    fp-routed exchange with vectorized per-group pair expansion (groups
+    capped at ``max_fp_df``, the stop-fingerprint rule, mirrored in the
+    oracle SQL) then ONE pair-routed count combine. No new shuffle shape.
+    """
+    import functools
+
+    from oscar_ray.stages.text_analysis import winnowing_fingerprints
+
+    num_parts = max(concurrency * 4, 16)
+
+    def fps(batch: pa.Table) -> pa.Table:
+        out = winnowing_fingerprints(
+            batch, k=k, w=w, id_col=id_col, text_col=text_col
+        )
+        # distinct (doc, fp): docs are batch-complete, so batch-local
+        # distinct IS global distinct
+        tbl = out.select([id_col, "fp"]).group_by([id_col, "fp"]).aggregate([])
+        part = (tbl["fp"].to_numpy().astype(np.uint64) % np.uint64(num_parts)).astype(
+            np.int64
+        )
+        return tbl.append_column("part", pa.array(part))
+
+    routed = ds.map_batches(fps, batch_format="pyarrow", concurrency=concurrency)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        fp = g["fp"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(fp)) + 1, [len(fp)]))
+        a_l, b_l = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2 or m > max_fp_df:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            a_l.append(ids[s:e][ai])
+            b_l.append(ids[s:e][bi])
+        if not a_l:
+            return pd.DataFrame({"a_id": [], "b_id": [], "n_shared": []}).astype(
+                "int64"
+            )
+        df = pd.DataFrame(
+            {"a_id": np.concatenate(a_l), "b_id": np.concatenate(b_l)}
+        )
+        return df.groupby(["a_id", "b_id"], as_index=False).agg(
+            n_shared=("a_id", "size")
+        )
+
+    co = (
+        routed.repartition(num_parts)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a_id", "b_id"], as_index=False).agg(
+            n_shared=("n_shared", "sum")
+        )
+        return agg[agg["n_shared"] >= min_shared]
+
+    return _pair_partitioned(co, num_parts).groupby("pair_part").map_groups(
+        finish, batch_format="pandas"
+    )

@@ -4331,3 +4331,41 @@ class TestWinnowing:
             ]
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(whole, parts)
+
+
+class TestWinnowingPairs:
+    def test_planted_overlaps_found_and_ranked(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import winnowing_pairs
+
+        core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = (
+            [f"u{i} v{i} w{i} x{i} y{i} z{i} q{i} r{i}" for i in range(30)]
+            + ["aa bb " + core, "cc dd " + core + " ee", core + " ff gg hh"]
+        )
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        out = winnowing_pairs(ds, min_shared=1, concurrency=2).to_pandas()
+        pairs = set(zip(out.a_id, out.b_id))
+        assert {(30, 31), (30, 32), (31, 32)} <= pairs
+        # unrelated docs share nothing
+        assert all(a >= 30 and b >= 30 for a, b in pairs)
+
+    def test_max_fp_df_cap(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.dedup import winnowing_pairs
+
+        # 10 copies of one text: fp df = 10 > cap 4 -> all fps stopped
+        texts = ["one two three four five six seven eight"] * 10
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(10)), "text": texts})
+        )
+        out = winnowing_pairs(ds, min_shared=1, max_fp_df=4, concurrency=2)
+        assert out.count() == 0
+        full = winnowing_pairs(ds, min_shared=1, max_fp_df=16, concurrency=2)
+        assert full.count() == 45  # all C(10,2) pairs
