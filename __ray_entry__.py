@@ -1877,6 +1877,19 @@ def _text_winnowing(sf_dir: str):
     )
 
 
+ANCHOR_BOOST_W = 2.0  # anchor-field weight (exact float, power of two)
+
+
+def _search_bm25_anchor_boost(sf_dir: str):
+    """Weighted-field retrieval (BM25F-style score combination): body
+    BM25 + W x anchor-field BM25, each field with its OWN df/avgdl
+    statistics (two same-docid-space indexes; pipelines/search.py::
+    weighted_field_search)."""
+    from oscar_ray.pipelines.search import weighted_field_search
+
+    return weighted_field_search(sf_dir, BM25_TERM, weight=ANCHOR_BOOST_W)
+
+
 MLT_DOC = 7  # pinned More-Like-This source doc (present at every sf tier)
 MLT_M = 5
 
@@ -1932,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _search_snippets,
         "search_hydrate": _search_hydrate,
         "search_more_like_this": _search_more_like_this,
+        "search_bm25_anchor_boost": _search_bm25_anchor_boost,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -2341,6 +2355,70 @@ def _anchor_bm25_sql(term: str) -> str:
         )
         SELECT doc_id, round(score, 4) AS score
         FROM scores WHERE term = '{term}' ORDER BY doc_id
+    """
+
+
+def _anchor_boost_sql(term: str, weight: float) -> str:
+    """Weighted-field (BM25F-style) oracle: body BM25 and anchor-only
+    BM25 computed with SEPARATE tf/df/doclen/avgdl statistics over the
+    same docid space, combined as coalesce(body,0) + W*coalesce(anchor,0)
+    (the addition order the engine pins). Both avgdl denominators are
+    the WHOLE corpus count — zero-doclen docs count, mirroring docmeta."""
+    from oscar_ray.pipelines.anchors import MAX_INLINKS
+
+    return f"""
+        WITH {_anchor_ranked_cte()},
+        tok_b AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        tok_a AS (
+            SELECT r.dst_doc AS doc_id, t.term
+            FROM ranked r, unnest(string_split(r.anchor, ' ')) AS t(term)
+            WHERE r.rk <= {MAX_INLINKS} AND t.term <> ''
+        ),
+        tf_b AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                 FROM tok_b GROUP BY doc_id, term),
+        tf_a AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                 FROM tok_a GROUP BY doc_id, term),
+        dl_b AS (SELECT doc_id, count(*)::DOUBLE AS doclen
+                 FROM tok_b GROUP BY doc_id),
+        dl_a AS (SELECT doc_id, count(*)::DOUBLE AS doclen
+                 FROM tok_a GROUP BY doc_id),
+        corpus AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                   (SELECT sum(doclen) FROM dl_b)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_b,
+                   (SELECT sum(doclen) FROM dl_a)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_a
+        ),
+        df_b AS (SELECT term, count(*)::DOUBLE AS df FROM tf_b GROUP BY term),
+        df_a AS (SELECT term, count(*)::DOUBLE AS df FROM tf_a GROUP BY term),
+        sb AS (
+            SELECT tf_b.doc_id,
+                   ln(1 + (corpus.n_docs - df_b.df + 0.5) / (df_b.df + 0.5))
+                   * (tf_b.tf * ({K1} + 1)) /
+                     (tf_b.tf + {K1} * (1 - {B} + {B} * dl_b.doclen
+                                        / corpus.avgdl_b)) AS score
+            FROM tf_b JOIN dl_b USING (doc_id) JOIN df_b USING (term)
+            CROSS JOIN corpus WHERE tf_b.term = '{term}'
+        ),
+        sa AS (
+            SELECT tf_a.doc_id,
+                   ln(1 + (corpus.n_docs - df_a.df + 0.5) / (df_a.df + 0.5))
+                   * (tf_a.tf * ({K1} + 1)) /
+                     (tf_a.tf + {K1} * (1 - {B} + {B} * dl_a.doclen
+                                        / corpus.avgdl_a)) AS score
+            FROM tf_a JOIN dl_a USING (doc_id) JOIN df_a USING (term)
+            CROSS JOIN corpus WHERE tf_a.term = '{term}'
+        )
+        SELECT doc_id,
+               round(coalesce(sb.score, 0) + {weight} * coalesce(sa.score, 0),
+                     4) AS score
+        FROM sb FULL OUTER JOIN sa USING (doc_id)
+        ORDER BY doc_id
     """
 
 
@@ -3455,6 +3533,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_anchor_stats": _anchor_stats_sql(),
         "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
+        "search_bm25_anchor_boost": _anchor_boost_sql(BM25_TERM, ANCHOR_BOOST_W),
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil
         # tercile rule via window functions (no float quantile q)
         "text_ccnet_buckets": f"""

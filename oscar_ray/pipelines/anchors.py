@@ -177,8 +177,10 @@ def enrich_corpus_with_anchors(
     _commit_dir(tmp, out_dir)
 
 
-def anchored_documents_index_dir(sf_dir: str) -> str:
-    """Enriched corpus (text + inherited anchor_text) index, cached."""
+def _anchored_corpus_dir(sf_dir: str) -> str:
+    """Materialize (once, cached) the anchor-enriched documents corpus:
+    (doc_id, text, lang, anchor_text) with anchors from the pinned
+    link rule."""
     from oscar_ray.stages.joins import hash_join
 
     fp = _docs_fingerprint(sf_dir)
@@ -195,6 +197,13 @@ def anchored_documents_index_dir(sf_dir: str) -> str:
             tmp
         )
         _commit_dir(tmp, corpus)
+    return corpus
+
+
+def anchored_documents_index_dir(sf_dir: str) -> str:
+    """Enriched corpus (text + inherited anchor_text) index, cached."""
+    fp = _docs_fingerprint(sf_dir)
+    corpus = _anchored_corpus_dir(sf_dir)
 
     out = os.path.join(_CACHE_ROOT, f"documents-anchored-idx-{fp}")
     cfg = IndexBuildConfig(
@@ -207,6 +216,30 @@ def anchored_documents_index_dir(sf_dir: str) -> str:
         dedup_urls=False,
         field_columns=["lang"],
         extra_text_columns=["anchor_text"],
+    )
+    build_index(os.path.join(corpus, "*.parquet"), out, cfg)
+    return out
+
+
+def anchors_only_index_dir(sf_dir: str) -> str:
+    """Anchor-text-ONLY index over the same docid space — the second
+    field of the weighted-field (BM25F-style) pair; body field =
+    ``search.documents_index_dir``. Docs with no inlinks keep doclen 0
+    docmeta rows, so n_docs/avgdl match the SQL oracle's
+    whole-corpus denominators."""
+    fp = _docs_fingerprint(sf_dir)
+    corpus = _anchored_corpus_dir(sf_dir)
+    out = os.path.join(_CACHE_ROOT, f"documents-anchoronly-idx-{fp}")
+    cfg = IndexBuildConfig(
+        num_partitions=8,
+        block_span_bits=12,
+        shard_fragments=2,
+        id_column="doc_id",
+        url_column=None,
+        lang_column="lang",
+        dedup_urls=False,
+        text_column="anchor_text",
+        field_columns=["lang"],
     )
     build_index(os.path.join(corpus, "*.parquet"), out, cfg)
     return out

@@ -432,3 +432,43 @@ def more_like_this(
         }
     )
     return tbl if k is not None else tbl.sort_by("doc_id")
+
+
+def weighted_field_search(
+    sf_dir: str,
+    query: str,
+    weight: float = 2.0,
+    round_to: int = 4,
+) -> pa.Table:
+    """Weighted-field retrieval (the BM25F idea, Robertson et al. 2004,
+    applied as score-level field combination): ``S = s_body + weight *
+    s_anchor`` over TWO indexes sharing one docid space — the body index
+    and the anchor-text-only index (anchor inheritance per the pinned
+    link rule, pipelines/anchors.py). Docs matching in either field
+    rank; the anchor field's own df/avgdl statistics are used (that is
+    what distinguishes a field from concatenation — a rare anchor term
+    scores high in the anchor field even if common in bodies).
+
+    -> (doc_id, score) over the union match set, sorted by doc_id,
+    rounded after combination. Addition order pinned (body + w*anchor)
+    so the SQL oracle's coalesce sum is bit-identical pre-round.
+    """
+    from oscar_ray.pipelines.anchors import anchors_only_index_dir
+
+    body = QueryEngine(documents_index_dir(sf_dir))
+    anch = QueryEngine(anchors_only_index_dir(sf_dir))
+    bi, bs = body.search(query, k=1 << 62)
+    ai, as_ = anch.search(query, k=1 << 62)
+    bi, ai = bi.astype(np.int64), ai.astype(np.int64)
+    bo, ao = np.argsort(bi), np.argsort(ai)
+    bi, bs, ai, as_ = bi[bo], bs[bo], ai[ao], as_[ao]
+    all_ids = np.union1d(bi, ai)
+    s = np.zeros(len(all_ids), dtype=np.float64)
+    s[np.searchsorted(all_ids, bi)] += bs
+    s[np.searchsorted(all_ids, ai)] += weight * as_
+    return pa.table(
+        {
+            "doc_id": pa.array(all_ids),
+            "score": pa.array(np.round(s, round_to), type=pa.float64()),
+        }
+    )

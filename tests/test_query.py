@@ -632,3 +632,41 @@ class TestMoreLikeThis:
         assert len(top) == 5
         best = full.sort_values(["score", "doc_id"], ascending=[False, True])
         assert set(top.doc_id) <= set(best.head(20).doc_id)
+
+
+class TestWeightedFieldSearch:
+    SF = "/root/testdata/sf0.001"
+
+    def test_weight_zero_equals_body_only(self, ray_session):
+        import numpy as np
+
+        from oscar_ray.pipelines.search import (
+            bm25_scores_table,
+            weighted_field_search,
+        )
+
+        body = bm25_scores_table(self.SF, "merge", k=None).to_pandas()
+        combo = weighted_field_search(self.SF, "merge", weight=0.0).to_pandas()
+        # weight 0: same scores, but the union set may add anchor-only
+        # docs at score 0
+        merged = combo[combo.doc_id.isin(body.doc_id)].reset_index(drop=True)
+        assert merged.doc_id.tolist() == body.doc_id.tolist()
+        assert np.allclose(merged.score, body.score)
+        extra = combo[~combo.doc_id.isin(body.doc_id)]
+        assert (extra.score == 0).all()
+
+    def test_anchor_field_contributes(self, ray_session):
+        from oscar_ray.pipelines.search import (
+            bm25_scores_table,
+            weighted_field_search,
+        )
+
+        body = bm25_scores_table(self.SF, "merge", k=None).to_pandas()
+        combo = weighted_field_search(self.SF, "merge", weight=2.0).to_pandas()
+        # anchor inheritance must add matches and raise some scores
+        assert len(combo) >= len(body)
+        both = combo.set_index("doc_id").score
+        b = body.set_index("doc_id").score
+        shared = b.index.intersection(both.index)
+        assert (both[shared] >= b[shared] - 1e-9).all()
+        assert (both[shared] > b[shared] + 1e-6).any()
