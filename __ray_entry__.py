@@ -1313,6 +1313,21 @@ def _queries_embeddings(sf_dir: str):
     return np.array(q["embedding"].to_pylist(), dtype=np.float64)
 
 
+def _emb_mmr_topk(sf_dir: str):
+    """MMR-diversified cosine top-k (Carbonell & Goldstein 1998):
+    distributed top-depth candidates, bounded greedy re-rank. Greedy
+    float chains are not SQL-expressible -> rows-only; parity is the
+    python-reference pytest (tests/test_stages.py::TestMMR)."""
+    import os
+
+    import ray.data
+
+    from oscar_ray.stages.similarity import mmr_rerank
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return mmr_rerank(ds, _queries_embeddings(sf_dir), k=ANN_K, depth=64, lam=0.7)
+
+
 def _ann_cosine_topk(sf_dir: str):
     import os
 
@@ -2006,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
         "ann_cosine_topk": _ann_cosine_topk,
+        "emb_mmr_topk": _emb_mmr_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_pq_topk": _ann_pq_topk,

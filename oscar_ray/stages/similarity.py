@@ -1379,3 +1379,92 @@ def knn_nsw(
     )
     partials = [r for t in tables for r in t.to_pylist()]
     return _merge_topk(partials, len(q), k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# MMR result diversification
+
+
+def mmr_rerank(
+    ds: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    depth: int = 64,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> pa.Table:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998): greedily re-rank exact cosine top-``depth`` candidates by
+    ``lam * rel - (1 - lam) * max_sim_to_selected`` -> (query_id, rank,
+    vec_id, rel, mmr_score).
+
+    Two phases: DISTRIBUTED candidate generation (the existing
+    knn_brute_force partial-top-k merge) and a k x depth greedy per
+    query over the candidates — driver state is bounded at
+    n_queries x depth rows + one depth x depth sim matrix per query,
+    never corpus-sized. Candidate vectors come back via ONE streamed
+    membership-filter pass (sorted-id broadcast, the DSIR/KWIC fetch
+    pattern). Tie rule pinned: argmax ties break to the lowest vec_id
+    (the same discipline as knn_brute_force). The greedy float chain is
+    not SQL-expressible — driver entry is rows-only; correctness is the
+    python-reference parity pytest.
+    """
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    cands = knn_brute_force(
+        ds, qv, k=depth, id_col=id_col, vec_col=vec_col, concurrency=concurrency
+    )
+    need = np.sort(np.unique(cands[id_col].to_numpy()))
+    need_ref = ray.put(need)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        m = ray.get(need_ref)
+        ids = batch[id_col].to_numpy()
+        if not len(ids):
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(m, ids), len(m) - 1)
+        return batch.select([id_col, vec_col]).filter(pa.array(m[pos] == ids))
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    vecs = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    for vid, v in vecs.items():
+        n = np.linalg.norm(v)
+        vecs[vid] = v / n if n > 0 else v
+
+    out_q, out_rank, out_id, out_rel, out_mmr = [], [], [], [], []
+    ct = cands.to_pandas()
+    for q in range(len(qv)):
+        g = ct[ct["query_id"] == q].sort_values("rank")
+        ids = g[id_col].to_numpy()
+        rel = g["score"].to_numpy().astype(np.float64)
+        if not len(ids):
+            continue
+        V = np.stack([vecs[i] for i in ids])
+        sim = V @ V.T
+        m = len(ids)
+        chosen: list[int] = []
+        max_sim = np.full(m, -np.inf)
+        avail = np.ones(m, dtype=bool)
+        for rank in range(min(k, m)):
+            score = lam * rel if rank == 0 else lam * rel - (1 - lam) * max_sim
+            score = np.where(avail, score, -np.inf)
+            # pinned tie rule: first occurrence == best knn rank
+            j = int(np.argmax(score))
+            chosen.append(j)
+            avail[j] = False
+            max_sim = np.maximum(max_sim, sim[:, j]) if rank else sim[:, j].copy()
+            out_q.append(q)
+            out_rank.append(rank + 1)
+            out_id.append(int(ids[j]))
+            out_rel.append(round(float(rel[j]), 6))
+            out_mmr.append(round(float(score[j]), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "rel": pa.array(out_rel, type=pa.float64()),
+            "mmr_score": pa.array(out_mmr, type=pa.float64()),
+        }
+    )

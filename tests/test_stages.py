@@ -4369,3 +4369,87 @@ class TestWinnowingPairs:
         assert out.count() == 0
         full = winnowing_pairs(ds, min_shared=1, max_fp_df=16, concurrency=2)
         assert full.count() == 45  # all C(10,2) pairs
+
+
+class TestMMR:
+    def _data(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        # 3 tight clusters + noise; query near cluster 0
+        base = rng.normal(size=(3, 16))
+        vecs, ids = [], []
+        vid = 0
+        for c in range(3):
+            for _ in range(6):
+                vecs.append(base[c] + rng.normal(scale=0.01, size=16))
+                ids.append(vid)
+                vid += 1
+        for _ in range(10):
+            vecs.append(rng.normal(size=16))
+            ids.append(vid)
+            vid += 1
+        q = base[0] + rng.normal(scale=0.01, size=16)
+        return ids, np.array(vecs), q[None, :]
+
+    def _reference(self, cid, rel, ids, vecs, k, lam):
+        """Greedy MMR re-implemented row-wise over the SAME candidate
+        list knn_brute_force produced (candidate generation has its own
+        parity tests; this pins the greedy selection logic)."""
+        import numpy as np
+
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        lookup = {i: vn[j] for j, i in enumerate(ids)}
+        V = np.stack([lookup[i] for i in cid])
+        sim = V @ V.T
+        out, max_sim, avail = [], None, np.ones(len(cid), dtype=bool)
+        for rank in range(min(k, len(cid))):
+            s = lam * rel if max_sim is None else lam * rel - (1 - lam) * max_sim
+            s = np.where(avail, s, -np.inf)
+            j = int(np.argmax(s))  # ties -> best knn rank
+            out.append((rank + 1, int(cid[j])))
+            avail[j] = False
+            max_sim = sim[:, j].copy() if max_sim is None else np.maximum(max_sim, sim[:, j])
+        return out
+
+    def test_matches_reference_and_diversifies(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.similarity import mmr_rerank
+
+        ids, vecs, q = self._data()
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+        )
+        got = mmr_rerank(ds, q, k=6, depth=12, lam=0.5, concurrency=2).to_pandas()
+        from oscar_ray.stages.similarity import knn_brute_force
+
+        cand = knn_brute_force(ds, q, k=12, concurrency=2).to_pandas()
+        want = self._reference(
+            cand.vec_id.to_numpy(),
+            cand.score.to_numpy().astype(np.float64),
+            ids,
+            vecs,
+            k=6,
+            lam=0.5,
+        )
+        assert list(zip(got["rank"], got.vec_id)) == want
+        # diversification: pure-relevance top-6 is all cluster 0 (6 dups);
+        # MMR must escape the cluster
+        assert len(set(got.vec_id) - set(range(6))) >= 1
+
+    def test_lambda_one_is_pure_relevance(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from oscar_ray.stages.similarity import knn_brute_force, mmr_rerank
+
+        ids, vecs, q = self._data()
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+        )
+        mmr = mmr_rerank(ds, q, k=5, depth=12, lam=1.0, concurrency=2).to_pandas()
+        knn = knn_brute_force(ds, q, k=5, concurrency=2).to_pandas()
+        assert mmr.vec_id.tolist() == knn.vec_id.tolist()
