@@ -1443,7 +1443,6 @@ def mmr_rerank(
         V = np.stack([vecs[i] for i in ids])
         sim = V @ V.T
         m = len(ids)
-        chosen: list[int] = []
         max_sim = np.full(m, -np.inf)
         avail = np.ones(m, dtype=bool)
         for rank in range(min(k, m)):
@@ -1451,7 +1450,6 @@ def mmr_rerank(
             score = np.where(avail, score, -np.inf)
             # pinned tie rule: first occurrence == best knn rank
             j = int(np.argmax(score))
-            chosen.append(j)
             avail[j] = False
             max_sim = np.maximum(max_sim, sim[:, j]) if rank else sim[:, j].copy()
             out_q.append(q)
