@@ -59,6 +59,14 @@ def main():
         help="drop reader + OS page caches first (mdrop / drop_caches analog)",
     )
     q.add_argument(
+        "--boost-index",
+        metavar="IDX",
+        help="second index over the SAME docid space (e.g. an anchor-text"
+        "-only build): results combine as s_main + W * s_boost — the "
+        "BM25F-style field boost (pipelines/search.weighted_field_search)",
+    )
+    q.add_argument("--boost-weight", type=float, default=2.0)
+    q.add_argument(
         "--snippets",
         metavar="CORPUS",
         help="corpus parquet dir/file: print a KWIC snippet per hit "
@@ -609,6 +617,28 @@ def main():
                 "without index_suffixes — it will match nothing",
                 file=sys.stderr,
             )
+        if args.boost_index:
+            import numpy as np
+
+            boost = QueryEngine(args.boost_index, parallel_fetch=True)
+            bi_, bs_ = engine.search(args.query, k=1 << 62)
+            ai_, as_ = boost.search(args.query, k=1 << 62)
+            bi_, ai_ = bi_.astype(np.int64), ai_.astype(np.int64)
+            bo, ao = np.argsort(bi_), np.argsort(ai_)
+            bi_, bs_, ai_, as_ = bi_[bo], bs_[bo], ai_[ao], as_[ao]
+            all_ids = np.union1d(bi_, ai_)
+            s = np.zeros(len(all_ids), dtype=np.float64)
+            s[np.searchsorted(all_ids, bi_)] += bs_
+            s[np.searchsorted(all_ids, ai_)] += args.boost_weight * as_
+            order = np.lexsort((all_ids, -s))[: args.k]
+            for rank, j in enumerate(order, 1):
+                print(f"{rank}\t{all_ids[j]}\t{s[j]:.6f}")
+            print(
+                f"# {len(all_ids)} combined matches "
+                f"(field boost w={args.boost_weight})",
+                file=sys.stderr,
+            )
+            return
         ids, scores, timings = engine.search_timed(args.query, k=args.k, mode=args.mode)
         if args.show_docs and len(ids):
             from oscar_ray.pipelines.facets import docmeta_lookup
