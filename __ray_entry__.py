@@ -1892,6 +1892,18 @@ def _text_winnowing(sf_dir: str):
     )
 
 
+QL_MU = 100.0  # Dirichlet smoothing mass (pinned)
+
+
+def _search_ql_dirichlet(sf_dir: str):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) over the same index artifacts — the pluggable-scorer
+    surface demonstrated with a second ranking model next to BM25."""
+    from oscar_ray.pipelines.search import ql_scores_table
+
+    return ql_scores_table(sf_dir, BM25_OR_TERMS, mu=QL_MU)
+
+
 ANCHOR_BOOST_W = 2.0  # anchor-field weight (exact float, power of two)
 
 
@@ -1961,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_hydrate": _search_hydrate,
         "search_more_like_this": _search_more_like_this,
         "search_bm25_anchor_boost": _search_bm25_anchor_boost,
+        "search_ql_dirichlet": _search_ql_dirichlet,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -3550,6 +3563,40 @@ def oracle_sql() -> dict[str, str]:
         "link_anchor_stats": _anchor_stats_sql(),
         "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
         "search_bm25_anchor_boost": _anchor_boost_sql(BM25_TERM, ANCHOR_BOOST_W),
+        "search_ql_dirichlet": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doclen
+                   FROM tok GROUP BY doc_id),
+            cstats AS (SELECT count(*)::DOUBLE AS c FROM tok),
+            cf AS (SELECT term, count(*)::DOUBLE AS cf
+                   FROM tok GROUP BY term),
+            m AS (SELECT DISTINCT doc_id FROM tf
+                  WHERE term IN ('{BM25_OR_TERMS[0]}', '{BM25_OR_TERMS[1]}')),
+            s1 AS (
+                SELECT m.doc_id,
+                       ln((coalesce(tf.tf, 0) + {QL_MU} *
+                           ((SELECT cf FROM cf WHERE term = '{BM25_OR_TERMS[0]}')
+                            / (SELECT c FROM cstats)))
+                          / (dl.doclen + {QL_MU})) AS l
+                FROM m JOIN dl USING (doc_id)
+                LEFT JOIN tf ON tf.doc_id = m.doc_id
+                           AND tf.term = '{BM25_OR_TERMS[0]}'
+            ),
+            s2 AS (
+                SELECT m.doc_id,
+                       ln((coalesce(tf.tf, 0) + {QL_MU} *
+                           ((SELECT cf FROM cf WHERE term = '{BM25_OR_TERMS[1]}')
+                            / (SELECT c FROM cstats)))
+                          / (dl.doclen + {QL_MU})) AS l
+                FROM m JOIN dl USING (doc_id)
+                LEFT JOIN tf ON tf.doc_id = m.doc_id
+                           AND tf.term = '{BM25_OR_TERMS[1]}'
+            )
+            SELECT doc_id, round(s1.l + s2.l, 4) AS score
+            FROM s1 JOIN s2 USING (doc_id) ORDER BY doc_id
+        """,
         # CCNet perplexity buckets: LM chain + the SAME integer-ceil
         # tercile rule via window functions (no float quantile q)
         "text_ccnet_buckets": f"""

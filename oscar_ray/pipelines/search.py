@@ -472,3 +472,57 @@ def weighted_field_search(
             "score": pa.array(np.round(s, round_to), type=pa.float64()),
         }
     )
+
+
+def ql_scores_table(
+    sf_dir: str,
+    terms: tuple[str, ...],
+    mu: float = 100.0,
+    round_to: int = 4,
+) -> pa.Table:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the classic language-model alternative to BM25,
+    demonstrating the pluggable-scorer surface over the SAME index
+    artifacts: ``score(d) = sum_t ln((tf_td + mu * cf_t / C) /
+    (dl_d + mu))`` for docs matching >= 1 query term (absent terms
+    contribute their tf=0 smoothed mass, the proper LM rule). ``C`` is
+    the exact collection token count (manifest ``stats.sum_doclen``);
+    cf comes from the posting metadata — no extra artifact.
+
+    Determinism: float op order pinned (cf/C, then *mu, then +tf; terms
+    accumulate in the given tuple order), so the DuckDB oracle computes
+    identical doubles and the post-rank rounding agrees.
+    -> (doc_id, score) sorted by doc_id.
+    """
+    idx = documents_index_dir(sf_dir)
+    reader = IndexReader(idx)
+    c_total = float(reader.manifest["stats"]["sum_doclen"])
+    per_term = []
+    for t in terms:
+        tp = reader.postings(t)
+        ids_l, tfs_l, dls_l = [], [], []
+        for i in range(len(tp.block_ids)):
+            d, tf, dl = tp.decode_block(i)
+            ids_l.append(d.astype(np.int64))
+            tfs_l.append(tf.astype(np.float64))
+            dls_l.append(dl.astype(np.float64))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        tfs = np.concatenate(tfs_l) if tfs_l else np.empty(0, np.float64)
+        dls = np.concatenate(dls_l) if dls_l else np.empty(0, np.float64)
+        per_term.append((ids, tfs, dls, float(tp.cf)))
+
+    all_ids = np.unique(np.concatenate([p[0] for p in per_term]))
+    dl_all = np.zeros(len(all_ids), dtype=np.float64)
+    for ids, _tfs, dls, _cf in per_term:
+        dl_all[np.searchsorted(all_ids, ids)] = dls
+    score = np.zeros(len(all_ids), dtype=np.float64)
+    for ids, tfs, _dls, cf in per_term:
+        tf_full = np.zeros(len(all_ids), dtype=np.float64)
+        tf_full[np.searchsorted(all_ids, ids)] = tfs
+        score = score + np.log((tf_full + mu * (cf / c_total)) / (dl_all + mu))
+    return pa.table(
+        {
+            "doc_id": pa.array(all_ids),
+            "score": pa.array(np.round(score, round_to), type=pa.float64()),
+        }
+    )

@@ -670,3 +670,62 @@ class TestWeightedFieldSearch:
         shared = b.index.intersection(both.index)
         assert (both[shared] >= b[shared] - 1e-9).all()
         assert (both[shared] > b[shared] + 1e-6).any()
+
+
+class TestQLDirichlet:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_rowwise_reference(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from oscar_ray.pipelines.search import ql_scores_table
+
+        mu = 100.0
+        terms = ("scan", "filter")
+        got = ql_scores_table(self.SF, terms, mu=mu).to_pandas()
+
+        t = pq.read_table(f"{self.SF}/documents.parquet")
+        toks = {
+            int(d): re.findall(r"[a-z0-9]+", s.lower())
+            for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        }
+        c_total = sum(len(v) for v in toks.values())
+        cf = Counter(w for v in toks.values() for w in v)
+        want = {}
+        for d, v in toks.items():
+            c = Counter(v)
+            if not any(c[q] for q in terms):
+                continue
+            s = 0.0
+            for q in terms:
+                s = s + math.log((c[q] + mu * (cf[q] / c_total)) / (len(v) + mu))
+            want[d] = round(s, 4)
+        assert dict(zip(got.doc_id, got.score)) == want
+
+    def test_single_term_monotonic(self, ray_session):
+        """Fixing doc length and the OTHER term's count, more occurrences
+        of one query term -> higher QL (per-term ln terms are monotone;
+        total-hit count is NOT an ordering — ln concavity)."""
+        import pyarrow.parquet as pq
+
+        from oscar_ray.pipelines.search import ql_scores_table
+
+        got = ql_scores_table(self.SF, ("scan", "filter")).to_pandas()
+        t = pq.read_table(f"{self.SF}/documents.parquet").to_pandas()
+        t["n"] = t.text.str.split().str.len()
+        t["scan"] = t.text.str.count(r"\bscan\b")
+        t["filter"] = t.text.str.count(r"\bfilter\b")
+        j = t.merge(got, on="doc_id")
+        checked = 0
+        for (_n, _f), g in j.groupby(["n", "filter"]):
+            if g["scan"].nunique() < 2:
+                continue
+            g = g.sort_values(["scan", "score"])
+            assert (g.score.diff().dropna() >= -1e-9).all()
+            checked += 1
+        assert checked > 0
