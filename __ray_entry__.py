@@ -1892,6 +1892,33 @@ def _text_winnowing(sf_dir: str):
     )
 
 
+def _search_df_histogram(sf_dir: str):
+    """Index capacity statistics: log2-bucketed document-frequency
+    histogram over the text vocabulary (terms per bucket, total df,
+    total cf) — the posting-length distribution that sizes block spans,
+    caps and codec choices (BASELINE/SCALE arithmetic's input)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oscar_ray.pipelines.search import term_stats_table
+
+    t = term_stats_table(sf_dir)
+    df = t["df"].to_numpy().astype(np.int64)
+    cf = t["cf"].to_numpy().astype(np.int64)
+    # exact floor(log2(df)) via frexp (df is float64-exact; no log rounding)
+    bucket = (np.frexp(df.astype(np.float64))[1] - 1).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    b, df_, cf_ = bucket[order], df[order], cf[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(b)) + 1, [len(b)]))
+    rows = {
+        "bucket": b[starts[:-1]],
+        "n_terms": np.diff(starts).astype(np.int64),
+        "sum_df": np.add.reduceat(df_, starts[:-1]) if len(b) else [],
+        "sum_cf": np.add.reduceat(cf_, starts[:-1]) if len(b) else [],
+    }
+    return pa.table({k: pa.array(np.asarray(v, dtype=np.int64)) for k, v in rows.items()})
+
+
 QL_MU = 100.0  # Dirichlet smoothing mass (pinned)
 
 
@@ -1974,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_more_like_this": _search_more_like_this,
         "search_bm25_anchor_boost": _search_bm25_anchor_boost,
         "search_ql_dirichlet": _search_ql_dirichlet,
+        "search_df_histogram": _search_df_histogram,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -3563,6 +3591,19 @@ def oracle_sql() -> dict[str, str]:
         "link_anchor_stats": _anchor_stats_sql(),
         "search_bm25_anchor": _anchor_bm25_sql(BM25_TERM),
         "search_bm25_anchor_boost": _anchor_boost_sql(BM25_TERM, ANCHOR_BOOST_W),
+        "search_df_histogram": f"""
+            WITH {_TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, term),
+            st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+                   FROM tf GROUP BY term)
+            -- exact floor(log2(df)): binary-digit count minus one
+            SELECT (length(printf('%b', df)) - 1)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_terms,
+                   sum(df)::BIGINT AS sum_df,
+                   sum(cf)::BIGINT AS sum_cf
+            FROM st GROUP BY bucket ORDER BY bucket
+        """,
         "search_ql_dirichlet": f"""
             WITH {_TOK_CTE},
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
