@@ -1276,10 +1276,14 @@ def keep_best_per_cluster(
         cl = pc.cast(pc.coalesce(t["cluster_id"], ids), pa.int64())
         ids_np = ids.to_numpy()
         score = t[score_col].to_numpy().astype(np.int64)
-        assert score.size == 0 or (
-            score.max() < (1 << 23) and score.min() >= 0
-        ), "score out of packed range"
-        assert ids_np.size == 0 or ids_np.max() < id_span, "doc_id >= 2^40"
+        # explicit raises (asserts strip under -O and would silently wrap int64)
+        if score.size and not (score.max() < (1 << 23) and score.min() >= 0):
+            raise ValueError(
+                "keep_best score out of packed argmax range [0, 2^23); "
+                "rescale the score column or use a two-column argmax"
+            )
+        if ids_np.size and ids_np.max() >= id_span:
+            raise ValueError("keep_best doc_id >= 2^40: widen the packing")
         packed = score * id_span + (id_span - np.int64(1) - ids_np)
         return pa.table({"cluster_id": cl, "packed": pa.array(packed)})
 

@@ -1406,8 +1406,9 @@ def mmr_rerank(
     n_queries x depth rows + one depth x depth sim matrix per query,
     never corpus-sized. Candidate vectors come back via ONE streamed
     membership-filter pass (sorted-id broadcast, the DSIR/KWIC fetch
-    pattern). Tie rule pinned: argmax ties break to the lowest vec_id
-    (the same discipline as knn_brute_force). The greedy float chain is
+    pattern). Tie rule pinned: argmax ties break to the FIRST occurrence
+    in knn-rank order, i.e. the best-ranked (highest-relevance, then
+    lowest-vec_id) candidate wins. The greedy float chain is
     not SQL-expressible — driver entry is rows-only; correctness is the
     python-reference parity pytest.
     """
@@ -1421,8 +1422,8 @@ def mmr_rerank(
     def fetch(batch: pa.Table) -> pa.Table:
         m = ray.get(need_ref)
         ids = batch[id_col].to_numpy()
-        if not len(ids):
-            return batch.slice(0, 0)
+        if not len(ids) or not len(m):  # empty candidate set: nothing to fetch
+            return batch.select([id_col, vec_col]).slice(0, 0)
         pos = np.minimum(np.searchsorted(m, ids), len(m) - 1)
         return batch.select([id_col, vec_col]).filter(pa.array(m[pos] == ids))
 

@@ -390,7 +390,11 @@ def winnowing_fingerprints(
     doc_start[starts] = starts
     doc_start = np.maximum.accumulate(doc_start)
     pos = np.arange(n_sh, dtype=np.int64) - doc_start[:n_sh]
-    assert int(pos.max()) < (1 << WINNOW_POS_BITS), "doc exceeds winnow pos budget"
+    if int(pos.max()) >= (1 << WINNOW_POS_BITS):  # explicit: asserts strip under -O
+        raise ValueError(
+            f"document exceeds the {1 << WINNOW_POS_BITS}-token winnowing "
+            "position budget; split oversized docs upstream"
+        )
     key = (fp40.astype(np.int64) << WINNOW_POS_BITS) | pos
 
     if n_sh < w:

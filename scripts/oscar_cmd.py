@@ -620,6 +620,23 @@ def main():
         if args.boost_index:
             import numpy as np
 
+            ignored = [
+                f
+                for f, v in (
+                    ("--mode", args.mode != "auto"),
+                    ("--show-docs", bool(args.show_docs)),
+                    ("--snippets", bool(args.snippets)),
+                )
+                if v
+            ]
+            if ignored:
+                print(
+                    "# warning: --boost-index ignores "
+                    + ", ".join(ignored)
+                    + " (combined-scoring path prints rank\\tid\\tscore only)",
+                    file=sys.stderr,
+                )
+
             boost = QueryEngine(args.boost_index, parallel_fetch=True)
             bi_, bs_ = engine.search(args.query, k=1 << 62)
             ai_, as_ = boost.search(args.query, k=1 << 62)
