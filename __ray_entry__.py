@@ -220,6 +220,45 @@ def _search_shannon_facets(sf_dir: str):
     return search_shannon_facets(sf_dir, BM25_AND, facet_cols=("lang", "source"))
 
 
+def _search_subset_tree(sf_dir: str):
+    """Hierarchical drill-down over the match set — the GeoHierarchy
+    ``subSet`` analog (``oscar-cmd/LiveCompleter.cpp:222-224``;
+    ``oscar-create/CellCreator.cpp:196-402``): count-annotated public
+    suffix -> registered domain -> host tree over the docs matching the
+    AND query. URLs synthesized with mixed public suffixes (com / co.uk
+    / org / com.au, the text_domain_stats fixture rule); the Ray side
+    parses real URL strings (RE2 host extraction + suffix-aware domain
+    reduction), the oracle recomputes the hierarchy arithmetically from
+    doc_id/source — two independent implementations."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from oscar_ray.pipelines.search import documents_index_dir
+    from oscar_ray.pipelines.subset import subset_tree
+
+    _TLDS = np.array(["com", "co.uk", "org", "com.au"])
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        sub = pa.array(np.char.add("w", (did % 7).astype(str)))
+        tld = pa.array(_TLDS[did % 4])
+        ids = pa.array(did.astype(str))
+        url = pc.binary_join_element_wise(
+            "https://", sub, ".", t["source"].combine_chunks(), ".", tld, "/a/", ids, ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    idx = documents_index_dir(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    ).map_batches(mk_urls, batch_format="pyarrow")
+    return subset_tree(idx, docs, BM25_AND, concurrency=2)
+
+
 def _search_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-1000 fused with embedding-
     cosine top-1000 by reciprocal-rank fusion (c=60), top-10."""
@@ -1993,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_regex": _search_bm25_regex,
         "search_segmented_and": _search_segmented_and,
         "search_facets": _search_facets,
+        "search_subset_tree": _search_subset_tree,
         "search_shannon_facets": _search_shannon_facets,
         "search_shannon_topkv": _search_shannon_topkv,
         "search_hybrid_rrf": _search_hybrid_rrf,
@@ -2776,6 +2816,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT facet, value, n FROM r WHERE rk <= 10
             ORDER BY facet, n DESC, value
+        """,
+        "search_subset_tree": f"""
+            WITH {_TOK_CTE},
+            matched AS (
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[0]}'
+                INTERSECT
+                SELECT doc_id FROM tok WHERE term = '{BM25_AND.split()[1]}'
+            ),
+            h AS (
+                SELECT 'w' || CAST(d.doc_id % 7 AS VARCHAR) || '.' || d.source
+                           || '.' || list_extract(
+                               ['com', 'co.uk', 'org', 'com.au'],
+                               CAST(d.doc_id % 4 AS INTEGER) + 1) AS host,
+                       d.source || '.' || list_extract(
+                               ['com', 'co.uk', 'org', 'com.au'],
+                               CAST(d.doc_id % 4 AS INTEGER) + 1) AS domain,
+                       list_extract(['com', 'co.uk', 'org', 'com.au'],
+                               CAST(d.doc_id % 4 AS INTEGER) + 1) AS suffix
+                FROM documents d JOIN matched USING (doc_id)
+            )
+            SELECT 1::BIGINT AS level, '' AS parent, suffix AS node,
+                   count(*)::BIGINT AS n
+            FROM h GROUP BY suffix
+            UNION ALL
+            SELECT 2::BIGINT, suffix, domain, count(*)::BIGINT
+            FROM h GROUP BY suffix, domain
+            UNION ALL
+            SELECT 3::BIGINT, domain, host, count(*)::BIGINT
+            FROM h GROUP BY domain, host
+            ORDER BY level, parent, node
         """,
         "search_shannon_facets": f"""
             WITH {_TOK_CTE},

@@ -198,9 +198,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
         warm_secs = min(warm_secs, time.perf_counter() - t0)
 
+    # ghsg subSet phase (the reference times the drill-down sub-DAG per
+    # query, ``oscar-cmd/Benchmark.cpp:180-199`` ``ghsg=``): drill-down
+    # tree over the FULL match set for a sample of the query mix.
+    # The serving pool holds every CPU — release it first or the subset
+    # tasks can never schedule.
+    for p in pool:
+        ray.kill(p)
+    from oscar_ray.pipelines.subset import subset_tree_from_index
+
+    sub_queries = [q["query"] for q in queries[:8]]
+    t0 = time.perf_counter()
+    subset_rows = sum(
+        subset_tree_from_index(out_dir, q, num_parts=8).num_rows
+        for q in sub_queries
+    )
+    subset_secs = time.perf_counter() - t0
+
     ray.shutdown()
     return {
         "alu_probe_secs": round(_alu_probe(), 3),
+        "subset_secs": round(subset_secs, 3),
+        "subset_qps": round(len(sub_queries) / subset_secs, 1),
+        "subset_rows": int(subset_rows),
         "stage_task_secs": {"a": task_secs_a, "b": task_secs_b},
         "build_secs": round(build_secs, 3),
         "build_docs_per_sec": round(n_docs / build_secs, 1),

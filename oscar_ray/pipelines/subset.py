@@ -1,0 +1,404 @@
+"""Hierarchical facet drill-down over a query result set — the
+GeoHierarchy ``subSet`` analog.
+
+After every completion query the reference computes a region sub-DAG
+over the match set for interactive drill-down: ``oscar-cmd/
+LiveCompleter.cpp:222-224`` (``ghsg().subSet(cqr, ...)``), DAG
+construction ``oscar-create/CellCreator.cpp:196-402``; it is a
+first-class benchmark phase (``oscar-cmd/Benchmark.cpp:180-199``, the
+``ghsg=`` timing). Each sub-DAG node is a region containing >=1
+matched item, annotated with its match count; children are ranked for
+display and pruned (the sparse/pruned subset modes).
+
+The webtext analog of the region hierarchy is the URL hierarchy::
+
+    public suffix  ->  registered domain  ->  host
+    ("co.uk")          ("example.co.uk")      ("www.example.co.uk")
+
+``subset_tree`` evaluates a query's match set as a count-annotated
+3-level tree: rows ``(level, parent, node, n)`` where level 1 = public
+suffix (parent ''), level 2 = registered domain (parent = its suffix),
+level 3 = host (parent = its domain); ``n`` = matched docs under the
+node. Only nodes with >=1 match appear (the reference's sub-DAG also
+contains only regions intersecting the result).
+
+Distributed shape (the 100-TB story):
+
+- The match set is NEVER driver-materialized: it lives as the
+  :func:`~oscar_ray.pipelines.facets.matched_id_plan` docid-range
+  object refs, exactly like kvstats.
+- The docs table streams through a counter actor pool; each batch does
+  the vectorized membership test, derives (suffix, domain, host) with
+  the urls.py RE2 kernels, and pre-aggregates to DISTINCT hosts —
+  exchange volume ~ distinct matched hosts per batch, never ~ rows.
+- ONE hash(domain)-routed exchange co-locates each domain's hosts, so
+  host- and domain-level counts finalize completely per part; only
+  suffix-level partials (<= num_parts x #suffixes rows) and the
+  finished tree rows reach the driver. Driver state is tree-sized
+  (matched suffixes + domains + hosts), never corpus-sized — the same
+  discipline as the reference's region DAG, which is also ~|regions|,
+  not ~|items|.
+- ``max_children`` prunes each node's children to the top-k by
+  (n desc, name asc) — the interactive display mode; drill-down then
+  re-queries one subtree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from oscar_ray.pipelines.facets import _FacetCounter, matched_id_plan
+from oscar_ray.stages.dedup import hash_strings_u64
+from oscar_ray.stages.urls import registered_domains, url_hosts
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("suffix", pa.string()),
+        ("domain", pa.string()),
+        ("host", pa.string()),
+        ("n", pa.int64()),
+        ("part", pa.int64()),
+    ]
+)
+
+_TREE_SCHEMA = pa.schema(
+    [
+        ("level", pa.int64()),
+        ("parent", pa.string()),
+        ("node", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def _empty(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+def public_suffixes(domains) -> pa.Array:
+    """Registered domains -> their public suffix (everything after the
+    first label): ``example.co.uk -> co.uk``, ``example.com -> com``.
+    Single-label inputs (``localhost``) come back unchanged."""
+    if isinstance(domains, pa.ChunkedArray):
+        domains = domains.combine_chunks()
+    return pc.replace_substring_regex(
+        domains, pattern=r"^[^.]+\.", replacement="", max_replacements=1
+    )
+
+
+class _SubsetCounter(_FacetCounter):
+    """map_batches: batch -> distinct (suffix, domain, host, n, part)
+    over the docs whose id is in the distributed match plan.
+
+    Reuses the facet counter's range-ref membership machinery (per-actor
+    LRU over the plan's sorted-id arrays); adds the URL-hierarchy
+    derivation and the batch-level distinct-host pre-aggregation."""
+
+    def __init__(
+        self,
+        plan,
+        url_col: str,
+        id_col: str = "doc_id",
+        num_parts: int = 16,
+        max_cached: int = 16,
+    ):
+        super().__init__(plan, facet_cols=[], id_col=id_col, max_cached=max_cached)
+        self.url_col = url_col
+        self.num_parts = num_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        keep = self._membership(ids)
+        if not keep.any():
+            return _empty(_PAIR_SCHEMA)
+        urls = batch[self.url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        urls = urls.filter(pa.array(keep))
+        host = url_hosts(urls)
+        dom = registered_domains(host)
+        ok = pc.is_valid(dom)
+        host, dom = host.filter(ok), dom.filter(ok)
+        if not len(dom):
+            return _empty(_PAIR_SCHEMA)
+        sfx = public_suffixes(dom)
+        agg = (
+            pa.table({"suffix": sfx, "domain": dom, "host": host})
+            .group_by(["suffix", "domain", "host"])
+            .aggregate([([], "count_all")])
+        )
+        part = (
+            hash_strings_u64(agg["domain"]) % np.uint64(self.num_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "suffix": agg["suffix"],
+                "domain": agg["domain"],
+                "host": agg["host"],
+                "n": agg["count_all"].cast(pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+
+def _part_tree(g: pa.Table) -> pa.Table:
+    """One routed part -> finished level-2/3 rows + level-1 partials.
+
+    Routing keys on hash(domain) and suffix is a function of the domain,
+    so host- and domain-level counts are COMPLETE within a part;
+    suffix-level rows are partial (summed on the driver, bounded by
+    num_parts x #suffixes)."""
+    def _regroup(t: pa.Table, keys: list[str]) -> pa.Table:
+        out = t.group_by(keys).aggregate([("n", "sum")])
+        cols = {k: out[k] for k in keys}
+        cols["n"] = out["n_sum"]
+        return pa.table(cols)
+
+    g = g.drop_columns(["part"])
+    hosts = _regroup(g, ["suffix", "domain", "host"])
+    doms = _regroup(hosts, ["suffix", "domain"])
+    sfxs = _regroup(doms, ["suffix"])
+    level = np.concatenate(
+        [
+            np.full(len(sfxs), 1, dtype=np.int64),
+            np.full(len(doms), 2, dtype=np.int64),
+            np.full(len(hosts), 3, dtype=np.int64),
+        ]
+    )
+    parent = pa.concat_arrays(
+        [
+            pa.array([""] * len(sfxs), type=pa.string()),
+            doms["suffix"].combine_chunks().cast(pa.string()),
+            hosts["domain"].combine_chunks().cast(pa.string()),
+        ]
+    )
+    node = pa.concat_arrays(
+        [
+            sfxs["suffix"].combine_chunks().cast(pa.string()),
+            doms["domain"].combine_chunks().cast(pa.string()),
+            hosts["host"].combine_chunks().cast(pa.string()),
+        ]
+    )
+    n = pa.concat_arrays(
+        [
+            sfxs["n"].combine_chunks().cast(pa.int64()),
+            doms["n"].combine_chunks().cast(pa.int64()),
+            hosts["n"].combine_chunks().cast(pa.int64()),
+        ]
+    )
+    return pa.table({"level": level, "parent": parent, "node": node, "n": n})
+
+
+def _prune(df: pd.DataFrame, max_children: int) -> pd.DataFrame:
+    """Keep the top ``max_children`` children per node by (n desc, node
+    asc) at every level; descendants of pruned nodes drop too (the
+    reference's pruned/sparse display mode)."""
+    out = []
+    kept_parents = {""}  # level-1 rows all have parent ''
+    for level in (1, 2, 3):
+        g = df[(df["level"] == level) & df["parent"].isin(kept_parents)]
+        g = (
+            g.sort_values(["n", "node"], ascending=[False, True], kind="mergesort")
+            .groupby("parent", as_index=False, sort=False)
+            .head(max_children)
+        )
+        out.append(g)
+        kept_parents = set(g["node"])
+    return pd.concat(out, ignore_index=True)
+
+
+def subset_tree(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    query: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_children: int | None = None,
+    num_parts: int = 16,
+    concurrency: int = 2,
+    num_match_tasks: int = 8,
+) -> pa.Table:
+    """Count-annotated suffix->domain->host drill-down tree over the
+    docs matching a set-op BM25 ``query`` — the ``ghsg().subSet(cqr)``
+    analog (``oscar-cmd/LiveCompleter.cpp:222-224``).
+
+    -> (level, parent, node, n), sorted by (level, parent, node).
+    ``docs`` must carry ``id_col`` (the indexed docid) and ``url_col``.
+    """
+    plan = matched_id_plan(index_dir, query, num_tasks=num_match_tasks)
+    pairs = docs.map_batches(
+        _SubsetCounter,
+        fn_constructor_kwargs={
+            "plan": plan,
+            "url_col": url_col,
+            "id_col": id_col,
+            "num_parts": num_parts,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    rows = (
+        pairs.groupby("part")
+        .map_groups(_part_tree, batch_format="pyarrow")
+        .take_all()
+    )  # tree-sized (matched suffixes+domains+hosts), never corpus-sized
+    if not rows:
+        return _empty(_TREE_SCHEMA)
+    df = pd.DataFrame(rows)
+    l1 = (
+        df[df["level"] == 1]
+        .groupby(["parent", "node"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    l1.insert(0, "level", np.int64(1))
+    tree = pd.concat([l1, df[df["level"] > 1]], ignore_index=True)
+    if max_children is not None:
+        tree = _prune(tree, max_children)
+    tree = tree.sort_values(["level", "parent", "node"], kind="mergesort")
+    return pa.table(
+        {
+            "level": pa.array(tree["level"].to_numpy(np.int64), type=pa.int64()),
+            "parent": pa.array(tree["parent"], type=pa.string()),
+            "node": pa.array(tree["node"], type=pa.string()),
+            "n": pa.array(tree["n"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _meta_subset_task(paths: list[str], plan_los, plan_his, plan_refs) -> pa.Table:
+    """(suffix, domain, host, n) partials over a CHUNK of docmeta files
+    restricted to the match plan — the kvstats per-file serving shape
+    (``_kvmeta_count_task``), chunked so task count stays ~cores even
+    for indexes with hundreds of small docmeta files: fetch only
+    overlapping plan ranges, return one tree-sized partial."""
+    import pyarrow.parquet as pq
+
+    kept_urls = []
+    for path in paths:
+        t = pq.read_table(path, columns=["docid", "url"])
+        ids = t["docid"].to_numpy()
+        if not len(ids):
+            continue
+        keep = np.zeros(len(ids), dtype=bool)
+        lo, hi = int(ids.min()), int(ids.max())
+        for plo, phi, ref in zip(plan_los, plan_his, plan_refs):
+            if phi <= lo or plo > hi:
+                continue
+            m = ray.get(ref)
+            if not len(m):
+                continue
+            pos = np.searchsorted(m, ids)
+            pos = np.minimum(pos, len(m) - 1)
+            keep |= m[pos] == ids
+        if keep.any():
+            kept_urls.append(t["url"].combine_chunks().filter(pa.array(keep)))
+    empty = _empty(_PAIR_SCHEMA).drop_columns(["part"])
+    if not kept_urls:
+        return empty
+    urls = pa.concat_arrays(kept_urls)
+    host = url_hosts(urls)
+    dom = registered_domains(host)
+    ok = pc.is_valid(dom)
+    host, dom = host.filter(ok), dom.filter(ok)
+    if not len(dom):
+        return empty
+    agg = (
+        pa.table({"suffix": public_suffixes(dom), "domain": dom, "host": host})
+        .group_by(["suffix", "domain", "host"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "suffix": agg["suffix"],
+            "domain": agg["domain"],
+            "host": agg["host"],
+            "n": agg["count_all"].cast(pa.int64()),
+        }
+    )
+
+
+def subset_tree_from_index(
+    index_dir: str,
+    query: str,
+    max_children: int | None = None,
+    num_match_tasks: int = 8,
+    **_compat,
+) -> pa.Table:
+    """Drill-down tree straight from an index's own docmeta artifacts
+    (docid + url live there for every built index) — the CLI/serving
+    path; needs no access to the source table.
+
+    Serving shape (the kvstats discipline, not the Dataset pipeline —
+    interactive latency matters here): ONE raw Ray task per docmeta
+    file returns a tree-sized (suffix, domain, host, n) partial; the
+    driver merge is ~|matched hosts|, never ~docs. For corpus-scale
+    trees over a source table use :func:`subset_tree` (streamed,
+    hash(domain)-routed)."""
+    from oscar_ray.index.layout import docmeta_files
+
+    plan = matched_id_plan(index_dir, query, num_tasks=num_match_tasks)
+    los = [e[0] for e in plan]
+    his = [e[1] for e in plan]
+    refs = [e[2] for e in plan]
+    files = docmeta_files(index_dir)
+    n_tasks = min(len(files), int(ray.cluster_resources().get("CPU", 8)) * 2)
+    chunks = [files[i::n_tasks] for i in range(n_tasks)] if files else []
+    outs = ray.get(
+        [_meta_subset_task.remote(c, los, his, refs) for c in chunks if c]
+    )
+    outs = [o for o in outs if o.num_rows]
+    if not outs:
+        return _empty(_TREE_SCHEMA)
+    pairs = pa.concat_tables(outs).to_pandas()
+    hosts = pairs.groupby(["suffix", "domain", "host"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    doms = hosts.groupby(["suffix", "domain"], as_index=False).agg(n=("n", "sum"))
+    sfxs = doms.groupby(["suffix"], as_index=False).agg(n=("n", "sum"))
+    tree = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "level": np.int64(1),
+                    "parent": "",
+                    "node": sfxs["suffix"],
+                    "n": sfxs["n"],
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "level": np.int64(2),
+                    "parent": doms["suffix"],
+                    "node": doms["domain"],
+                    "n": doms["n"],
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "level": np.int64(3),
+                    "parent": hosts["domain"],
+                    "node": hosts["host"],
+                    "n": hosts["n"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    if max_children is not None:
+        tree = _prune(tree, max_children)
+    tree = tree.sort_values(["level", "parent", "node"], kind="mergesort")
+    return pa.table(
+        {
+            "level": pa.array(tree["level"].to_numpy(np.int64), type=pa.int64()),
+            "parent": pa.array(tree["parent"], type=pa.string()),
+            "node": pa.array(tree["node"], type=pa.string()),
+            "n": pa.array(tree["n"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )

@@ -94,6 +94,16 @@ def main():
     kv.add_argument("-q", "--query", required=True)
     kv.add_argument("--keys", default="lang", help="comma-separated docmeta columns")
     kv.add_argument("--topk", type=int, default=10)
+    ss = sub.add_parser(
+        "subset",
+        help="hierarchical drill-down tree over a query's match set "
+        "(suffix -> domain -> host, the GeoHierarchy subSet analog)",
+    )
+    ss.add_argument("-q", "--query", required=True)
+    ss.add_argument(
+        "--max-children", type=int, default=None,
+        help="prune each node to its top-k children (n desc, name asc)",
+    )
     sk = sub.add_parser(
         "shannon-kvstats",
         help="topKeyValues ranked by distance to threshold*|matched| "
@@ -164,6 +174,11 @@ def main():
     it.add_argument("-k", type=int, default=10)
     it.add_argument("--mode", choices=["auto", "exhaustive"], default="auto")
     it.add_argument("--show-docs", action="store_true")
+    it.add_argument(
+        "--subset", type=int, default=None, metavar="N",
+        help="after each query, print the drill-down tree over the FULL "
+        "match set, top-N children per node (the ghsg subSet display)",
+    )
     sub.add_parser("dump-dict")
     sub.add_parser("stats")
     ck = sub.add_parser("check")
@@ -321,6 +336,29 @@ def main():
         )
         for r in t.to_pylist():
             print(f"{r['facet']}\t{r['value']}\t{r['n']}")
+        return
+
+    if args.cmd == "subset":
+        from oscar_ray.pipelines.subset import subset_tree_from_index
+
+        _ensure_ray()  # streamed match plan: no driver-side match set
+        t = subset_tree_from_index(
+            args.index, args.query, max_children=args.max_children
+        )
+        # indented tree print (the LiveCompletion drill-down display)
+        rows = t.to_pylist()
+        children: dict[tuple[int, str], list[dict]] = {}
+        for r in rows:
+            children.setdefault((r["level"], r["parent"]), []).append(r)
+        for lst in children.values():
+            lst.sort(key=lambda r: (-r["n"], r["node"]))
+
+        def walk(level: int, parent: str, indent: str) -> None:
+            for r in children.get((level, parent), []):
+                print(f"{indent}{r['node']}\t{r['n']}")
+                walk(level + 1, r["node"], indent + "  ")
+
+        walk(1, "", "")
         return
 
     if args.cmd == "hybrid":
@@ -528,6 +566,34 @@ def main():
             if timings.get("reason"):
                 phases += f" ({timings['reason']})"
             print(f"# {len(ids)} results; {phases}", file=sys.stderr)
+            if args.subset is not None:
+                # LiveCompleter.cpp:222-224 ghsg().subSet over the FULL
+                # match set (not just the printed top-k)
+                import time as _time
+
+                from oscar_ray.pipelines.subset import subset_tree_from_index
+
+                _ensure_ray()
+                t0 = _time.perf_counter()
+                st = subset_tree_from_index(
+                    args.index, qstr, max_children=args.subset
+                ).to_pylist()
+                kids: dict[tuple[int, str], list] = {}
+                for r in st:
+                    kids.setdefault((r["level"], r["parent"]), []).append(r)
+                for lst in kids.values():
+                    lst.sort(key=lambda r: (-r["n"], r["node"]))
+
+                def _walk(level: int, parent: str, indent: str) -> None:
+                    for r in kids.get((level, parent), []):
+                        print(f"{indent}{r['node']}\t{r['n']}")
+                        _walk(level + 1, r["node"], indent + "  ")
+
+                _walk(1, "", "")
+                print(
+                    f"# ghsg= {(_time.perf_counter() - t0) * 1e6:.0f}us",
+                    file=sys.stderr,
+                )
             if sys.stdin.isatty():
                 print("query> ", end="", flush=True)
         return
