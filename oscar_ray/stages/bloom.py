@@ -123,6 +123,7 @@ def bloom_dedup(
     k: int = 4,
     num_parts: int = 16,
     chunk_rows: int = 1 << 16,
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """First-seen dedup verdict per unit -> Dataset(id_col, kept int32).
 
@@ -151,6 +152,11 @@ def bloom_dedup(
 
     return (
         ds.map_batches(route, batch_format="pyarrow")
+        # bound the block count entering the exchange so sort pieces stay
+        # past the ~100 KB inline threshold — tiny inline pieces flood the
+        # driver heap (the joins.py range_count_join finding: ~1 GB driver
+        # RSS at 2M+ units before coalescing)
+        .repartition(coalesce_blocks or num_parts)
         .groupby("part")
         .map_groups(
             functools.partial(
@@ -173,6 +179,7 @@ def bloom_dedup_keep(
     k: int = 4,
     num_parts: int = 16,
     chunk_rows: int = 1 << 16,
+    coalesce_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """First-seen dedup returning the SURVIVING rows with all their
     columns — the pinned-memory drop-in for
@@ -192,6 +199,9 @@ def bloom_dedup_keep(
 
     return (
         ds.map_batches(route, batch_format="pyarrow")
+        # see bloom_dedup: coalesce before the exchange (inline-piece
+        # driver-RSS discipline)
+        .repartition(coalesce_blocks or num_parts)
         .groupby("part")
         .map_groups(
             functools.partial(
