@@ -143,6 +143,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # any wall-clock efficiency loss is then resource contention, not design
     task_secs_a = round(sum(m["secs"] for m in manifest["shards"] if m), 2)
     task_secs_b = round(sum(m["secs"] for m in manifest["partitions"] if m), 2)
+    # per-substage stage-A attribution (read/tokenize/suffix_fields/
+    # spill/docmeta) so task-second drift is localizable across rounds
+    sub_a: dict[str, float] = {}
+    for m in manifest["shards"]:
+        for k, v in ((m or {}).get("sub_secs") or {}).items():
+            sub_a[k] = sub_a.get(k, 0.0) + v
+    sub_a = {k: round(v, 2) for k, v in sub_a.items()}
 
     # query set from the built dictionary (stratified by df)
     import pyarrow.parquet as pq
@@ -221,7 +228,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "subset_secs": round(subset_secs, 3),
         "subset_qps": round(len(sub_queries) / subset_secs, 1),
         "subset_rows": int(subset_rows),
-        "stage_task_secs": {"a": task_secs_a, "b": task_secs_b},
+        "stage_task_secs": {"a": task_secs_a, "b": task_secs_b, "a_sub": sub_a},
         "build_secs": round(build_secs, 3),
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "n_docs": n_docs,

@@ -209,6 +209,15 @@ class TokenizeShardWorker:
     def _process_shard(self, shard_id: int, frags: list[dict]) -> dict:
         cfg = self.cfg
         t0 = time.perf_counter()
+        # per-substage attribution (bench sums these across shards so
+        # stage-A task-second drift is localizable round-over-round)
+        sub: dict[str, float] = {}
+        _t_mark = [t0]
+
+        def mark(name: str) -> None:
+            now = time.perf_counter()
+            sub[name] = sub.get(name, 0.0) + (now - _t_mark[0])
+            _t_mark[0] = now
         cols = [cfg.html_column] if cfg.extract_from_html else [cfg.text_column]
         if cfg.url_column:
             cols.append(cfg.url_column)
@@ -236,6 +245,7 @@ class TokenizeShardWorker:
                 tbl.schema.get_field_index("docid"), "docid", remap.combine_chunks()
             )
         docid = tbl["docid"].to_numpy()
+        mark("read")
         if cfg.extract_from_html:
             from oscar_ray.spec.extract import EXTRACTORS
 
@@ -278,6 +288,7 @@ class TokenizeShardWorker:
         ucode = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
 
         doclen_per_row = np.bincount(parent, minlength=len(tbl)).astype(np.int64)
+        mark("tokenize")
 
         pos_arr = None
         if cfg.index_positions:
@@ -295,6 +306,7 @@ class TokenizeShardWorker:
             from oscar_ray.stages.codecs import encode_positions_segmented
 
             pos_arr = encode_positions_segmented(tok_pos[order_pairs], pair_starts)
+            mark("positions")
 
         terms_py = terms_dict.to_pylist()
         if cfg.index_suffixes:
@@ -321,6 +333,7 @@ class TokenizeShardWorker:
                     [pos_arr, _empty_binary(len(urow) - n_before)]
                 )
 
+        mark("suffix_fields")
         # partition of each unique term in this shard's dictionary
         part_by_code = layout.term_partitions_np(terms_py, cfg.num_partitions)
         pair_part = part_by_code[ucode]
@@ -369,6 +382,7 @@ class TokenizeShardWorker:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             pq.write_table(slice_tbl, path, **_SPILL_WRITE_OPTS)
             spilled_bytes += os.path.getsize(path)
+        mark("spill")
 
         # docmeta for this shard, hash-partitioned by url so dedup is a
         # per-partition scan (crc32 over this shard's rows, C-speed)
@@ -402,12 +416,14 @@ class TokenizeShardWorker:
             os.makedirs(os.path.dirname(mp), exist_ok=True)
             pq.write_table(meta_tbl.slice(int(s), int(e - s)), mp, **_PARQUET_WRITE_OPTS)
 
+        mark("docmeta")
         m = {
             "shard_id": shard_id,
             "docs": len(tbl),
             "tokens": int(doclen_per_row.sum()),
             "pairs": int(len(uniq)),
             "spilled_bytes": int(spilled_bytes),
+            "sub_secs": {k: round(v, 3) for k, v in sub.items()},
             # docid-SPACE bound (consumers like the facet match plan must
             # partition by docid range, which tombstones never shrink)
             "max_docid": int(docid.max()) if len(tbl) else -1,
