@@ -1367,6 +1367,35 @@ def _emb_mmr_topk(sf_dir: str):
     return mmr_rerank(ds, _queries_embeddings(sf_dir), k=ANN_K, depth=64, lam=0.7)
 
 
+def _emb_encode(sf_dir: str):
+    """Batched embedding-encoder actor stage (the GPU-model slot):
+    hash-projection weights built once per actor in __init__, vectorized
+    forward per batch -> (doc_id, embedding list<float32>[16], e0).
+    Deterministic under any partitioning; rows-only (the float chain is
+    not SQL-expressible) — correctness is the sequential-reference
+    parity pytest + the encode->ANN chained test."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.encoder import encode_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = encode_embeddings(ds, dim=16, concurrency=2)
+
+    def add_e0(t: pa.Table) -> pa.Table:
+        e0 = np.array(
+            [round(float(v[0]), 4) if len(v) else 0.0 for v in t["embedding"].to_pylist()]
+        )
+        return t.append_column("e0", pa.array(e0, type=pa.float64()))
+
+    return out.map_batches(add_e0, batch_format="pyarrow").sort("doc_id")
+
+
 def _ann_cosine_topk(sf_dir: str):
     import os
 
@@ -2101,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_curate": _pipeline_curate,
         "text_sample_stratified": _text_sample_stratified,
         "text_source_cap": _text_source_cap,
+        "emb_encode": _emb_encode,
         "ann_cosine_topk": _ann_cosine_topk,
         "emb_mmr_topk": _emb_mmr_topk,
         "ann_lsh_topk": _ann_lsh_topk,

@@ -69,8 +69,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -94,6 +100,7 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,27 +109,72 @@ def main():
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as e:
             print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
+            results.append(
+                {"name": name, "status": "err", "issue": f"{type(e).__name__}: {e}"}
+            )
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"OK?  {name}: rows={len(got)} ({dt:.1f}s) [no oracle — rows-only]")
+            results.append(
+                {
+                    "name": name,
+                    "status": "rows_only",
+                    "rows": len(got),
+                    "secs": round(dt, 1),
+                }
+            )
             n_pass += 1
             continue
         try:
             want = normalize(con.sql(sqls[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}")
+            results.append(
+                {
+                    "name": name,
+                    "status": "err",
+                    "issue": f"oracle SQL: {type(e).__name__}: {e}",
+                }
+            )
             n_fail += 1
             continue
         issues = compare(name, got, want)
         if issues:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(issues))
+            results.append(
+                {"name": name, "status": "fail", "issue": "; ".join(issues)}
+            )
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(got)} ({dt:.1f}s)")
+            results.append(
+                {
+                    "name": name,
+                    "status": "pass",
+                    "rows": len(got),
+                    "secs": round(dt, 1),
+                }
+            )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_entries": len(results),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
