@@ -1790,6 +1790,80 @@ def _mm_video_frames_gif(sf_dir: str):
     )
 
 
+def _mm_mixed_skips(sf_dir: str):
+    """Mixed real-world corpus through the image stage with compressed-
+    codec gates surfaced as COUNTED SKIPS (not raised errors): per doc,
+    the payload format cycles jpeg/png/mp3/mp4/h264 by doc_id%5; decoder
+    ='auto' sniffs magic bytes, decodes the in-envelope formats, and
+    streams the rest through with a skip_reason. -> (skip_reason, n)
+    counts; '' = decoded. The oracle recomputes counts from the doc_id
+    arithmetic — hash-exact, proving no row is dropped or mislabeled."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from oscar_ray.stages.multimodal import ImageFeatureStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        from oscar_ray.sources.synth import generate_jpeg, generate_png
+
+        payload = []
+        for d in t["doc_id"].to_pylist():
+            m = int(d) % 5
+            if m == 0:
+                payload.append(generate_jpeg(int(d)))
+            elif m == 1:
+                payload.append(generate_png(int(d)))
+            elif m == 2:
+                payload.append(b"ID3\x04" + bytes(60))  # mp3 envelope
+            elif m == 3:
+                payload.append(b"\x00\x00\x00\x18ftypisom" + bytes(40))  # mp4
+            else:
+                payload.append(b"\x00\x00\x00\x01\x67" + bytes(40))  # h264
+        return pa.table(
+            {"doc_id": t["doc_id"], "media": pa.array(payload, type=pa.binary())}
+        )
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={
+            "decoder": "auto",
+            "dim": 8,
+            "on_unsupported": "skip",
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["skip_reason"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"skip_reason": agg["skip_reason"], "n": agg["count_all"]}
+        )
+
+    return (
+        feats.map_batches(count, batch_format="pyarrow")
+        .groupby("skip_reason")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "skip_reason": t["skip_reason"],
+                    "n": t["sum(n)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("skip_reason")
+    )
+
+
 def _mm_video_frames(sf_dir: str):
     """Video pipeline with a REAL frame sampler: raw-RGB container ->
     evenly-spaced frames re-encoded as PPM -> per-frame image features."""
@@ -2148,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features_avi": _mm_audio_features_avi,
         "mm_audio_features_g711": _mm_audio_features_g711,
         "mm_video_frames": _mm_video_frames,
+        "mm_mixed_skips": _mm_mixed_skips,
         "mm_video_frames_avi": _mm_video_frames_avi,
         "mm_video_frames_gif": _mm_video_frames_gif,
     }
@@ -2876,6 +2951,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3::BIGINT, domain, host, count(*)::BIGINT
             FROM h GROUP BY domain, host
             ORDER BY level, parent, node
+        """,
+        "mm_mixed_skips": """
+            SELECT CASE doc_id % 5
+                       WHEN 2 THEN 'unsupported image format: mp3'
+                       WHEN 3 THEN 'unsupported image format: mp4'
+                       WHEN 4 THEN 'unsupported image format: h264'
+                       ELSE '' END AS skip_reason,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1 ORDER BY skip_reason
         """,
         "search_shannon_facets": f"""
             WITH {_TOK_CTE},

@@ -39,6 +39,42 @@ import numpy as np
 import pyarrow as pa
 
 
+def sniff_media(payload: bytes) -> str:
+    """Magic-byte container/codec sniff for mixed-corpus routing.
+
+    -> one of ``jpeg png gif ppm wav avi rvid mp3 mp4 ogg h264 webm
+    unknown``. A real crawl's media column is MOSTLY formats outside
+    the library-free envelope (mp3/aac in mp4, h264); the feature
+    stages use this to stream those rows through as counted skips
+    instead of dying mid-corpus."""
+    p = payload or b""
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if p[:2] in (b"P5", b"P6") and (len(p) > 2 and p[2:3] in b" \t\r\n"):
+        return "ppm"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return "avi"
+    if p[:4] == b"RVID":
+        return "rvid"
+    if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if p[4:8] == b"ftyp":
+        return "mp4"
+    if p[:4] == b"OggS":
+        return "ogg"
+    if p[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
+    if p[:4] in (b"\x00\x00\x00\x01",) or p[:3] == b"\x00\x00\x01":
+        return "h264"
+    return "unknown"
+
+
 # --------------------------------------------------------------------------
 # library-free codecs
 # --------------------------------------------------------------------------
@@ -450,6 +486,8 @@ class ImageFeatureStage:
     formats outside the library-free envelope, NotImplementedError here.
     """
 
+    IMAGE_FORMATS = ("jpeg", "png", "gif", "ppm")
+
     def __init__(
         self,
         id_col: str = "doc_id",
@@ -457,26 +495,38 @@ class ImageFeatureStage:
         dim: int = 64,
         decoder: str = "fake",
         passthrough_cols: tuple = (),
+        on_unsupported: str = "raise",
     ):
         self.id_col, self.media_col, self.dim = id_col, media_col, dim
-        if decoder not in ("fake", "real", "ppm", "jpeg", "png", "gif"):
+        if decoder not in ("fake", "real", "ppm", "jpeg", "png", "gif", "auto"):
             raise ValueError(decoder)
+        if on_unsupported not in ("raise", "skip"):
+            raise ValueError(on_unsupported)
         self.decoder = decoder
+        self.on_unsupported = on_unsupported
         self.passthrough_cols = list(passthrough_cols)
         # a compressed-format path would load the codec/model ONCE here
         # (per actor): self.model = load_feature_extractor(...)
 
     def _features(self, payload: bytes) -> tuple[np.ndarray, int, int]:
-        if self.decoder == "real":
+        decoder = self.decoder
+        if decoder == "auto":
+            # mixed-corpus routing: sniff, decode the envelope formats,
+            # surface everything else as an unsupported-format skip
+            fmt = sniff_media(payload)
+            if fmt not in self.IMAGE_FORMATS:
+                raise NotImplementedError(f"unsupported image format: {fmt}")
+            decoder = fmt
+        if decoder == "real":
             raise NotImplementedError(
                 "real image decode requires Pillow/libjpeg (not in this container)"
             )
-        if self.decoder == "jpeg":
+        if decoder == "jpeg":
             from oscar_ray.stages.jpeg import jpeg_decode
 
             img = jpeg_decode(payload)
             return image_features(img, self.dim), img.shape[1], img.shape[0]
-        if self.decoder == "png":
+        if decoder == "png":
             from oscar_ray.stages.png import png_decode
 
             img = png_decode(payload)
@@ -487,12 +537,12 @@ class ImageFeatureStage:
             elif img.shape[2] == 2:
                 img = img[:, :, :1]
             return image_features(img, self.dim), img.shape[1], img.shape[0]
-        if self.decoder == "gif":
+        if decoder == "gif":
             from oscar_ray.stages.gif import gif_decode
 
             img = gif_decode(payload)
             return image_features(img, self.dim), img.shape[1], img.shape[0]
-        if self.decoder == "ppm":
+        if decoder == "ppm":
             img = decode_ppm(payload)
             return image_features(img, self.dim), img.shape[1], img.shape[0]
         # deterministic fake: stretch a 32-byte digest to dim floats in [0,1)
@@ -506,12 +556,24 @@ class ImageFeatureStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, ws, hs = [], [], []
+        feats, ws, hs, reasons = [], [], [], []
         for p in batch[self.media_col].to_pylist():
-            f, w, h = self._features(p)
+            try:
+                f, w, h = self._features(p)
+            except NotImplementedError as e:
+                if self.on_unsupported != "skip":
+                    raise
+                # counted skip: the row streams through with its reason;
+                # a mixed real-world corpus must not die on one mp4
+                feats.append([])
+                ws.append(0)
+                hs.append(0)
+                reasons.append(str(e))
+                continue
             feats.append(f.tolist())
             ws.append(w)
             hs.append(h)
+            reasons.append("")
         cols = {
             self.id_col: batch[self.id_col].cast(pa.int64()),
             **{c: batch[c] for c in self.passthrough_cols},
@@ -519,6 +581,8 @@ class ImageFeatureStage:
             "width": pa.array(ws, type=pa.int32()),
             "height": pa.array(hs, type=pa.int32()),
         }
+        if self.on_unsupported == "skip":
+            cols["skip_reason"] = pa.array(reasons, type=pa.string())
         return pa.table(cols)
 
 
@@ -563,21 +627,61 @@ class AudioFeatureStage:
     """
 
     def __init__(
-        self, id_col: str = "doc_id", media_col: str = "media", decoder: str = "wav"
+        self,
+        id_col: str = "doc_id",
+        media_col: str = "media",
+        decoder: str = "wav",
+        on_unsupported: str = "raise",
     ):
-        if decoder not in ("wav", "avi", "real"):
+        if decoder not in ("wav", "avi", "real", "auto"):
             raise ValueError(decoder)
+        if on_unsupported not in ("raise", "skip"):
+            raise ValueError(on_unsupported)
         self.id_col, self.media_col, self.decoder = id_col, media_col, decoder
+        self.on_unsupported = on_unsupported
+
+    def _decode(self, p: bytes) -> tuple[np.ndarray, int]:
+        decoder = self.decoder
+        if decoder == "auto":
+            fmt = sniff_media(p)
+            if fmt == "wav":
+                decoder = "wav"
+            elif fmt == "avi":
+                decoder = "avi"
+            else:
+                raise NotImplementedError(f"unsupported audio format: {fmt}")
+        if decoder == "real":
+            raise NotImplementedError("compressed audio requires ffmpeg")
+        if decoder == "avi":
+            from .avi import avi_audio
+
+            return avi_audio(p)
+        return decode_wav(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("compressed audio requires ffmpeg")
-        if self.decoder == "avi":
-            from .avi import avi_audio
+        skip_mode = self.on_unsupported == "skip"
         rows = []
         for i, p in enumerate(batch[self.media_col].to_pylist()):
-            samples, rate = avi_audio(p) if self.decoder == "avi" else decode_wav(p)
+            try:
+                samples, rate = self._decode(p)
+            except NotImplementedError as e:
+                if not skip_mode:
+                    raise
+                f = {
+                    "duration_s": 0.0,
+                    "rms": 0.0,
+                    "zcr": 0.0,
+                    "spectral_centroid_hz": 0.0,
+                    "sample_rate": 0,
+                    "n_channels": 0,
+                    "skip_reason": str(e),
+                }
+                f[self.id_col] = batch[self.id_col][i].as_py()
+                rows.append(f)
+                continue
             f = audio_features(samples, rate)
+            if skip_mode:
+                f["skip_reason"] = ""
             f[self.id_col] = batch[self.id_col][i].as_py()
             rows.append(f)
         return pa.Table.from_pylist(rows)
@@ -599,25 +703,51 @@ class FrameSampleStage:
     envelope, NotImplementedError here.
     """
 
+    VIDEO_FORMATS = ("rvid", "avi", "gif")
+
     def __init__(
         self,
         id_col: str = "doc_id",
         media_col: str = "media",
         n_frames: int = 4,
         decoder: str = "fake",
+        on_unsupported: str = "raise",
     ):
-        if decoder not in ("fake", "real", "rvid", "avi", "gif"):
+        if decoder not in ("fake", "real", "rvid", "avi", "gif", "auto"):
             raise ValueError(decoder)
+        if on_unsupported not in ("raise", "skip"):
+            raise ValueError(on_unsupported)
         self.id_col, self.media_col, self.n_frames = id_col, media_col, n_frames
         self.decoder = decoder
+        self.on_unsupported = on_unsupported
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
             raise NotImplementedError("real video decode requires ffmpeg")
-        ids, fidx, frames = [], [], []
+        skip_mode = self.on_unsupported == "skip"
+        ids, fidx, frames, reasons = [], [], [], []
         for i, payload in enumerate(batch[self.media_col].to_pylist()):
+            # keep reasons in lockstep with emitted rows: rows emitted by
+            # the previous payload's decode branches carry ''
+            reasons += [""] * (len(ids) - len(reasons))
             payload = payload or b""
-            if self.decoder == "avi":
+            decoder = self.decoder
+            if decoder == "auto":
+                fmt = sniff_media(payload)
+                if fmt not in self.VIDEO_FORMATS:
+                    if not skip_mode:
+                        raise NotImplementedError(
+                            f"unsupported video format: {fmt}"
+                        )
+                    # counted skip: one marker row per undecodable payload
+                    ids.append(batch[self.id_col][i].as_py())
+                    fidx.append(-1)
+                    frames.append(b"")
+                    reasons.append(f"unsupported video format: {fmt}")
+                    continue
+                decoder = fmt
+            n_before = len(ids)
+            if decoder == "avi":
                 from .avi import avi_frame, avi_parse
 
                 info = avi_parse(payload)
@@ -636,7 +766,7 @@ class FrameSampleStage:
                     fidx.append(f)
                     frames.append(encode_ppm(img))
                 continue
-            if self.decoder == "gif":
+            if decoder == "gif":
                 from .gif import gif_decode_frames
 
                 all_frames = gif_decode_frames(payload)
@@ -652,7 +782,7 @@ class FrameSampleStage:
                     fidx.append(f)
                     frames.append(encode_ppm(all_frames[src]))
                 continue
-            if self.decoder == "rvid":
+            if decoder == "rvid":
                 _w, _h, n_avail = decode_rvid_header(payload)
                 take = min(self.n_frames, n_avail)
                 picks = (
@@ -670,10 +800,14 @@ class FrameSampleStage:
                 ids.append(batch[self.id_col][i].as_py())
                 fidx.append(f)
                 frames.append(payload[f * step : (f + 1) * step])
-        return pa.table(
-            {
-                self.id_col: pa.array(ids, type=pa.int64()),
-                "frame_index": pa.array(fidx, type=pa.int32()),
-                "frame": pa.array(frames, type=pa.binary()),
-            }
-        )
+        cols = {
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "frame_index": pa.array(fidx, type=pa.int32()),
+            "frame": pa.array(frames, type=pa.binary()),
+        }
+        if skip_mode:
+            # decoded rows carry '' — reasons was only appended for skip
+            # markers, so pad it to the emitted row count in order
+            reasons += [""] * (len(ids) - len(reasons))
+            cols["skip_reason"] = pa.array(reasons, type=pa.string())
+        return pa.table(cols)

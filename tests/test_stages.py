@@ -4453,3 +4453,133 @@ class TestMMR:
         mmr = mmr_rerank(ds, q, k=5, depth=12, lam=1.0, concurrency=2).to_pandas()
         knn = knn_brute_force(ds, q, k=5, concurrency=2).to_pandas()
         assert mmr.vec_id.tolist() == knn.vec_id.tolist()
+
+
+class TestMixedCorpusSkips:
+    """Compressed-codec gates surfaced as counted skips: a mixed media
+    column (decodable + mp3/mp4/h264) streams through decoder='auto'
+    stages instead of dying; every row is preserved with a reason."""
+
+    def _mixed_images(self):
+        import pyarrow as pa
+
+        from oscar_ray.sources.synth import generate_jpeg, generate_png, generate_ppm
+
+        payloads = [
+            generate_jpeg(0),
+            b"ID3\x04" + bytes(60),                    # mp3
+            generate_png(2),
+            b"\x00\x00\x00\x18ftypisom" + bytes(40),   # mp4 (aac/h264)
+            generate_ppm(4),
+            b"\x00\x00\x00\x01\x67" + bytes(40),       # h264 annex-b
+            b"\xffnoise-not-a-format",                 # unknown
+        ]
+        return pa.table({"doc_id": list(range(len(payloads))), "media": payloads})
+
+    def test_sniff_media(self):
+        from oscar_ray.sources.synth import (
+            generate_avi,
+            generate_gif,
+            generate_jpeg,
+            generate_png,
+            generate_ppm,
+            generate_rvid,
+            generate_wav,
+        )
+        from oscar_ray.stages.multimodal import sniff_media
+
+        assert sniff_media(generate_jpeg(1)) == "jpeg"
+        assert sniff_media(generate_png(1)) == "png"
+        assert sniff_media(generate_gif(1)) == "gif"
+        assert sniff_media(generate_ppm(1)) == "ppm"
+        assert sniff_media(generate_wav(1)) == "wav"
+        assert sniff_media(generate_avi(1)) == "avi"
+        assert sniff_media(generate_rvid(1)) == "rvid"
+        assert sniff_media(b"ID3\x04" + bytes(10)) == "mp3"
+        assert sniff_media(b"\x00\x00\x00\x18ftypmp42") == "mp4"
+        assert sniff_media(b"OggS" + bytes(10)) == "ogg"
+        assert sniff_media(b"\x1aE\xdf\xa3" + bytes(4)) == "webm"
+        assert sniff_media(b"\x00\x00\x00\x01\x67") == "h264"
+        assert sniff_media(b"") == "unknown"
+        assert sniff_media(None) == "unknown"
+
+    def test_image_stage_counts_skips(self):
+        from oscar_ray.stages.multimodal import ImageFeatureStage
+
+        t = self._mixed_images()
+        out = ImageFeatureStage(decoder="auto", dim=8, on_unsupported="skip")(t)
+        assert out.num_rows == t.num_rows  # every row preserved
+        reasons = out["skip_reason"].to_pylist()
+        feats = out["feature"].to_pylist()
+        decoded = [i for i, r in enumerate(reasons) if r == ""]
+        assert decoded == [0, 2, 4]
+        assert all(len(feats[i]) == 8 for i in decoded)
+        skipped = {i: r for i, r in enumerate(reasons) if r}
+        assert skipped == {
+            1: "unsupported image format: mp3",
+            3: "unsupported image format: mp4",
+            5: "unsupported image format: h264",
+            6: "unsupported image format: unknown",
+        }
+        assert all(len(feats[i]) == 0 for i in skipped)
+
+    def test_image_stage_raise_mode_unchanged(self):
+        import pytest as _pytest
+
+        from oscar_ray.stages.multimodal import ImageFeatureStage
+
+        with _pytest.raises(NotImplementedError):
+            ImageFeatureStage(decoder="auto", dim=8)(self._mixed_images())
+
+    def test_audio_stage_counts_skips(self):
+        import pyarrow as pa
+
+        from oscar_ray.sources.synth import generate_avi, generate_wav, generate_wav_adpcm
+        from oscar_ray.stages.multimodal import AudioFeatureStage
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "media": [
+                    generate_wav(0),
+                    b"ID3\x04" + bytes(60),
+                    generate_wav_adpcm(2),
+                    generate_avi(3),
+                ],
+            }
+        )
+        out = AudioFeatureStage(decoder="auto", on_unsupported="skip")(t)
+        assert out.num_rows == 4
+        r = dict(zip(out["doc_id"].to_pylist(), out.column("skip_reason").to_pylist()))
+        assert r[1] == "unsupported audio format: mp3"
+        assert r[0] == r[2] == r[3] == ""
+        d = dict(zip(out["doc_id"].to_pylist(), out.column("duration_s").to_pylist()))
+        assert d[0] > 0 and d[2] > 0 and d[3] > 0 and d[1] == 0.0
+
+    def test_frame_stage_counts_skips(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from oscar_ray.sources.synth import generate_avi
+        from oscar_ray.stages.multimodal import FrameSampleStage, encode_rvid
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "media": [
+                    b"\x00\x00\x00\x18ftypisom" + bytes(40),
+                    generate_avi(1, n_frames=4),
+                    encode_rvid(np.zeros((3, 4, 4, 3), np.uint8)),
+                ],
+            }
+        )
+        out = FrameSampleStage(decoder="auto", n_frames=2, on_unsupported="skip")(t)
+        df = out.to_pandas()
+        g0 = df[df["doc_id"] == 0]
+        assert len(g0) == 1 and g0["frame_index"].iloc[0] == -1
+        assert g0["skip_reason"].iloc[0] == "unsupported video format: mp4"
+        for d in (1, 2):
+            g = df[df["doc_id"] == d]
+            assert list(g["frame_index"]) == [0, 1]
+            assert (g["skip_reason"] == "").all()
+            assert all(len(f) > 0 for f in g["frame"])
