@@ -118,9 +118,18 @@ def _respill_partition_task(index_dir: str, part: int, cfg: dict) -> int:
     t = pq.read_table(ppath)
     if "payload_row" in t.column_names:
         t = resolve_payload_refs(t)
+    # the positional sidecar must survive maintenance: decode each
+    # block's flat positions and re-encode them per (term,doc) pair —
+    # the stage-A spill layout stage-B reassembly expects
+    has_pos = bool(cfg.get("index_positions")) and "poss" in t.column_names
+    if has_pos:
+        from oscar_ray.stages.codecs import (
+            decode_positions,
+            encode_positions_segmented,
+        )
     term_code: dict[str, int] = {}
     terms: list[str] = []
-    code_chunks, id_chunks, tf_chunks, dl_chunks = [], [], [], []
+    code_chunks, id_chunks, tf_chunks, dl_chunks, pos_chunks = [], [], [], [], []
     for i in range(t.num_rows):
         cnt = t["doc_count"][i].as_py()
         ids, tfs, dls = decode_postings(
@@ -140,6 +149,12 @@ def _respill_partition_task(index_dir: str, part: int, cfg: dict) -> int:
         id_chunks.append(ids.astype(np.int64))
         tf_chunks.append(tfs.astype(np.int32))
         dl_chunks.append(dls.astype(np.int32))
+        if has_pos:
+            tfs64 = tfs.astype(np.int64)
+            flat = decode_positions(t["poss"][i].as_py(), tfs64)
+            starts = np.zeros(len(tfs64), dtype=np.int64)
+            np.cumsum(tfs64[:-1], out=starts[1:])
+            pos_chunks.append(encode_positions_segmented(flat, starts))
     n = int(sum(len(x) for x in id_chunks))
     spill = pa.table(
         {
@@ -165,6 +180,13 @@ def _respill_partition_task(index_dir: str, part: int, cfg: dict) -> int:
             ),
         }
     )
+    if has_pos:
+        spill = spill.append_column(
+            "pos",
+            pa.concat_arrays(pos_chunks)
+            if pos_chunks
+            else pa.array([], type=pa.large_binary()),
+        )
     path = layout.spill_path(index_dir, part, 0)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(spill, path, **_SPILL_WRITE_OPTS)

@@ -164,3 +164,122 @@ class TestKeepLastReplacement:
         mu = json.load(open(os.path.join(updated, "manifest.json")))
         n_urls = len(set(base_t["url"].to_pylist() + delta_t["url"].to_pylist()))
         assert mu["stats"]["n_docs"] == n_urls
+
+
+class TestChurnFederationWithPositions:
+    """The composed loop: maintain (keep_last replacements, tombstone
+    respill) x segmented federation x positional sidecar, over TWO
+    cycles. The federation [maintained_seg1, seg2] must stay rank- AND
+    score-identical to the compacted merge of the same segments, and
+    phrase/proximity queries must keep working after each maintain
+    (the respill path must carry the sidecar)."""
+
+    QUERIES = [
+        "waaa",
+        "waaa wbaa",
+        "waaa + wbab*",
+        "zzreplacement",
+    ]
+
+    def _phrase_probe(self, tbl):
+        """First two >2-char tokens of a LIVE doc -> a phrase query."""
+        for row in range(tbl.num_rows):
+            toks = [t for t in (tbl["text"][row].as_py() or "").split() if len(t) > 2]
+            if len(toks) >= 2:
+                return f'"{toks[0].lower()} {toks[1].lower()}"'
+        raise AssertionError("no phrase probe found")
+
+    def test_two_cycles(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index.merge import merge_indexes
+        from oscar_ray.index.segmented import SegmentedReader
+
+        root = tmp_path
+        whole = generate_pages_batch(0, A_ROWS + 2 * B_ROWS, seed=42)
+        base_t = whole.slice(0, A_ROWS)
+        d1 = whole.slice(A_ROWS, B_ROWS)
+        d2 = whole.slice(A_ROWS + B_ROWS, B_ROWS)
+
+        def replace_last(delta, repl_url, text):
+            urls = delta["url"].to_pylist()
+            texts = delta["text"].to_pylist()
+            urls[-1] = repl_url
+            texts[-1] = text
+            return delta.set_column(
+                delta.schema.get_field_index("url"), "url", pa.array(urls)
+            ).set_column(
+                delta.schema.get_field_index("text"), "text", pa.array(texts)
+            )
+
+        # cycle-1 delta replaces a BASE url; cycle-2 delta replaces a
+        # CYCLE-1 url (replacement-of-a-replacement)
+        d1 = replace_last(d1, base_t["url"][3].as_py(),
+                          "zzreplacement fresh tokens only here")
+        d2 = replace_last(d2, d1["url"][5].as_py(),
+                          "zzreplacement second cycle tokens")
+
+        _write_rows(base_t, str(root / "segA" / "p.parquet"), 256)
+        _write_rows(d1, str(root / "d1" / "p.parquet"), 150)
+        _write_rows(d2, str(root / "d2" / "p.parquet"), 150)
+
+        cfg = IndexBuildConfig(
+            num_partitions=4,
+            block_span_bits=SPAN_BITS,
+            shard_fragments=2,
+            index_positions=True,
+        )
+        base_idx = str(root / "ibase")
+        build_index(str(root / "segA"), base_idx, cfg)
+
+        # --- cycle 1: maintain with a keep_last replacement ------------
+        upd1 = str(root / "iupd1")
+        m1 = update_index(base_idx, str(root / "d1"), upd1, policy="keep_last")
+        assert m1["maintained"]["policy"] == "keep_last"
+        check_index(upd1)
+        e1 = QueryEngine(upd1)
+        # positional sidecar must survive the tombstone respill
+        phrase = self._phrase_probe(d1)
+        ids_p, _ = e1.search(phrase, k=100)
+        assert len(ids_p) >= 1
+        ids_r, _ = e1.search("zzreplacement", k=10)
+        assert len(ids_r) == 1 and int(ids_r[0]) >= A_ROWS
+
+        # --- a second independently built segment ----------------------
+        seg2_rows = generate_pages_batch(7, 256, seed=99)
+        _write_rows(seg2_rows, str(root / "seg2" / "p.parquet"), 256)
+        seg2 = str(root / "iseg2")
+        build_index(str(root / "seg2"), seg2, cfg)
+
+        def compare(seg_dirs, merged_dir, probe_tbls):
+            fed = SegmentedReader(seg_dirs)
+            assert fed.has_positions
+            ef = QueryEngine(merged_dir, reader=fed)
+            em = QueryEngine(merged_dir)
+            queries = list(self.QUERIES) + [self._phrase_probe(t) for t in probe_tbls]
+            for q in queries:
+                fi, fs = ef.search(q, k=50)
+                mi, ms = em.search(q, k=50)
+                np.testing.assert_array_equal(fi, mi, err_msg=q)
+                np.testing.assert_allclose(fs, ms, atol=1e-9, err_msg=q)
+
+        merged1 = str(root / "imerged1")
+        merge_indexes([upd1, seg2], merged1)
+        compare([upd1, seg2], merged1, [base_t, d1, seg2_rows])
+
+        # --- cycle 2: maintain AGAIN on the already-maintained index ---
+        upd2 = str(root / "iupd2")
+        m2 = update_index(upd1, str(root / "d2"), upd2, policy="keep_last")
+        assert m2["maintained"]["policy"] == "keep_last"
+        check_index(upd2)
+        e2 = QueryEngine(upd2)
+        ids2, _ = e2.search('"second cycle"', k=10)
+        assert len(ids2) == 1  # the cycle-2 replacement, phrase-findable
+        # cycle-1 replaced doc's OLD copy stays gone; its replacement and
+        # the cycle-2 replacement are both live under the keep_last rule
+        live, _ = e2.search("zzreplacement", k=10)
+        assert len(live) == 2
+
+        merged2 = str(root / "imerged2")
+        merge_indexes([upd2, seg2], merged2)
+        compare([upd2, seg2], merged2, [base_t, d1, d2, seg2_rows])
