@@ -54,6 +54,7 @@ class TermPostings:
     _fetch: "callable | None" = None  # i -> (docs, tfs, dls) bytes
     _poss: "list[bytes | None] | None" = None  # positions payloads (sidecar)
     _fetch_pos: "callable | None" = None  # i -> poss bytes
+    _decoded_cache: "object | None" = None  # reader-owned _DecodedBlockCache
     # segmented serving (index/segmented.py): per-block docid shift added
     # after decode — payload bytes stay segment-relative and untouched
     doc_offsets: "np.ndarray | None" = None
@@ -81,17 +82,33 @@ class TermPostings:
         return decode_positions(self._poss[i], tfs)
 
     def decode_block(self, i: int):
-        """-> (docids, tfs, doclens) uint64 arrays for block index i."""
-        if self._docs[i] is None:
-            self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
-        docids, tfs, dls = decode_postings(
-            self._docs[i],
-            self._tfs[i],
-            self._dls[i],
-            count=int(self.doc_counts[i]),
-            codec=self.codec,
-        )
+        """-> (docids, tfs, doclens) uint64 arrays for block index i.
+
+        Decoded arrays are cached in the owning reader's byte-budgeted
+        LRU (see ``_DecodedBlockCache``) so recurring head terms decode
+        ONCE per server process, not once per query — serving latency of
+        stopword-side AND queries is otherwise decode-bound (measured
+        15M postings/s/thread at the 2M-doc tail soak). Callers must
+        treat the returned arrays as read-only."""
+        cache = self._decoded_cache
+        key = (self.term, i) if cache is not None else None
+        hit = cache.get(key) if cache is not None else None
+        if hit is None:
+            if self._docs[i] is None:
+                self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
+            hit = decode_postings(
+                self._docs[i],
+                self._tfs[i],
+                self._dls[i],
+                count=int(self.doc_counts[i]),
+                codec=self.codec,
+            )
+            if cache is not None:
+                cache.put(key, hit)
+        docids, tfs, dls = hit
         if self.doc_offsets is not None and self.doc_offsets[i]:
+            # offset applied on a COPY so the cached array stays segment-
+            # relative (federations share one underlying reader cache)
             docids = docids + np.uint64(self.doc_offsets[i])
         return docids, tfs, dls
 
@@ -239,6 +256,45 @@ class _PartDict:
             yield t, (int(self.df[i]), int(self.cf[i]))
 
 
+class _DecodedBlockCache:
+    """Byte-budgeted LRU over decoded posting blocks, shared by every
+    TermPostings a reader hands out.
+
+    Serving cost of frequent-term queries is decode-bound (varint+delta
+    reconstruction, ~15M postings/s/thread measured); under a Zipf query
+    mix the same head blocks decode over and over. Budget default 256 MB
+    (env ``OSCAR_RAY_DECODED_CACHE_MB``) — 24 bytes per cached posting,
+    so the budget caps resident decoded state regardless of corpus size;
+    preload() keeps payload BYTES for everything, this keeps ARRAYS for
+    the hot set only."""
+
+    def __init__(self, max_bytes: int | None = None):
+        if max_bytes is None:
+            max_bytes = int(os.environ.get("OSCAR_RAY_DECODED_CACHE_MB", "256")) << 20
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self._d: dict[tuple, tuple] = {}
+
+    def get(self, key):
+        hit = self._d.pop(key, None)
+        if hit is not None:
+            self._d[key] = hit  # LRU recency touch
+        return hit
+
+    def put(self, key, val) -> None:
+        nb = sum(a.nbytes for a in val)
+        if nb > self.max_bytes:
+            return
+        old = self._d.pop(key, None)
+        if old is not None:
+            self.bytes -= sum(a.nbytes for a in old)
+        while self.bytes + nb > self.max_bytes and self._d:
+            ev = self._d.pop(next(iter(self._d)))  # dicts iterate in insertion order
+            self.bytes -= sum(a.nbytes for a in ev)
+        self._d[key] = val
+        self.bytes += nb
+
+
 class IndexReader:
     """Open-once, read-many access to one index directory."""
 
@@ -266,6 +322,7 @@ class IndexReader:
         self._pos_groups: dict[tuple[int, int], pa.Table] = {}
         self._pa_terms: dict[int, "pa.Array"] = {}  # regex-scan term arrays
         self._fuzzy_mats: dict[int, tuple] = {}  # fuzzy-scan codepoint matrices
+        self._decoded_cache = _DecodedBlockCache()  # hot decoded blocks (LRU)
 
     # -- dictionary ---------------------------------------------------------
 
@@ -450,6 +507,7 @@ class IndexReader:
                 _fetch=fetch,
                 _poss=[None] * n if self.has_positions else None,
                 _fetch_pos=fetch_pos if self.has_positions else None,
+                _decoded_cache=self._decoded_cache,
             )
         if len(self._postings_cache) > 4096 and not getattr(self, "_cache_pinned", False):
             self._postings_cache.clear()

@@ -635,6 +635,10 @@ def main():
                 "max": round(float(a.max()), 1),
                 "mean": round(float(a.mean()), 1),
                 "median": round(float(np.median(a)), 1),
+                # tail latency (the reference prints min/max/mean/median,
+                # Benchmark.cpp:243-305; p95/p99 added for SLO evidence)
+                "p95": round(float(np.percentile(a, 95)), 1),
+                "p99": round(float(np.percentile(a, 99)), 1),
             }
         print(json.dumps({
             "queries": len(queries),
