@@ -112,6 +112,28 @@ class TermPostings:
             docids = docids + np.uint64(self.doc_offsets[i])
         return docids, tfs, dls
 
+    def norms_block(self, i: int, avgdl: float, params: BM25Params) -> np.ndarray:
+        """BM25 tf-normalization vector for block i, LRU-cached.
+
+        tf_norm depends only on (tfs, doclens, avgdl, params) — all
+        query-independent — so under a Zipf query mix the same head
+        blocks would otherwise recompute the same 65k-entry float pass
+        per query. Cached next to the decoded block (avgdl/params are
+        fixed per reader, which owns the cache, so the key needs no
+        param component). Per-query scoring becomes idf * cached_vec."""
+        from oscar_ray.spec.bm25 import bm25_tf_norm
+
+        cache = self._decoded_cache
+        key = (self.term, i, "tfn") if cache is not None else None
+        hit = cache.get(key) if cache is not None else None
+        if hit is not None:
+            return hit[0]
+        _, tfs, dls = self.decode_block(i)
+        tfn = bm25_tf_norm(tfs, dls, avgdl, params)
+        if cache is not None:
+            cache.put(key, (tfn,))
+        return tfn
+
     def decode_all(self):
         """-> (docids, tfs, doclens) for the whole term, concatenated."""
         if not self._docs:

@@ -284,12 +284,18 @@ class QueryEngine:
         tp = self.reader.postings(term)
         if tp.df == 0:
             return setops.empty_set()
-        docids, tfs, dls = tp.decode_all()
+        nb = len(tp.doc_counts)
+        docids = np.concatenate([tp.decode_block(i)[0] for i in range(nb)])
+        tfn = np.concatenate(
+            [
+                tp.norms_block(i, self.reader.avgdl, self.reader.params)
+                for i in range(nb)
+            ]
+        )
         # field marker terms are zero-score FILTERS (idf 0): they narrow
         # the doc set through the set algebra without moving BM25 scores
         idf = 0.0 if term.startswith(FIELD_MARKER) else bm25_idf(tp.df, self.reader.n_docs)
-        scores = idf * bm25_tf_norm(tfs, dls, self.reader.avgdl, self.reader.params)
-        return docids, scores
+        return docids, idf * tfn
 
     def _eval_exhaustive(self, node: Node) -> setops.ScoredSet:
         if isinstance(node, Materialized):
@@ -446,9 +452,11 @@ def _leaf_block(leaf: dict, block_id: int) -> setops.ScoredSet:
     hit = leaf["cache"].get(block_id)
     if hit is not None:
         return hit
-    docids, tfs, dls = leaf["tp"].decode_block(i)
+    docids, _, _ = leaf["tp"].decode_block(i)
     reader: IndexReader = leaf["reader"]
-    scores = leaf["idf"] * bm25_tf_norm(tfs, dls, reader.avgdl, reader.params)
+    # tf_norm is query-independent — served from the reader's decoded-
+    # block LRU (norms_block), so per-query cost is one scalar multiply
+    scores = leaf["idf"] * leaf["tp"].norms_block(i, reader.avgdl, reader.params)
     res = (docids, scores)
     leaf["cache"][block_id] = res
     return res
