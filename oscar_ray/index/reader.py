@@ -94,15 +94,7 @@ class TermPostings:
         key = (self.term, i) if cache is not None else None
         hit = cache.get(key) if cache is not None else None
         if hit is None:
-            if self._docs[i] is None:
-                self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
-            hit = decode_postings(
-                self._docs[i],
-                self._tfs[i],
-                self._dls[i],
-                count=int(self.doc_counts[i]),
-                codec=self.codec,
-            )
+            hit = self._decode_block_raw(i)
             if cache is not None:
                 cache.put(key, hit)
         docids, tfs, dls = hit
@@ -112,27 +104,49 @@ class TermPostings:
             docids = docids + np.uint64(self.doc_offsets[i])
         return docids, tfs, dls
 
-    def norms_block(self, i: int, avgdl: float, params: BM25Params) -> np.ndarray:
-        """BM25 tf-normalization vector for block i, LRU-cached.
+    def _decode_block_raw(self, i: int):
+        """Decode block i without touching the LRU (callers cache what
+        they actually serve from: the triple, or the scored pair)."""
+        if self._docs[i] is None:
+            self._docs[i], self._tfs[i], self._dls[i] = self._fetch(i)
+        return decode_postings(
+            self._docs[i],
+            self._tfs[i],
+            self._dls[i],
+            count=int(self.doc_counts[i]),
+            codec=self.codec,
+        )
+
+    def scored_block(self, i: int, avgdl: float, params: BM25Params):
+        """-> (docids uint64, tf_norm float64) for block i — the BM25
+        serving unit, LRU-cached at 16 bytes/posting.
 
         tf_norm depends only on (tfs, doclens, avgdl, params) — all
-        query-independent — so under a Zipf query mix the same head
-        blocks would otherwise recompute the same 65k-entry float pass
-        per query. Cached next to the decoded block (avgdl/params are
-        fixed per reader, which owns the cache, so the key needs no
-        param component). Per-query scoring becomes idf * cached_vec."""
+        query-independent — so per-query scoring is one scalar multiply
+        (idf * vec). Caching (docids, tfn) INSTEAD of the decoded
+        (docids, tfs, dls) triple halves the per-posting footprint, i.e.
+        doubles how many head blocks fit the byte budget — miss rate,
+        not decode speed, dominates stopword-AND latency (tail soak).
+        The triple entry still exists for positional/decode_all callers;
+        a scored miss reuses it when present. avgdl/params are fixed per
+        reader, which owns the cache, so the key needs no param part."""
         from oscar_ray.spec.bm25 import bm25_tf_norm
 
         cache = self._decoded_cache
-        key = (self.term, i, "tfn") if cache is not None else None
+        key = (self.term, i, "sc") if cache is not None else None
         hit = cache.get(key) if cache is not None else None
-        if hit is not None:
-            return hit[0]
-        _, tfs, dls = self.decode_block(i)
-        tfn = bm25_tf_norm(tfs, dls, avgdl, params)
-        if cache is not None:
-            cache.put(key, (tfn,))
-        return tfn
+        if hit is None:
+            triple = cache.get((self.term, i)) if cache is not None else None
+            if triple is None:
+                triple = self._decode_block_raw(i)
+            docids, tfs, dls = triple
+            hit = (docids, bm25_tf_norm(tfs, dls, avgdl, params))
+            if cache is not None:
+                cache.put(key, hit)
+        docids, tfn = hit
+        if self.doc_offsets is not None and self.doc_offsets[i]:
+            docids = docids + np.uint64(self.doc_offsets[i])
+        return docids, tfn
 
     def decode_all(self):
         """-> (docids, tfs, doclens) for the whole term, concatenated."""

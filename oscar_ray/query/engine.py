@@ -285,13 +285,12 @@ class QueryEngine:
         if tp.df == 0:
             return setops.empty_set()
         nb = len(tp.doc_counts)
-        docids = np.concatenate([tp.decode_block(i)[0] for i in range(nb)])
-        tfn = np.concatenate(
-            [
-                tp.norms_block(i, self.reader.avgdl, self.reader.params)
-                for i in range(nb)
-            ]
-        )
+        pairs = [
+            tp.scored_block(i, self.reader.avgdl, self.reader.params)
+            for i in range(nb)
+        ]
+        docids = np.concatenate([p[0] for p in pairs])
+        tfn = np.concatenate([p[1] for p in pairs])
         # field marker terms are zero-score FILTERS (idf 0): they narrow
         # the doc set through the set algebra without moving BM25 scores
         idf = 0.0 if term.startswith(FIELD_MARKER) else bm25_idf(tp.df, self.reader.n_docs)
@@ -452,11 +451,11 @@ def _leaf_block(leaf: dict, block_id: int) -> setops.ScoredSet:
     hit = leaf["cache"].get(block_id)
     if hit is not None:
         return hit
-    docids, _, _ = leaf["tp"].decode_block(i)
     reader: IndexReader = leaf["reader"]
-    # tf_norm is query-independent — served from the reader's decoded-
-    # block LRU (norms_block), so per-query cost is one scalar multiply
-    scores = leaf["idf"] * leaf["tp"].norms_block(i, reader.avgdl, reader.params)
+    # (docids, tf_norm) served from the reader's byte-budgeted LRU —
+    # per-query cost is one scalar multiply over the cached vector
+    docids, tfn = leaf["tp"].scored_block(i, reader.avgdl, reader.params)
+    scores = leaf["idf"] * tfn
     res = (docids, scores)
     leaf["cache"][block_id] = res
     return res
