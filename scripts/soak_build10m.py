@@ -10,6 +10,10 @@ The pages table is generated once (Ray-parallel, cached under
 work poisons the timing.
 
 Usage: python scripts/soak_build10m.py [n_docs]
+
+n_docs > 20M (e.g. the 50M decade probe) doubles n_files (512) and
+num_partitions (128) so per-task work stays in the 10M band; override
+with GRAFT_SOAK_FILES / GRAFT_SOAK_PARTS.
 """
 
 from __future__ import annotations
@@ -44,8 +48,17 @@ def main():
 
     import bench
 
+    # Scale file/partition counts with the corpus so per-task work stays in
+    # the 10M-probe band: >20M docs doubles both the input file count (finer
+    # stage-A waves at 32 cpus) and the partition count (stage-B per-task
+    # heap stays ~10M/64-sized). Same discipline a real cluster job applies
+    # when the corpus decade changes.
+    big = n_docs > 20_000_000
+    n_files = int(os.environ.get("GRAFT_SOAK_FILES", "512" if big else "256"))
+    n_parts = int(os.environ.get("GRAFT_SOAK_PARTS", "128" if big else "64"))
+
     t0 = time.perf_counter()
-    src = bench._pages_dir("/root/testdata/sf0.1", n_docs, n_files=256)
+    src = bench._pages_dir("/root/testdata/sf0.1", n_docs, n_files=n_files)
     gen_secs = time.perf_counter() - t0
 
     from oscar_ray.index.build import IndexBuildConfig, build_index
@@ -53,7 +66,7 @@ def main():
     idx = f"/tmp/oscar_ray_bench/soak-build-{n_docs}"
     shutil.rmtree(idx, ignore_errors=True)
     cfg = IndexBuildConfig(
-        num_partitions=64,
+        num_partitions=n_parts,
         block_span_bits=16,
         shard_fragments=8,
         dedup_urls=True,
@@ -69,6 +82,11 @@ def main():
     stats = manifest["stats"]
     task_a = round(sum(s["secs"] for s in manifest["shards"] if s), 2)
     task_b = round(sum(p["secs"] for p in manifest["partitions"] if p), 2)
+    sub_a: dict[str, float] = {}
+    for s in manifest["shards"]:
+        for k, v in ((s or {}).get("sub_secs") or {}).items():
+            sub_a[k] = sub_a.get(k, 0.0) + v
+    sub_a = {k: round(v, 2) for k, v in sub_a.items()}
     # quick query sanity over the built index
     from oscar_ray.query.engine import QueryEngine
 
@@ -77,11 +95,13 @@ def main():
     out = {
         "n_docs": stats["n_docs"],
         "total_docs": stats["total_docs"],
+        "n_files": n_files,
+        "num_partitions": n_parts,
         "gen_secs": round(gen_secs, 1),
         "build_secs": round(build_secs, 1),
         "docs_per_sec": round(stats["total_docs"] / build_secs, 1),
         "phase_walls": manifest.get("phase_walls"),
-        "stage_task_secs": {"a": task_a, "b": task_b},
+        "stage_task_secs": {"a": task_a, "b": task_b, "a_sub": sub_a},
         "alu_probe_secs": [round(probe_before, 3), round(probe_after, 3)],
         "driver_peak_rss_mb": round(rss1, 1),
         "driver_rss_growth_mb": round(rss1 - rss0, 1),
