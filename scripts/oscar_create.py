@@ -73,6 +73,14 @@ def main():
         "<out>/anchored_corpus)",
     )
     ap.add_argument(
+        "--keep-spill",
+        action="store_true",
+        help="retain tmp/ (the stage-A term-partitioned spill) after a "
+        "successful build; default drops it — it is build scaffolding "
+        "roughly the tokenized-corpus size (3.5x the postings store at "
+        "50M docs) and only mid-build resume reads it",
+    )
+    ap.add_argument(
         "--update-base",
         help="incremental update: index ONLY the new input as a delta and "
         "merge it with this existing base index into --out (the store-dir/"
@@ -127,6 +135,7 @@ def main():
         fields["canonical_url_dedup"] = True
     if args.positions:
         fields["index_positions"] = True
+    fields.setdefault("cleanup_spill", not args.keep_spill)
     if args.extractor:
         fields["extractor"] = args.extractor
         if args.extractor == "generic":

@@ -70,6 +70,9 @@ def main():
         block_span_bits=16,
         shard_fragments=8,
         dedup_urls=True,
+        # the spill is build scaffolding; at the 50M decade it is ~11 GB
+        # (3.5x the postings store) and must not ship with the artifact
+        cleanup_spill=True,
     )
     probe_before = bench._alu_probe()
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024

@@ -8,6 +8,13 @@ hydration, sorted-array dictionaries).
 
 Run AFTER scripts/soak_build10m.py (reuses its index dir). Run SOLO.
 
+Per-actor full-store preload is used only while it fits: when
+store_bytes x pool_size exceeds ~60% of host RAM (the 50M decade:
+3.1 GB x 32 actors OOMs a 125 GB host), actors open lazily and rely on
+row-group hydration + the decoded-block LRU — the same policy a
+real cluster deployment applies per serving node. Override with
+OSCAR_RAY_SOAK_PRELOAD=0/1.
+
 Usage: python scripts/soak_query10m.py [n_docs] [n_queries]
 """
 
@@ -58,8 +65,21 @@ def main():
             dfs.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
     queries = generate_queries(dfs, n_queries=n_queries, seed=42)
 
+    # preload() holds the POSTINGS store per actor (reader.preload reads
+    # only postings/, payload bytes held, blocks decoded lazily); budget
+    # with a 2x heap factor for the pylist payload-chunk overhead.
+    pdir = os.path.join(idx, "postings")
+    store_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(pdir)
+        for f in fns
+    )
+    ram_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    fits = 2 * store_bytes * num_cpus < 0.6 * ram_bytes
+    preload = bool(int(os.environ.get("OSCAR_RAY_SOAK_PRELOAD", "1" if fits else "0")))
+
     ServerActor = ray.remote(num_cpus=1)(QueryServer)
-    pool = [ServerActor.remote(index_dir=idx, preload=True) for _ in range(num_cpus)]
+    pool = [ServerActor.remote(index_dir=idx, preload=preload) for _ in range(num_cpus)]
     qtbl = pa.Table.from_pylist(queries)
     slices = [
         qtbl.slice(
@@ -86,6 +106,8 @@ def main():
 
     out = {
         "n_docs": n_docs,
+        "preload": preload,
+        "store_bytes": store_bytes,
         "n_terms": len(dfs),
         "n_queries": len(queries),
         "pool_open_secs": round(open_secs, 3),
