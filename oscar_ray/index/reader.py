@@ -332,9 +332,24 @@ class _DecodedBlockCache:
 
 
 class IndexReader:
-    """Open-once, read-many access to one index directory."""
+    """Open-once, read-many access to one index directory.
 
-    def __init__(self, index_dir: str):
+    ``block_range=(lo, hi)`` restricts the reader to posting rows whose
+    ``block_id`` falls in the half-open range — the doc-sharded serving
+    unit (query/sharded.py): an actor holding one docid-block slice of
+    EVERY posting list. Corpus stats (n_docs, avgdl) and the term
+    dictionaries (df, cf) stay GLOBAL, so per-document BM25 scores are
+    bit-identical to an unsharded reader's; only which documents the
+    reader can see changes. ``shard=(i, k)`` computes an even
+    ``block_range`` split of the corpus's block space for shard i of k.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        block_range: tuple[int, int] | None = None,
+        shard: tuple[int, int] | None = None,
+    ):
         self.index_dir = index_dir
         with open(layout.manifest_path(index_dir)) as f:
             self.manifest = json.load(f)
@@ -349,6 +364,15 @@ class IndexReader:
         self.n_docs = stats["n_docs"]
         self.avgdl = max(stats["avgdl"], 1e-9)
         self.has_positions = bool(cfg.get("index_positions", False))
+        if shard is not None:
+            if block_range is not None:
+                raise ValueError("pass block_range OR shard, not both")
+            i, k = shard
+            if not (0 <= i < k):
+                raise ValueError(f"shard index {i} out of range for {k} shards")
+            n_blocks = ((max(self.n_docs, 1) - 1) >> self.block_span_bits) + 1
+            block_range = (i * n_blocks // k, (i + 1) * n_blocks // k)
+        self.block_range = block_range
         self._dicts: dict[int, dict[str, tuple[int, int]]] = {}
         self._postings_cache: dict[str, TermPostings] = {}
         self._files: dict[int, pq.ParquetFile] = {}
@@ -603,6 +627,18 @@ class IndexReader:
             if not os.path.exists(path):
                 continue
             t = resolve_payload_refs(pq.ParquetFile(path).read())
+            if self.block_range is not None:
+                # payload refs resolved FIRST (a row's canonical payload
+                # row can live outside the shard's block range); steady-
+                # state heap is store_bytes / n_shards, the full table is
+                # transient per partition file
+                lo, hi = self.block_range
+                t = t.filter(
+                    pc.and_(
+                        pc.greater_equal(t["block_id"], lo),
+                        pc.less(t["block_id"], hi),
+                    )
+                )
             terms = t["term"].to_pylist()
             if not terms:
                 continue
@@ -716,6 +752,14 @@ class IndexReader:
             cols.append("payload_row")
         t = f.read_row_groups(groups, columns=cols, use_threads=False)
         keep = pc.equal(t["term"], term)
+        if self.block_range is not None:
+            lo, hi = self.block_range
+            keep = pc.and_(
+                keep,
+                pc.and_(
+                    pc.greater_equal(t["block_id"], lo), pc.less(t["block_id"], hi)
+                ),
+            )
         # global row index of each kept row: per selected group, the
         # group's start offset + local position
         offsets = self._rg_offsets[part]

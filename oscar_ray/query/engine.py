@@ -169,6 +169,11 @@ class QueryEngine:
         # serving; repeated phrases in a batch stream hit this (keyed on
         # the leaf itself — the eval depends on nothing else)
         self._positional_cache: dict = {}
+        # doc-sharded serving (query/sharded.py): a phrase's BM25 idf
+        # uses its df, which a block-ranged reader can only see locally.
+        # The sharded pool sums local dfs (shards partition docids, so
+        # the sum IS the global df) and pins them here before eval.
+        self.phrase_df_overrides: dict[tuple[str, ...], int] = {}
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "auto"):
@@ -226,8 +231,13 @@ class QueryEngine:
     def _materialize_positional(self, node: Node) -> Node:
         from oscar_ray.query import positional
 
+        df_override = (
+            self.phrase_df_overrides.get(tuple(node.tokens))
+            if isinstance(node, Phrase)
+            else None
+        )
         if isinstance(node, (Phrase, Proximity)):
-            hit = self._positional_cache.get(node)
+            hit = self._positional_cache.get((node, df_override))
             if hit is not None:
                 return hit
         if isinstance(node, Phrase):
@@ -237,13 +247,18 @@ class QueryEngine:
             if not len(ids):
                 scores = ids.astype(np.float64)
             else:
-                # one virtual term: BM25 over the PHRASE's tf and df
-                idf = bm25_idf(float(len(ids)), self.reader.n_docs)
+                # one virtual term: BM25 over the PHRASE's tf and df.
+                # Under doc-sharding len(ids) is the shard-LOCAL df; the
+                # pool pins the global df (sum of local dfs) via
+                # phrase_df_overrides so scores stay rank-identical.
+                df = float(df_override) if df_override is not None else float(len(ids))
+                idf = bm25_idf(df, self.reader.n_docs)
                 scores = idf * bm25_tf_norm(
                     tfs, dls, self.reader.avgdl, self.reader.params
                 )
             return self._cache_positional(
-                node, _make_materialized(ids, scores, self.reader.block_span_bits)
+                (node, df_override),
+                _make_materialized(ids, scores, self.reader.block_span_bits),
             )
         if isinstance(node, Proximity):
             # positional FILTER over the tokens' AND: same scores, the
@@ -263,7 +278,8 @@ class QueryEngine:
                 ids = np.empty(0, dtype=np.uint64)
                 scores = np.empty(0, dtype=np.float64)
             return self._cache_positional(
-                node, _make_materialized(ids, scores, self.reader.block_span_bits)
+                (node, None),
+                _make_materialized(ids, scores, self.reader.block_span_bits),
             )
         if isinstance(node, Op):
             return Op(
@@ -273,18 +289,20 @@ class QueryEngine:
             )
         return node
 
-    def _cache_positional(self, node, mat: Materialized) -> Materialized:
+    def _cache_positional(self, key, mat: Materialized) -> Materialized:
         if len(self._positional_cache) > 256:
             self._positional_cache.clear()
-        self._positional_cache[node] = mat
+        self._positional_cache[key] = mat
         return mat
 
     # -- exhaustive ----------------------------------------------------
     def _leaf_full(self, term: str) -> setops.ScoredSet:
         tp = self.reader.postings(term)
-        if tp.df == 0:
-            return setops.empty_set()
+        # nb == 0 with df > 0: a doc-sharded reader (block_range) whose
+        # shard holds none of this term's blocks — df stays global
         nb = len(tp.doc_counts)
+        if tp.df == 0 or nb == 0:
+            return setops.empty_set()
         pairs = [
             tp.scored_block(i, self.reader.avgdl, self.reader.params)
             for i in range(nb)
@@ -501,18 +519,60 @@ class QueryServer:
         default_k: int = 10,
         mode: str = "auto",
         preload: bool = False,
+        shard: tuple[int, int] | None = None,
     ):
         if "," in index_dir:
             # segmented serving: base,delta,... federated per actor
             from oscar_ray.index.segmented import SegmentedReader
 
+            if shard is not None:
+                raise ValueError("doc-sharding a segmented federation is unsupported")
             self.engine = QueryEngine(None, reader=SegmentedReader(index_dir.split(",")))
         else:
-            self.engine = QueryEngine(index_dir)
+            # shard=(i, k): doc-sharded serving — this actor holds only
+            # its docid-block slice of every posting list (sharded.py)
+            self.engine = QueryEngine(
+                index_dir, reader=IndexReader(index_dir, shard=shard)
+            )
         if preload:  # mlock analog: resident postings per actor
             self.engine.reader.preload()
         self.default_k = default_k
         self.mode = mode
+
+    def phrase_local_dfs(self, queries: list[str]) -> dict[tuple[str, ...], int]:
+        """Local document frequency of every phrase leaf in ``queries``.
+
+        Doc-sharded phrase scoring pre-pass: shards partition the docid
+        space, so summing these local dfs across the pool yields the
+        exact global phrase df, which the pool pins via
+        :meth:`set_phrase_dfs` before evaluation (phrase idf must be
+        global for rank-identity). Parse failures contribute nothing
+        (the don't-crash contract handles them at eval time)."""
+        from oscar_ray.query import positional
+
+        out: dict[tuple[str, ...], int] = {}
+        for q in queries:
+            try:
+                node = parse_query(q)
+            except QueryParseError:
+                continue
+            stack = [node]
+            while stack:
+                n = stack.pop()
+                if isinstance(n, Phrase):
+                    key = tuple(n.tokens)
+                    if key not in out:
+                        ids, _tfs, _dls = positional.phrase_postings(
+                            self.engine.reader, list(key)
+                        )
+                        out[key] = int(len(ids))
+                elif isinstance(n, Op):
+                    stack.append(n.left)
+                    stack.append(n.right)
+        return out
+
+    def set_phrase_dfs(self, dfs: dict[tuple[str, ...], int]) -> None:
+        self.engine.phrase_df_overrides = dict(dfs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docids, scores = [], [], [], []
