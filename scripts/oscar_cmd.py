@@ -136,6 +136,14 @@ def main():
     b.add_argument("-k", type=int, default=10)
     b.add_argument("--num-cpus", type=int, default=8)
     b.add_argument("--out", help="write results as parquet to this dir instead of stdout")
+    b.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="doc-sharded serving: N actors each preloading one docid-block "
+        "slice of the store (one resident copy pool-wide); 0 = query-"
+        "partitioned actor pool (default)",
+    )
     dt = sub.add_parser("dump-term")
     dt.add_argument("-t", "--term", required=True)
     dt.add_argument("--head", type=int, default=10)
@@ -255,6 +263,38 @@ def main():
                 for i, line in enumerate(f)
                 if line.strip()
             ]
+        if args.shards:
+            # doc-sharded pool: every query fans to all shards, merged
+            # exactly (query/sharded.py) — preload economics at any
+            # store size; rank/score-identical to the pool path
+            import pyarrow as pa
+
+            from oscar_ray.query.sharded import ShardedPool
+
+            pool = ShardedPool(args.index, n_shards=args.shards)
+            pool.ready()
+            qtbl = pa.Table.from_pylist(queries)
+            t0 = time.perf_counter()
+            merged = pool.search_batch(qtbl)
+            dt_s = time.perf_counter() - t0
+            if args.out:
+                import pyarrow.parquet as _pq
+
+                os.makedirs(args.out, exist_ok=True)
+                _pq.write_table(merged, os.path.join(args.out, "results.parquet"))
+                n_rows = "written"
+            else:
+                n_rows = merged.num_rows
+                for r in merged.to_pylist()[: 5 * args.k]:
+                    print(json.dumps(r))
+            print(
+                f"# {len(queries)} queries, {n_rows} result rows, "
+                f"{dt_s:.3f}s, {len(queries)/dt_s:.1f} qps "
+                f"({args.shards} doc shards)",
+                file=sys.stderr,
+            )
+            ray.shutdown()
+            return
         qds = ray.data.from_items(queries, override_num_blocks=max(1, args.num_cpus))
         t0 = time.perf_counter()
         results = qds.map_batches(

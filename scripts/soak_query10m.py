@@ -78,34 +78,64 @@ def main():
     fits = 2 * store_bytes * num_cpus < 0.6 * ram_bytes
     preload = bool(int(os.environ.get("OSCAR_RAY_SOAK_PRELOAD", "1" if fits else "0")))
 
-    ServerActor = ray.remote(num_cpus=1)(QueryServer)
-    pool = [ServerActor.remote(index_dir=idx, preload=preload) for _ in range(num_cpus)]
     qtbl = pa.Table.from_pylist(queries)
-    slices = [
-        qtbl.slice(
-            i * len(queries) // num_cpus,
-            (i + 1) * len(queries) // num_cpus - i * len(queries) // num_cpus,
-        )
-        for i in range(num_cpus)
-    ]
-    t0 = time.perf_counter()
-    ray.get([p.__ray_ready__.remote() for p in pool])
-    open_secs = time.perf_counter() - t0
+    sharded = os.environ.get("OSCAR_RAY_SOAK_MODE", "") == "sharded"
+    if sharded:
+        # doc-sharded serving (query/sharded.py): num_cpus actors, each
+        # preloading ONE block slice — one resident store copy across
+        # the pool at any width, the 50M preload-inversion fix. Every
+        # query fans to all shards; merge is exact.
+        from oscar_ray.query.sharded import ShardedPool, merge_shard_results
 
-    probe_before = bench._alu_probe()
-    t0 = time.perf_counter()
-    outs = ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
-    cold_secs = time.perf_counter() - t0
-    n_rows = sum(t.num_rows for t in outs)
-    warm_secs = float("inf")
-    for _ in range(5):
+        preload = bool(int(os.environ.get("OSCAR_RAY_SOAK_PRELOAD", "1")))
+        spool = ShardedPool(idx, n_shards=num_cpus, preload=preload)
         t0 = time.perf_counter()
-        ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
-        warm_secs = min(warm_secs, time.perf_counter() - t0)
-    probe_after = bench._alu_probe()
+        spool.ready()
+        open_secs = time.perf_counter() - t0
+
+        def run_once() -> int:
+            parts = ray.get([a.__call__.remote(qtbl) for a in spool.actors])
+            return merge_shard_results(parts, spool.default_k).num_rows
+
+        probe_before = bench._alu_probe()
+        t0 = time.perf_counter()
+        n_rows = run_once()
+        cold_secs = time.perf_counter() - t0
+        warm_secs = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run_once()
+            warm_secs = min(warm_secs, time.perf_counter() - t0)
+        probe_after = bench._alu_probe()
+    else:
+        ServerActor = ray.remote(num_cpus=1)(QueryServer)
+        pool = [ServerActor.remote(index_dir=idx, preload=preload) for _ in range(num_cpus)]
+        slices = [
+            qtbl.slice(
+                i * len(queries) // num_cpus,
+                (i + 1) * len(queries) // num_cpus - i * len(queries) // num_cpus,
+            )
+            for i in range(num_cpus)
+        ]
+        t0 = time.perf_counter()
+        ray.get([p.__ray_ready__.remote() for p in pool])
+        open_secs = time.perf_counter() - t0
+
+        probe_before = bench._alu_probe()
+        t0 = time.perf_counter()
+        outs = ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
+        cold_secs = time.perf_counter() - t0
+        n_rows = sum(t.num_rows for t in outs)
+        warm_secs = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ray.get([p.__call__.remote(s) for p, s in zip(pool, slices) if s.num_rows])
+            warm_secs = min(warm_secs, time.perf_counter() - t0)
+        probe_after = bench._alu_probe()
 
     out = {
         "n_docs": n_docs,
+        "mode": "sharded" if sharded else "pool",
         "preload": preload,
         "store_bytes": store_bytes,
         "n_terms": len(dfs),
