@@ -184,6 +184,16 @@ def _search_segmented_and(sf_dir: str):
     return segmented_scores_table(sf_dir, BM25_AND, k=None)
 
 
+def _search_sharded_and(sf_dir: str):
+    """Doc-sharded serving (query/sharded.py): 4 actors each holding one
+    docid-block slice of every posting list, the query fanned out and
+    exactly merged. Oracle is the plain whole-corpus AND query: document
+    partitioning must be invisible (global stats in every shard)."""
+    from oscar_ray.pipelines.search import sharded_scores_table
+
+    return sharded_scores_table(sf_dir, BM25_AND, n_shards=4)
+
+
 def _search_bm25_regex(sf_dir: str):
     """Regex term query `%pat%` (Lucene RegexpQuery analog): OR over all
     dictionary terms fully matching the RE2 pattern (one vectorized
@@ -2134,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_fuzzy": _search_bm25_fuzzy,
         "search_bm25_regex": _search_bm25_regex,
         "search_segmented_and": _search_segmented_and,
+        "search_sharded_and": _search_sharded_and,
         "search_facets": _search_facets,
         "search_subset_tree": _search_subset_tree,
         "search_shannon_facets": _search_shannon_facets,
@@ -2687,6 +2698,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scores WHERE term = '{BM25_TERM}' ORDER BY doc_id
         """,
         "search_bm25_and": _BM25_BASE
+        + f"""
+            SELECT a.doc_id, round(a.score + b.score, 4) AS score
+            FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[0]}') a
+            JOIN (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[1]}') b
+              USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # doc-sharded serving must be invisible: the SAME whole-corpus
+        # AND oracle, evaluated by the fan-out/merge actor pool
+        "search_sharded_and": _BM25_BASE
         + f"""
             SELECT a.doc_id, round(a.score + b.score, 4) AS score
             FROM (SELECT doc_id, score FROM scores WHERE term = '{BM25_AND.split()[0]}') a

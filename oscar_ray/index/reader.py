@@ -370,7 +370,11 @@ class IndexReader:
             i, k = shard
             if not (0 <= i < k):
                 raise ValueError(f"shard index {i} out of range for {k} shards")
-            n_blocks = ((max(self.n_docs, 1) - 1) >> self.block_span_bits) + 1
+            # split the REAL block space: docids can be sparse (URL-dedup
+            # drops docs but ids keep their dense assignment positions),
+            # so max_docid — not n_docs — bounds the last block
+            max_docid = stats.get("max_docid", max(self.n_docs, 1) - 1)
+            n_blocks = (max_docid >> self.block_span_bits) + 1
             block_range = (i * n_blocks // k, (i + 1) * n_blocks // k)
         self.block_range = block_range
         self._dicts: dict[int, dict[str, tuple[int, int]]] = {}

@@ -135,6 +135,37 @@ def segmented_scores_table(
     return tbl if k is not None else tbl.sort_by("doc_id")
 
 
+def sharded_scores_table(
+    sf_dir: str, query: str, n_shards: int = 4, round_to: int = 4
+) -> pa.Table:
+    """bm25_scores_table evaluated by the doc-sharded serving pool
+    (query/sharded.py): n_shards actors, each holding one docid-block
+    slice of every posting list, fanned out and exactly merged. The
+    oracle is the plain whole-corpus query: sharding must be invisible
+    (scores bit-identical — global stats in every shard)."""
+    from oscar_ray.query.sharded import ShardedPool
+
+    idx = documents_index_dir(sf_dir)
+    pool = ShardedPool(idx, n_shards=n_shards, num_cpus=0.5)
+    batch = pa.table(
+        {
+            "query_id": pa.array([0], type=pa.int64()),
+            "query": pa.array([query], type=pa.string()),
+            "k": pa.array([1 << 62], type=pa.int64()),  # full match set
+        }
+    )
+    t = pool.search_batch(batch)
+    tbl = pa.table(
+        {
+            "doc_id": t["docid"],
+            "score": pa.array(
+                np.round(t["score"].to_numpy(), round_to), type=pa.float64()
+            ),
+        }
+    )
+    return tbl.sort_by("doc_id")
+
+
 def term_stats_table(sf_dir: str) -> pa.Table:
     """(term, df, cf) over the whole corpus, term ascending."""
     import pyarrow.parquet as pq

@@ -85,7 +85,7 @@ def main():
         # preloading ONE block slice — one resident store copy across
         # the pool at any width, the 50M preload-inversion fix. Every
         # query fans to all shards; merge is exact.
-        from oscar_ray.query.sharded import ShardedPool, merge_shard_results
+        from oscar_ray.query.sharded import ShardedPool
 
         preload = bool(int(os.environ.get("OSCAR_RAY_SOAK_PRELOAD", "1")))
         spool = ShardedPool(idx, n_shards=num_cpus, preload=preload)
@@ -94,8 +94,9 @@ def main():
         open_secs = time.perf_counter() - t0
 
         def run_once() -> int:
-            parts = ray.get([a.__call__.remote(qtbl) for a in spool.actors])
-            return merge_shard_results(parts, spool.default_k).num_rows
+            # search_batch honors the per-query k column — result_rows
+            # must equal the pool-mode invariant (138,215 at 50M/4k)
+            return spool.search_batch(qtbl).num_rows
 
         probe_before = bench._alu_probe()
         t0 = time.perf_counter()

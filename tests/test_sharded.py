@@ -38,8 +38,11 @@ class TestReaderBlockRange:
         index_dir, _ = built_index_t1
         full = IndexReader(index_dir)
         shards = [IndexReader(index_dir, shard=(i, 3)) for i in range(3)]
-        # ranges tile [0, n_blocks) without overlap
-        n_blocks = ((full.n_docs - 1) >> full.block_span_bits) + 1
+        # ranges tile [0, n_blocks) without overlap — n_blocks from
+        # max_docid (docids can be sparse after URL-dedup)
+        n_blocks = (
+            (full.manifest["stats"]["max_docid"] >> full.block_span_bits) + 1
+        )
         assert shards[0].block_range[0] == 0
         assert shards[-1].block_range[1] == n_blocks
         for a, b in zip(shards, shards[1:]):
@@ -88,6 +91,47 @@ class TestReaderBlockRange:
                 empties += 1
                 assert len(ids) == 0
         assert empties == 3
+
+    def test_sparse_docids_last_block_covered(self, ray_session, tmp_path_factory):
+        """URL-dedup drops docs but docids keep their dense assignment
+        positions, so max_docid > n_docs - 1: the shard split must tile
+        the REAL block space or tail-block docs become unreachable (the
+        exact 50M-soak regression: 2 docs lost from the last block)."""
+        from oscar_ray.index.build import IndexBuildConfig, build_index
+
+        d = tmp_path_factory.mktemp("sparse_ids")
+        src = str(d / "docs.parquet")
+        n = 64
+        # duplicate URLs in the MIDDLE so later docids shift past n_docs
+        urls = [f"http://ex.com/{i if not 20 <= i < 30 else 'dup'}" for i in range(n)]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": urls,
+                    "text": [f"alpha w{i:03d} common" for i in range(n)],
+                    "lang": ["en"] * n,
+                }
+            ),
+            src,
+        )
+        out = str(d / "idx")
+        build_index(
+            src,
+            out,
+            IndexBuildConfig(num_partitions=2, block_span_bits=3, shard_fragments=1),
+            check=True,
+        )
+        full = IndexReader(out)
+        assert full.manifest["stats"]["max_docid"] > full.n_docs - 1  # sparse
+        want_ids, want_sc = QueryEngine(out).search("common", k=n, mode="exhaustive")
+        for k in (2, 3):
+            got = []
+            for i in range(k):
+                eng = QueryEngine(out, reader=IndexReader(out, shard=(i, k)))
+                ids, sc = eng.search("common", k=n, mode="exhaustive")
+                got.extend(zip(ids.tolist(), sc.tolist()))
+            got.sort()
+            assert got == sorted(zip(want_ids.tolist(), want_sc.tolist()))
 
     def test_shard_validation(self, built_index_t1):
         index_dir, _ = built_index_t1
