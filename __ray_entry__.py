@@ -32,6 +32,8 @@ PHRASE_Q = ("merge", "join")  # "merge join" — adjacent-token phrase
 NEAR_Q, NEAR_SLOP = ("hash", "join"), 3  # "hash join"~3 proximity window
 FUZZY_TERM, FUZZY_DIST = "part", 2  # part~2 -> {fast, part, sort, spark}
 REGEX_PAT = "s(can|ort)"  # %s(can|ort)% -> {scan, sort} (RE2 both sides)
+COMPLETE_PREFIX, COMPLETE_K = "s", 10  # completion suggestions for 's'
+SUGGEST_TERM, SUGGEST_DIST, SUGGEST_K = "sor", 2, 10  # did-you-mean 'sor'
 MIN_SUFFIX_LEN_SQL = 2  # == IndexBuildConfig.min_suffix_len
 HYBRID_DEPTH, RRF_C = 1000, 60  # hybrid-retrieval fusion constants
 K1, B = 0.9, 0.4
@@ -124,6 +126,22 @@ def _search_bm25_prefix(sf_dir: str):
     from oscar_ray.pipelines.search import bm25_scores_table
 
     return bm25_scores_table(sf_dir, f"{BM25_PREFIX}*", k=None)
+
+
+def _search_completions(sf_dir: str):
+    """Top-k completion suggestions (term, df) for COMPLETE_PREFIX —
+    the term-level LiveCompletion surface (oscar-cmd/LiveCompleter.cpp)."""
+    from oscar_ray.pipelines.search import completion_table
+
+    return completion_table(sf_dir, COMPLETE_PREFIX, k=COMPLETE_K)
+
+
+def _search_suggest(sf_dir: str):
+    """Did-you-mean suggestions (term, dist, df) for SUGGEST_TERM via the
+    banded-DP dictionary scan; DuckDB levenshtein is the oracle."""
+    from oscar_ray.pipelines.search import suggestion_table
+
+    return suggestion_table(sf_dir, SUGGEST_TERM, max_dist=SUGGEST_DIST, k=SUGGEST_K)
 
 
 def _search_bm25_substring(sf_dir: str):
@@ -2156,6 +2174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_anchor_boost": _search_bm25_anchor_boost,
         "search_ql_dirichlet": _search_ql_dirichlet,
         "search_df_histogram": _search_df_histogram,
+        "search_completions": _search_completions,
+        "search_suggest": _search_suggest,
         "rel_lineitem_agg": _rel_lineitem_agg,
         "rel_customer_order_join": _rel_customer_order_join,
         "rel_top_parts": _rel_top_parts,
@@ -2892,6 +2912,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE regexp_full_match(term, '{REGEX_PAT}')
                 ORDER BY term LIMIT {MAX_PREFIX_EXPANSIONS_SQL})
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "search_completions": f"""
+            WITH {_TOK_CTE},
+            vocab AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok GROUP BY term
+            )
+            SELECT term, df FROM vocab
+            WHERE term LIKE '{COMPLETE_PREFIX}%'
+            ORDER BY df DESC, term LIMIT {COMPLETE_K}
+        """,
+        "search_suggest": f"""
+            WITH {_TOK_CTE},
+            vocab AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok GROUP BY term
+            )
+            SELECT term, levenshtein(term, '{SUGGEST_TERM}')::BIGINT AS dist, df
+            FROM vocab
+            WHERE levenshtein(term, '{SUGGEST_TERM}') <= {SUGGEST_DIST}
+            ORDER BY dist, df DESC, term LIMIT {SUGGEST_K}
         """,
         "search_snippets": f"""
             WITH toks AS (

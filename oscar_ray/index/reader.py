@@ -215,9 +215,10 @@ def _levenshtein_band(
     q_codes: np.ndarray,
     qlen: int,
     max_dist: int,
-) -> np.ndarray:
-    """Terms within Levenshtein ``max_dist`` of the query, from a cached
-    (terms, codepoint_matrix, lens) triple (see _fuzzy_matrix).
+) -> tuple[np.ndarray, np.ndarray]:
+    """(terms, distances) within Levenshtein ``max_dist`` of the query,
+    from a cached (terms, codepoint_matrix, lens) triple (see
+    _fuzzy_matrix).
 
     Classic unit-cost DP (insert/delete/substitute — the same function
     DuckDB's ``levenshtein`` computes, which the SQL oracle relies on),
@@ -228,7 +229,7 @@ def _levenshtein_band(
     band = (lens_full >= max(qlen - max_dist, 0)) & (lens_full <= width)
     idx = np.flatnonzero(band)
     if not len(idx):
-        return terms[:0]
+        return terms[:0], np.empty(0, dtype=np.int32)
     m = m_full[idx, : min(width, m_full.shape[1])]
     lens = lens_full[idx]
     n_c = len(idx)
@@ -247,8 +248,9 @@ def _levenshtein_band(
         done = lens == j + 1
         if done.any():
             result[done] = dp[done, qlen]
-    hits = idx[result <= max_dist]
-    return terms[hits]
+    within = result <= max_dist
+    hits = idx[within]
+    return terms[hits], result[within]
 
 
 class _PartDict:
@@ -495,7 +497,7 @@ class IndexReader:
             cached = self._fuzzy_matrix(part)
             if cached is None:
                 continue
-            hits = _levenshtein_band(cached, q, qlen, max_dist)
+            hits, _ = _levenshtein_band(cached, q, qlen, max_dist)
             if len(hits):
                 out.extend(hits.tolist())
         out.sort()
@@ -523,6 +525,73 @@ class IndexReader:
         cached = (terms, m, lens)
         self._fuzzy_mats[part] = cached
         return cached
+
+    def complete(self, prefix: str, k: int | None = 10) -> list[tuple[str, int]]:
+        """Top-k completion suggestions for ``prefix``: (term, df) ranked
+        df DESC, term ASC — the term-level LiveCompletion surface (the
+        reference serves ranked completions per keystroke,
+        oscar-cmd/LiveCompleter.cpp; its completion strings are built at
+        index time, SURVEY.md §2 S7).
+
+        Scale shape: each partition contributes one binary-searched range
+        of its sorted dictionary, locally pruned to k by (df desc, term
+        asc) before the merge — driver state is at most k × partitions
+        pairs regardless of vocabulary size.
+        """
+        rows: list[tuple[str, int]] = []
+        for part in range(self.num_partitions):
+            d = self._part_dict(part)
+            arr = d.terms
+            if not len(arr):
+                continue
+            lo = int(np.searchsorted(arr, prefix))
+            # never descend into marker namespaces (field/suffix terms)
+            lo = max(lo, int(np.searchsorted(arr, "\x0f")))
+            hi = int(np.searchsorted(arr, prefix + chr(0x10FFFF)))
+            if hi <= lo:
+                continue
+            terms, dfs = arr[lo:hi], d.df[lo:hi]
+            if k is not None and len(terms) > k:
+                top = np.lexsort((terms, -dfs))[:k]  # local prune
+                terms, dfs = terms[top], dfs[top]
+            rows.extend(zip(terms.tolist(), (int(x) for x in dfs)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k] if k is not None else rows
+
+    def suggest(
+        self, term: str, max_dist: int = 2, k: int | None = 10
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean suggestions: (term, dist, df) for vocabulary terms
+        within Levenshtein ``max_dist``, ranked dist ASC, df DESC, term
+        ASC (spell-correction over the same banded-DP expansion the fuzzy
+        query operator uses; DuckDB ``levenshtein`` is the oracle).
+
+        Scale shape: one vectorized DP per partition dictionary (the
+        cached codepoint matrix), candidates merged at k × partitions
+        driver cost.
+        """
+        q = np.frombuffer(
+            np.array([term], dtype=f"U{max(len(term), 1)}"), dtype=np.uint32
+        )
+        qlen = len(term)
+        rows: list[tuple[str, int, int]] = []
+        for part in range(self.num_partitions):
+            cached = self._fuzzy_matrix(part)
+            if cached is None:
+                continue
+            hits, dists = _levenshtein_band(cached, q, qlen, max_dist)
+            if not len(hits):
+                continue
+            d = self._part_dict(part)
+            dfs = d.df[np.searchsorted(d.terms, hits)]  # hits are present
+            if k is not None and len(hits) > k:
+                top = np.lexsort((hits, -dfs, dists))[:k]  # local prune
+                hits, dists, dfs = hits[top], dists[top], dfs[top]
+            rows.extend(
+                zip(hits.tolist(), (int(x) for x in dists), (int(x) for x in dfs))
+            )
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return rows[:k] if k is not None else rows
 
     def vocabulary_size(self) -> int:
         return sum(

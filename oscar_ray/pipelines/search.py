@@ -188,6 +188,36 @@ def term_stats_table(sf_dir: str) -> pa.Table:
     return t.sort_by("term")
 
 
+def completion_table(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
+    """(term, df) top-k completion suggestions for one prefix, ranked
+    df DESC then term ASC (LiveCompletion term surface — see
+    IndexReader.complete for the partition prune/merge shape)."""
+    idx = documents_index_dir(sf_dir)
+    rows = IndexReader(idx).complete(prefix, k)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def suggestion_table(
+    sf_dir: str, term: str, max_dist: int = 2, k: int = 10
+) -> pa.Table:
+    """(term, dist, df) did-you-mean suggestions for one query term,
+    ranked dist ASC, df DESC, term ASC (see IndexReader.suggest)."""
+    idx = documents_index_dir(sf_dir)
+    rows = IndexReader(idx).suggest(term, max_dist=max_dist, k=k)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "dist": pa.array([r[1] for r in rows], type=pa.int64()),
+            "df": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def doc_lengths_table(sf_dir: str) -> pa.Table:
     """(doc_id, doclen) for docs with >= 1 token."""
     import pyarrow.parquet as pq

@@ -729,3 +729,88 @@ class TestQLDirichlet:
             assert (g.score.diff().dropna() >= -1e-9).all()
             checked += 1
         assert checked > 0
+
+
+class TestRankedCompletionSuggest:
+    """IndexReader.complete / .suggest — the df-ranked, distance-tiered
+    dictionary surfaces behind the search_completions / search_suggest
+    registry entries (term-level LiveCompletion + did-you-mean)."""
+
+    @staticmethod
+    def _text_vocab(reader) -> dict[str, int]:
+        """(term -> df) over the text vocabulary, marker namespaces off."""
+        out: dict[str, int] = {}
+        for part in range(reader.num_partitions):
+            d = reader._part_dict(part)
+            lo = int(np.searchsorted(d.terms, "\x0f"))
+            for t, df in zip(d.terms[lo:].tolist(), d.df[lo:].tolist()):
+                out[t] = int(df)
+        return out
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_complete_matches_bruteforce(self, built_index_t1):
+        from oscar_ray.index.reader import IndexReader
+
+        reader = IndexReader(built_index_t1[0])
+        vocab = self._text_vocab(reader)
+        hit_some = False
+        for prefix in ("wa", "w", "waa", "zzzznope"):
+            expect = sorted(
+                ((t, df) for t, df in vocab.items() if t.startswith(prefix)),
+                key=lambda r: (-r[1], r[0]),
+            )
+            hit_some = hit_some or bool(expect)
+            assert reader.complete(prefix, k=None) == expect
+            assert reader.complete(prefix, k=3) == expect[:3]
+            assert reader.complete(prefix, k=1) == expect[:1]
+        assert hit_some  # fixture vocabulary really exercised the ranking
+
+    def test_complete_empty_prefix_is_whole_text_vocab(self, built_index_t1):
+        from oscar_ray.index.reader import IndexReader
+
+        reader = IndexReader(built_index_t1[0])
+        rows = reader.complete("", k=None)
+        vocab = self._text_vocab(reader)
+        assert len(rows) == len(vocab) > 0
+        # marker namespaces (field/suffix terms) never surface
+        assert all(t >= "\x0f" for t, _ in rows)
+
+    def test_suggest_matches_bruteforce(self, built_index_t1):
+        from oscar_ray.index.reader import IndexReader
+
+        reader = IndexReader(built_index_t1[0])
+        vocab = self._text_vocab(reader)
+        hit_tiers = False
+        for q, d in (("waab", 1), ("waab", 2), ("qqqqqq", 1)):
+            expect = sorted(
+                (
+                    (t, self._lev(t, q), df)
+                    for t, df in vocab.items()
+                    if self._lev(t, q) <= d
+                ),
+                key=lambda r: (r[1], -r[2], r[0]),
+            )
+            hit_tiers = hit_tiers or len({r[1] for r in expect}) > 1
+            assert reader.suggest(q, max_dist=d, k=None) == expect
+            assert reader.suggest(q, max_dist=d, k=2) == expect[:2]
+        assert hit_tiers  # at least one probe spanned >1 distance tier
+
+    def test_suggest_exact_term_ranks_first_at_distance_zero(
+        self, built_index_t1
+    ):
+        from oscar_ray.index.reader import IndexReader
+
+        reader = IndexReader(built_index_t1[0])
+        vocab = self._text_vocab(reader)
+        term = sorted(vocab)[0]
+        top = reader.suggest(term, max_dist=2, k=5)[0]
+        assert top == (term, 0, vocab[term])
