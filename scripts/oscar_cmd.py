@@ -85,6 +85,11 @@ def main():
         "--cold", action="store_true", help="drop caches before EVERY query (cc=true)"
     )
     bm.add_argument("--runs", type=int, default=2, help="warm runs per query (last counts)")
+    bm.add_argument(
+        "--live", action="store_true",
+        help="add the LiveCompleter keystroke phase: time ranked "
+        "completions for every prefix of each query's first term",
+    )
     gq = sub.add_parser(
         "gen-queries", help="emit a seeded stratified query set from the dictionary"
     )
@@ -654,7 +659,12 @@ def main():
         with open(args.file) as f:
             queries = [line.rstrip("\n") for line in f if line.strip()]
         phases: dict[str, list] = {"parse_us": [], "expand_us": [], "eval_us": [], "total_us": []}
+        if args.live:
+            # per-keystroke ranked completion (the LiveCompleter loop: the
+            # reference recompletes on every keystroke, LiveCompleter.cpp)
+            phases["complete_us"] = []
         n_results = []
+        keystrokes = 0
         for q in queries:
             if args.cold:
                 reader.drop_caches(page_cache=True)
@@ -666,6 +676,16 @@ def main():
                 phases[key].append(t[key])
             phases["total_us"].append(t["parse_us"] + t["expand_us"] + t["eval_us"])
             n_results.append(len(ids))
+            if args.live:
+                from oscar_ray.spec.tokenizer import tokenize_text
+
+                toks = tokenize_text(q)
+                first = toks[0] if toks else ""
+                for i in range(1, len(first) + 1):
+                    t0 = time.perf_counter()
+                    reader.complete(first[:i], k=10)
+                    phases["complete_us"].append((time.perf_counter() - t0) * 1e6)
+                    keystrokes += 1
         stats = {}
         for key, vals in phases.items():
             a = np.array(vals) if vals else np.zeros(1)
@@ -680,13 +700,16 @@ def main():
                 "p95": round(float(np.percentile(a, 95)), 1),
                 "p99": round(float(np.percentile(a, 99)), 1),
             }
-        print(json.dumps({
+        out = {
             "queries": len(queries),
             "mode": "cold" if args.cold else f"warm(last of {args.runs})",
             "result_rows": int(sum(n_results)),
             "phases_us": stats,
             "qps": round(len(queries) / max(sum(phases["total_us"]) / 1e6, 1e-9), 1),
-        }))
+        }
+        if args.live:
+            out["keystrokes"] = keystrokes
+        print(json.dumps(out))
         return
     if args.cmd == "gen-queries":
         from oscar_ray.sources.queryset import generate_queries

@@ -553,6 +553,21 @@ class TestCmdCliWorkItems:
         assert snip_of[3] == "x [scan]"
         assert 2 not in snip_of
 
+    def test_bench_live_keystroke_phase(self, built_index_t1, tmp_path):
+        import json
+
+        qf = tmp_path / "q.txt"
+        qf.write_text("waaa wbaa\nwbab\n")
+        out = json.loads(
+            self._run(built_index_t1, ["bench", "-f", str(qf), "--live"])
+        )
+        # one completion timing per keystroke of each query's first term
+        assert out["keystrokes"] == len("waaa") + len("wbab")
+        cu = out["phases_us"]["complete_us"]
+        assert cu["min"] > 0 and cu["max"] >= cu["p99"] >= cu["median"]
+        # the serving phases are unaffected by the live flag
+        assert out["result_rows"] > 0
+
     def test_suggest(self, built_index_t1):
         from oscar_ray.index.reader import IndexReader
 
