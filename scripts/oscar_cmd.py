@@ -40,6 +40,23 @@ def _ensure_ray(num_cpus: int = 8):
         )
 
 
+def _did_you_mean(reader, qstr: str, max_terms: int = 3) -> list[str]:
+    """did-you-mean hints for a zero-hit query: for each plain term that is
+    absent from the dictionary, the top ranked suggestions (dist asc, df
+    desc — IndexReader.suggest). Returns printable hint lines."""
+    from oscar_ray.spec.tokenizer import tokenize_text
+
+    hints = []
+    for tok in tokenize_text(qstr)[:max_terms]:
+        if reader.term_stats(tok)[0] > 0:
+            continue
+        sugg = reader.suggest(tok, max_dist=2, k=3)
+        if sugg:
+            alts = ", ".join(t for t, _d, _df in sugg)
+            hints.append(f"# did you mean: {tok} -> {alts}")
+    return hints
+
+
 def main():
     ap = argparse.ArgumentParser(description="Query / inspect an index")
     ap.add_argument("--index", "-i", required=True)
@@ -611,6 +628,9 @@ def main():
             if timings.get("reason"):
                 phases += f" ({timings['reason']})"
             print(f"# {len(ids)} results; {phases}", file=sys.stderr)
+            if not len(ids) and not timings.get("error"):
+                for hint in _did_you_mean(reader, qstr):
+                    print(hint, file=sys.stderr)
             if args.subset is not None:
                 # LiveCompleter.cpp:222-224 ghsg().subSet over the FULL
                 # match set (not just the printed top-k)
@@ -847,6 +867,9 @@ def main():
         if timings.get("error"):
             phases += " (parse error -> empty result)"
         print(f"# {len(ids)} results; {phases}", file=sys.stderr)
+        if not len(ids) and not timings.get("error"):
+            for hint in _did_you_mean(reader, args.query):
+                print(hint, file=sys.stderr)
 
 
 if __name__ == "__main__":

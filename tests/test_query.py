@@ -553,6 +553,42 @@ class TestCmdCliWorkItems:
         assert snip_of[3] == "x [scan]"
         assert 2 not in snip_of
 
+    def test_did_you_mean_on_zero_hits(self, built_index_t1):
+        import os
+        import subprocess
+        import sys as _sys
+
+        from oscar_ray.index.reader import IndexReader
+
+        proc = subprocess.run(
+            [
+                _sys.executable, "scripts/oscar_cmd.py", "-i",
+                built_index_t1[0], "query", "-q", "waabxy", "-k", "3",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "did you mean: waabxy ->" in proc.stderr
+        # the hinted alternatives are exactly the reader's top suggestions
+        want = [t for t, _d, _df in
+                IndexReader(built_index_t1[0]).suggest("waabxy", 2, k=3)]
+        line = next(l for l in proc.stderr.splitlines() if "did you mean" in l)
+        assert line.split("-> ")[1] == ", ".join(want)
+        # a query WITH hits prints no hint
+        proc2 = subprocess.run(
+            [
+                _sys.executable, "scripts/oscar_cmd.py", "-i",
+                built_index_t1[0], "query", "-q", "waaa", "-k", "3",
+            ],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=120,
+        )
+        assert "did you mean" not in proc2.stderr
+
     def test_bench_live_keystroke_phase(self, built_index_t1, tmp_path):
         import json
 
