@@ -210,21 +210,42 @@ _EMPTY = TermPostings(
 )
 
 
+_QGRAM_BUCKETS = 4096  # hashed-bigram bucket space for the count filter
+
+
+def _bigram_buckets(m: np.ndarray) -> np.ndarray:
+    """Hashed bigram bucket ids for each adjacent codepoint pair of a
+    (n, w) uint32 matrix — collisions only merge buckets, which can only
+    RAISE the shared-count score, so the filter stays lossless."""
+    a = m[:, :-1].astype(np.uint64)
+    b = m[:, 1:].astype(np.uint64)
+    return ((a * np.uint64(1_000_003) + b) % np.uint64(_QGRAM_BUCKETS)).astype(
+        np.int64
+    )
+
+
 def _levenshtein_band(
     cached: tuple[np.ndarray, np.ndarray, np.ndarray],
     q_codes: np.ndarray,
     qlen: int,
     max_dist: int,
+    cand: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(terms, distances) within Levenshtein ``max_dist`` of the query,
     from a cached (terms, codepoint_matrix, lens) triple (see
-    _fuzzy_matrix).
+    _fuzzy_matrix). ``cand`` optionally restricts the scan to a subset of
+    rows (the q-gram shortlist) — semantics are unchanged, only fewer
+    rows enter the DP.
 
     Classic unit-cost DP (insert/delete/substitute — the same function
     DuckDB's ``levenshtein`` computes, which the SQL oracle relies on),
     advanced column-by-column over a (n_candidates, qlen+1) matrix.
     """
     terms, m_full, lens_full = cached
+    if cand is not None:
+        terms = terms[cand]
+        m_full = m_full[cand]
+        lens_full = lens_full[cand]
     width = qlen + max_dist  # longer terms can never be within max_dist
     band = (lens_full >= max(qlen - max_dist, 0)) & (lens_full <= width)
     idx = np.flatnonzero(band)
@@ -388,6 +409,7 @@ class IndexReader:
         self._pos_groups: dict[tuple[int, int], pa.Table] = {}
         self._pa_terms: dict[int, "pa.Array"] = {}  # regex-scan term arrays
         self._fuzzy_mats: dict[int, tuple] = {}  # fuzzy-scan codepoint matrices
+        self._qgram_csrs: dict[int, tuple] = {}  # fuzzy-scan q-gram filters
         self._decoded_cache = _DecodedBlockCache()  # hot decoded blocks (LRU)
 
     # -- dictionary ---------------------------------------------------------
@@ -497,7 +519,8 @@ class IndexReader:
             cached = self._fuzzy_matrix(part)
             if cached is None:
                 continue
-            hits, _ = _levenshtein_band(cached, q, qlen, max_dist)
+            cand = self._fuzzy_shortlist(part, q, qlen, max_dist)
+            hits, _ = _levenshtein_band(cached, q, qlen, max_dist, cand=cand)
             if len(hits):
                 out.extend(hits.tolist())
         out.sort()
@@ -525,6 +548,59 @@ class IndexReader:
         cached = (terms, m, lens)
         self._fuzzy_mats[part] = cached
         return cached
+
+    def _qgram_csr(self, part: int):
+        """Bucketed bigram -> term-row CSR over one partition's text
+        vocabulary (lazy, cached — built from the fuzzy codepoint matrix).
+        Powers the count filter: a candidate within edit distance d must
+        share >= max(len_q, len_c) - 1 - 2d multiset bigrams with the
+        query (each edit disturbs <= 2 bigrams; Gravano et al. 2001
+        q-gram bound with q=2). Our score overcounts (multiplicity
+        product + hash-bucket collisions), so thresholding on it never
+        drops a true match."""
+        hit = self._qgram_csrs.get(part)
+        if hit is not None:
+            return hit if hit != () else None
+        cached = self._fuzzy_matrix(part)
+        if cached is None:
+            self._qgram_csrs[part] = ()
+            return None
+        _terms, m, lens = cached
+        codes = _bigram_buckets(m)
+        valid = np.arange(m.shape[1] - 1)[None, :] < (lens - 1)[:, None]
+        flat = codes[valid]
+        rows = np.broadcast_to(
+            np.arange(m.shape[0], dtype=np.int32)[:, None], valid.shape
+        )[valid]
+        order = np.argsort(flat, kind="stable")
+        counts = np.bincount(flat, minlength=_QGRAM_BUCKETS)
+        starts = np.zeros(_QGRAM_BUCKETS + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        csr = (starts, rows[order])
+        self._qgram_csrs[part] = csr
+        return csr
+
+    def _fuzzy_shortlist(
+        self, part: int, q_codes: np.ndarray, qlen: int, max_dist: int
+    ) -> np.ndarray | None:
+        """Candidate row subset for one partition's fuzzy scan, or None
+        for 'all rows' (filter not applicable)."""
+        if qlen < 2:
+            return None  # no query bigrams to count
+        csr = self._qgram_csr(part)
+        if csr is None:
+            return None
+        starts, term_ids = csr
+        cached = self._fuzzy_matrix(part)
+        _terms, _m, lens = cached
+        qcodes = _bigram_buckets(q_codes[None, :])[0]
+        pieces = [term_ids[starts[c] : starts[c + 1]] for c in qcodes]
+        score = np.bincount(
+            np.concatenate(pieces) if pieces else np.empty(0, dtype=np.int32),
+            minlength=len(lens),
+        )
+        thresh = np.maximum(np.maximum(lens, qlen) - 1 - 2 * max_dist, 0)
+        return np.flatnonzero(score >= thresh)
 
     def complete(self, prefix: str, k: int | None = 10) -> list[tuple[str, int]]:
         """Top-k completion suggestions for ``prefix``: (term, df) ranked
@@ -579,7 +655,8 @@ class IndexReader:
             cached = self._fuzzy_matrix(part)
             if cached is None:
                 continue
-            hits, dists = _levenshtein_band(cached, q, qlen, max_dist)
+            cand = self._fuzzy_shortlist(part, q, qlen, max_dist)
+            hits, dists = _levenshtein_band(cached, q, qlen, max_dist, cand=cand)
             if not len(hits):
                 continue
             d = self._part_dict(part)

@@ -865,3 +865,104 @@ class TestRankedCompletionSuggest:
         term = sorted(vocab)[0]
         top = reader.suggest(term, max_dist=2, k=5)[0]
         assert top == (term, 0, vocab[term])
+
+
+class TestQgramFilterParity:
+    """The q-gram count filter (reader._fuzzy_shortlist) must be lossless:
+    suggest/fuzzy results over a random vocabulary — including
+    repeated-character strings (multiset bigram stress) and non-ascii —
+    must equal the brute-force Levenshtein scan."""
+
+    @pytest.fixture(scope="class")
+    def dict_index(self, tmp_path_factory):
+        import json
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from oscar_ray.index import layout
+
+        rng = np.random.default_rng(7)
+        alphabet = list("abcdefgh01éß汉")  # small: forces near-collisions
+        vocab = set()
+        while len(vocab) < 3000:
+            ln = int(rng.integers(2, 11))
+            vocab.add("".join(rng.choice(alphabet, size=ln)))
+        # adversarial: runs of one char (multiset-bound stress)
+        vocab.update("a" * n for n in range(2, 9))
+        vocab.update("ab" * n for n in range(1, 5))
+        terms = sorted(vocab)
+        parts = 4
+        out = str(tmp_path_factory.mktemp("dict_idx"))
+        import os as _os
+
+        _os.makedirs(_os.path.join(out, "dict"))
+        pids = layout.term_partitions_np(np.asarray(terms, dtype=object), parts)
+        part_meta = []
+        for p in range(parts):
+            sel = [t for t, i in zip(terms, pids) if i == p]
+            df = rng.integers(1, 1000, size=len(sel))
+            t = pa.table(
+                {
+                    "term": pa.array(sel, type=pa.string()),
+                    "df": pa.array(df, type=pa.int64()),
+                    "cf": pa.array(df + 1, type=pa.int64()),
+                }
+            ).sort_by("term")
+            pq.write_table(t, layout.dict_path(out, p))
+            part_meta.append({"terms": len(sel)})
+        with open(layout.manifest_path(out), "w") as f:
+            json.dump(
+                {
+                    "complete": True,
+                    "config": {
+                        "num_partitions": parts,
+                        "block_span_bits": 12,
+                        "k1": 0.9,
+                        "b": 0.4,
+                    },
+                    "stats": {"n_docs": 1000, "avgdl": 10.0},
+                    "partitions": part_meta,
+                },
+                f,
+            )
+        return out, terms
+
+    def test_suggest_equals_bruteforce_random(self, dict_index):
+        from oscar_ray.index.reader import IndexReader
+
+        out, terms = dict_index
+        reader = IndexReader(out)
+        lev = TestRankedCompletionSuggest._lev
+        rng = np.random.default_rng(11)
+        queries = [terms[i] for i in rng.integers(0, len(terms), size=25)]
+        # mutate: substitution / extension / truncation, incl. short ones
+        queries += [q[:-1] for q in queries[:8] if len(q) > 2]
+        queries += [q + "x" for q in queries[8:16]]
+        queries += ["a", "aa", "aaaa", "abab", "ééé"]
+        dfs = {}
+        for p in range(reader.num_partitions):
+            d = reader._part_dict(p)
+            dfs.update(zip(d.terms.tolist(), d.df.tolist()))
+        for q in queries:
+            for dist in (1, 2):
+                got = reader.suggest(q, max_dist=dist, k=None)
+                want = sorted(
+                    (
+                        (t, lev(t, q), int(dfs[t]))
+                        for t in terms
+                        if lev(t, q) <= dist
+                    ),
+                    key=lambda r: (r[1], -r[2], r[0]),
+                )
+                assert got == want, (q, dist)
+
+    def test_terms_with_edit_distance_equals_bruteforce(self, dict_index):
+        from oscar_ray.index.reader import IndexReader
+
+        out, terms = dict_index
+        reader = IndexReader(out)
+        lev = TestRankedCompletionSuggest._lev
+        for q in ("aaaa", "abab", "h01é", "汉汉"):
+            got = reader.terms_with_edit_distance(q, 2)
+            want = sorted(t for t in terms if lev(t, q) <= 2)
+            assert got == want, q
