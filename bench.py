@@ -215,6 +215,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from oscar_ray.pipelines.subset import subset_tree_from_index
 
     sub_queries = [q["query"] for q in queries[:8]]
+    # energize the subset servers first (the reference benchmarks ghsg=
+    # after mlock/mload warms the stores): the first call reads docmeta
+    # once into the memory-resident host-code mapping — timed separately
+    t0 = time.perf_counter()
+    subset_tree_from_index(out_dir, sub_queries[0], num_parts=8)
+    subset_warmup_secs = time.perf_counter() - t0
     t0 = time.perf_counter()
     subset_rows = sum(
         subset_tree_from_index(out_dir, q, num_parts=8).num_rows
@@ -227,6 +233,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "alu_probe_secs": round(_alu_probe(), 3),
         "subset_secs": round(subset_secs, 3),
         "subset_qps": round(len(sub_queries) / subset_secs, 1),
+        "subset_warmup_secs": round(subset_warmup_secs, 3),
         "subset_rows": int(subset_rows),
         "stage_task_secs": {"a": task_secs_a, "b": task_secs_b, "a_sub": sub_a},
         "build_secs": round(build_secs, 3),

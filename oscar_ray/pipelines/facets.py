@@ -55,6 +55,27 @@ def _matched_ids(sf_dir: str, query: str, suffixes: bool = False) -> np.ndarray:
     return np.sort(ids.astype(np.int64))
 
 
+# Ray reuses worker processes across tasks, so a module-level engine
+# cache keeps the open dictionaries + decoded-block caches warm across
+# queries against the same index (the reference keeps its stores
+# energized between completions). Keyed on manifest mtime so an
+# in-place rebuild / maintenance cycle drops the stale engine.
+_TASK_ENGINES: dict[str, tuple[float, object]] = {}
+
+
+def _task_engine(index_dir: str):
+    from oscar_ray.index.layout import manifest_path
+    from oscar_ray.query.engine import QueryEngine
+
+    mt = os.path.getmtime(manifest_path(index_dir))
+    ent = _TASK_ENGINES.get(index_dir)
+    if ent is not None and ent[0] == mt:
+        return ent[1]
+    eng = QueryEngine(index_dir)
+    _TASK_ENGINES[index_dir] = (mt, eng)
+    return eng
+
+
 @ray.remote
 def _matched_range_task(index_dir: str, query: str, blk_lo: int, blk_hi: int):
     """Evaluate the full set-op match set restricted to blocks in
@@ -63,7 +84,6 @@ def _matched_range_task(index_dir: str, query: str, blk_lo: int, blk_hi: int):
     num_tasks x the QUERY TERMS' postings — bounded, parallel, and never
     corpus-sized."""
     from oscar_ray.query.engine import (
-        QueryEngine,
         _block_bounds,
         _collect_leaves,
         _eval_block,
@@ -72,7 +92,7 @@ def _matched_range_task(index_dir: str, query: str, blk_lo: int, blk_hi: int):
     from oscar_ray.query.parser import QueryParseError, parse_query
 
     empty = np.empty(0, dtype=np.int64)
-    eng = QueryEngine(index_dir)
+    eng = _task_engine(index_dir)
     try:
         node = parse_query(query)
     except QueryParseError:

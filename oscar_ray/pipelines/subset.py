@@ -45,6 +45,8 @@ Distributed shape (the 100-TB story):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -271,57 +273,118 @@ def subset_tree(
     )
 
 
-@ray.remote
-def _meta_subset_task(paths: list[str], plan_los, plan_his, plan_refs) -> pa.Table:
-    """(suffix, domain, host, n) partials over a CHUNK of docmeta files
-    restricted to the match plan — the kvstats per-file serving shape
-    (``_kvmeta_count_task``), chunked so task count stays ~cores even
-    for indexes with hundreds of small docmeta files: fetch only
-    overlapping plan ranges, return one tree-sized partial."""
-    import pyarrow.parquet as pq
+@ray.remote(num_cpus=0)
+class _MetaSubsetServer:
+    """Memory-resident docmeta chunk for interactive subset serving.
 
-    kept_urls = []
-    for path in paths:
-        t = pq.read_table(path, columns=["docid", "url"])
-        ids = t["docid"].to_numpy()
-        if not len(ids):
-            continue
-        keep = np.zeros(len(ids), dtype=bool)
-        lo, hi = int(ids.min()), int(ids.max())
+    The reference answers ``ghsg().subSet(cqr)`` in microseconds
+    because the region DAG and the cell->region mapping are preloaded
+    at query time (``oscar-cmd/LiveCompleter.cpp:222-224``; the stores
+    are energized/mlocked before the benchmark loop). The serving
+    analog: read this chunk's ``(docid, url)`` ONCE in ``__init__``,
+    derive a dictionary-encoded ``docid -> host-code`` array plus the
+    tree-sized ``host -> domain -> suffix`` tables, then answer every
+    query with a vectorized membership test + ``np.bincount`` over
+    int32 codes — no parquet read, no URL parse on the query path.
+
+    Per-actor state is |docs in chunk| x 12 B (ids + codes) plus the
+    distinct-host dictionary — the same doc-sharded discipline as the
+    search serving pool, so at corpus scale each serving node holds
+    only its shard's mapping."""
+
+    def __init__(self, paths: list[str]):
+        import pyarrow.parquet as pq
+
+        ids_l, hosts_l = [], []
+        for path in paths:
+            t = pq.read_table(path, columns=["docid", "url"])
+            if not t.num_rows:
+                continue
+            ids_l.append(t["docid"].to_numpy())
+            hosts_l.append(url_hosts(t["url"].combine_chunks()))
+        if not ids_l:
+            self.ids = np.empty(0, dtype=np.int64)
+            self.codes = np.empty(0, dtype=np.int64)
+            self.n_hosts = 0
+            return
+        self.ids = np.concatenate(ids_l)
+        self.lo, self.hi = int(self.ids.min()), int(self.ids.max())
+        host = pa.concat_arrays(hosts_l)
+        enc = pc.dictionary_encode(host)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # null host (unparseable url) -> code -1, excluded from counts
+        self.codes = (
+            enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq_host = enc.dictionary
+        uniq_dom = registered_domains(uniq_host)
+        self.valid = pc.is_valid(uniq_dom).to_numpy(zero_copy_only=False)
+        self.uniq_host = uniq_host
+        self.uniq_dom = uniq_dom.fill_null("")
+        self.uniq_sfx = public_suffixes(self.uniq_dom)
+        self.n_hosts = len(uniq_host)
+
+    def query(self, plan_los, plan_his, plan_refs) -> pa.Table:
+        """Tree-sized (suffix, domain, host, n) partial over the docs in
+        this chunk whose id is in the match plan."""
+        empty = _empty(_PAIR_SCHEMA).drop_columns(["part"])
+        if not len(self.ids):
+            return empty
+        keep = np.zeros(len(self.ids), dtype=bool)
         for plo, phi, ref in zip(plan_los, plan_his, plan_refs):
-            if phi <= lo or plo > hi:
+            if phi <= self.lo or plo > self.hi:
                 continue
             m = ray.get(ref)
             if not len(m):
                 continue
-            pos = np.searchsorted(m, ids)
-            pos = np.minimum(pos, len(m) - 1)
-            keep |= m[pos] == ids
-        if keep.any():
-            kept_urls.append(t["url"].combine_chunks().filter(pa.array(keep)))
-    empty = _empty(_PAIR_SCHEMA).drop_columns(["part"])
-    if not kept_urls:
-        return empty
-    urls = pa.concat_arrays(kept_urls)
-    host = url_hosts(urls)
-    dom = registered_domains(host)
-    ok = pc.is_valid(dom)
-    host, dom = host.filter(ok), dom.filter(ok)
-    if not len(dom):
-        return empty
-    agg = (
-        pa.table({"suffix": public_suffixes(dom), "domain": dom, "host": host})
-        .group_by(["suffix", "domain", "host"])
-        .aggregate([([], "count_all")])
-    )
-    return pa.table(
-        {
-            "suffix": agg["suffix"],
-            "domain": agg["domain"],
-            "host": agg["host"],
-            "n": agg["count_all"].cast(pa.int64()),
-        }
-    )
+            pos = np.minimum(np.searchsorted(m, self.ids), len(m) - 1)
+            keep |= m[pos] == self.ids
+        c = self.codes[keep]
+        c = c[c >= 0]
+        if not len(c):
+            return empty
+        cnt = np.bincount(c, minlength=self.n_hosts)
+        nz = np.nonzero(cnt)[0]
+        nz = nz[self.valid[nz]]
+        if not len(nz):
+            return empty
+        take = pa.array(nz, type=pa.int64())
+        return pa.table(
+            {
+                "suffix": self.uniq_sfx.take(take),
+                "domain": self.uniq_dom.take(take),
+                "host": self.uniq_host.take(take),
+                "n": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+
+# index_dir -> ((docmeta file list, manifest mtime), [server actors]).
+# Keyed on the manifest mtime so an in-place rebuild / maintenance
+# cycle drops the stale servers and re-reads.
+_SERVERS: dict[str, tuple[tuple, list]] = {}
+
+
+def _subset_servers(index_dir: str) -> list:
+    from oscar_ray.index.layout import docmeta_files, manifest_path
+
+    files = sorted(docmeta_files(index_dir))
+    sig = (tuple(files), os.path.getmtime(manifest_path(index_dir)))
+    ent = _SERVERS.get(index_dir)
+    if ent is not None and ent[0] == sig:
+        return ent[1]
+    if ent is not None:
+        for a in ent[1]:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+    n_tasks = min(len(files), max(1, int(ray.cluster_resources().get("CPU", 8))))
+    chunks = [files[i::n_tasks] for i in range(n_tasks)] if files else []
+    actors = [_MetaSubsetServer.remote(c) for c in chunks if c]
+    _SERVERS[index_dir] = (sig, actors)
+    return actors
 
 
 def subset_tree_from_index(
@@ -335,24 +398,21 @@ def subset_tree_from_index(
     (docid + url live there for every built index) — the CLI/serving
     path; needs no access to the source table.
 
-    Serving shape (the kvstats discipline, not the Dataset pipeline —
-    interactive latency matters here): ONE raw Ray task per docmeta
-    file returns a tree-sized (suffix, domain, host, n) partial; the
-    driver merge is ~|matched hosts|, never ~docs. For corpus-scale
-    trees over a source table use :func:`subset_tree` (streamed,
-    hash(domain)-routed)."""
-    from oscar_ray.index.layout import docmeta_files
-
+    Serving shape: a pool of :class:`_MetaSubsetServer` actors (cached
+    per index, invalidated on manifest mtime) each hold one docmeta
+    chunk's ``docid -> host-code`` mapping in memory — the reference's
+    preloaded GeoHierarchy analog — and return tree-sized (suffix,
+    domain, host, n) partials; the driver merge is ~|matched hosts|,
+    never ~docs. The first call per index pays the one-time read +
+    dictionary-encode; every later call is membership + bincount. For
+    corpus-scale trees over a source table use :func:`subset_tree`
+    (streamed, hash(domain)-routed)."""
     plan = matched_id_plan(index_dir, query, num_tasks=num_match_tasks)
     los = [e[0] for e in plan]
     his = [e[1] for e in plan]
     refs = [e[2] for e in plan]
-    files = docmeta_files(index_dir)
-    n_tasks = min(len(files), int(ray.cluster_resources().get("CPU", 8)) * 2)
-    chunks = [files[i::n_tasks] for i in range(n_tasks)] if files else []
-    outs = ray.get(
-        [_meta_subset_task.remote(c, los, his, refs) for c in chunks if c]
-    )
+    servers = _subset_servers(index_dir)
+    outs = ray.get([s.query.remote(los, his, refs) for s in servers])
     outs = [o for o in outs if o.num_rows]
     if not outs:
         return _empty(_TREE_SCHEMA)

@@ -138,3 +138,42 @@ def test_no_match_returns_empty(ray_session, built_index_t1):
     t = subset_tree_from_index(index_dir, "zzzznotaterm", num_parts=3)
     assert t.num_rows == 0
     assert t.column_names == ["level", "parent", "node", "n"]
+
+
+def test_server_cache_invalidates_on_rebuild(ray_session, tmp_path):
+    """The memory-resident subset servers are keyed on the manifest
+    mtime: an in-place index replacement must drop the stale docmeta
+    mapping, not serve counts for deleted docs."""
+    import shutil
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+    from oscar_ray.pipelines import subset as S
+    from oscar_ray.sources.synth import write_pages
+
+    pages_a = str(tmp_path / "pages_a")
+    pages_b = str(tmp_path / "pages_b")
+    write_pages(pages_a, n_rows=400, n_files=2, seed=1)
+    write_pages(pages_b, n_rows=250, n_files=2, seed=9)
+    idx = str(tmp_path / "idx")
+    cfg = IndexBuildConfig(num_partitions=4, block_span_bits=8, shard_fragments=2)
+
+    build_index(pages_a, idx, cfg)
+    q = _head_term(idx)
+    from oscar_ray.pipelines.subset import subset_tree_from_index
+
+    tree_a = subset_tree_from_index(idx, q).to_pandas()
+    assert len(tree_a)
+
+    # replace the index in place (the maintenance/compaction flow)
+    shutil.rmtree(idx)
+    build_index(pages_b, idx, cfg)
+    q2 = _head_term(idx)
+    tree_cached = subset_tree_from_index(idx, q2).to_pandas()
+    # ground truth: force-forget the server pool and recompute
+    S._SERVERS.clear()
+    tree_fresh = subset_tree_from_index(idx, q2).to_pandas()
+    pd.testing.assert_frame_equal(
+        tree_cached.reset_index(drop=True), tree_fresh.reset_index(drop=True)
+    )
+    # the new corpus is smaller: totals must reflect pages_b, not pages_a
+    assert tree_cached[tree_cached["level"] == 1]["n"].sum() <= 250
