@@ -294,3 +294,38 @@ def test_hybrid_rrf_fusion_semantics(ray_session):
     lex_map = {int(d): r + 1 for r, d in enumerate(ids)}
     for iid, lr in zip(got["item_id"], lex, strict=True):
         assert lex_map.get(int(iid), 0) == int(lr)
+
+
+def test_task_engine_cache_invalidates_on_rebuild(ray_session, tmp_path):
+    """_matched_range_task reuses a worker-process QueryEngine keyed on
+    the manifest mtime: an in-place index replacement must not serve
+    match sets (and thus kvstats counts) from the stale engine."""
+    import shutil
+
+    from oscar_ray.index.build import IndexBuildConfig, build_index
+    from oscar_ray.pipelines.facets import kvstats_from_index
+    from oscar_ray.sources.synth import write_pages
+
+    pages_a = str(tmp_path / "pages_a")
+    pages_b = str(tmp_path / "pages_b")
+    write_pages(pages_a, n_rows=400, n_files=2, seed=3)
+    write_pages(pages_b, n_rows=200, n_files=2, seed=11)
+    idx = str(tmp_path / "idx")
+    cfg = IndexBuildConfig(num_partitions=4, block_span_bits=8, shard_fragments=2)
+
+    build_index(pages_a, idx, cfg)
+    # warm every worker's engine cache for this index: several queries
+    # so the range tasks land on all workers
+    for q in ("waaa", "wbaa", "wcaa"):
+        kvstats_from_index(idx, q, keys=["lang"])
+
+    shutil.rmtree(idx)
+    build_index(pages_b, idx, cfg)
+    got = kvstats_from_index(idx, "waaa", keys=["lang"]).to_pandas()
+    # ground truth: a fresh driver-side engine over the NEW index (no
+    # worker cache involved); every doc carries a lang value, so the
+    # facet total equals the match count
+    from oscar_ray.query.engine import QueryEngine
+
+    ids, _ = QueryEngine(idx).search("waaa", k=1 << 40)
+    assert int(got["n"].sum()) == len(ids) <= 200
