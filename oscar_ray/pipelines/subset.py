@@ -307,16 +307,22 @@ class _MetaSubsetServer:
             self.codes = np.empty(0, dtype=np.int64)
             self.n_hosts = 0
             return
-        self.ids = np.concatenate(ids_l)
-        self.lo, self.hi = int(self.ids.min()), int(self.ids.max())
+        ids = np.concatenate(ids_l)
         host = pa.concat_arrays(hosts_l)
         enc = pc.dictionary_encode(host)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         # null host (unparseable url) -> code -1, excluded from counts
-        self.codes = (
+        codes = (
             enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        # sort by docid so each plan range touches only its id slice —
+        # membership cost is then ONE pass over the chunk total,
+        # independent of how many ranges the plan fans out to
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.codes = codes[order]
+        self.lo, self.hi = int(self.ids[0]), int(self.ids[-1])
         uniq_host = enc.dictionary
         uniq_dom = registered_domains(uniq_host)
         self.valid = pc.is_valid(uniq_dom).to_numpy(zero_copy_only=False)
@@ -335,11 +341,16 @@ class _MetaSubsetServer:
         for plo, phi, ref in zip(plan_los, plan_his, plan_refs):
             if phi <= self.lo or plo > self.hi:
                 continue
+            a = int(np.searchsorted(self.ids, plo, side="left"))
+            b = int(np.searchsorted(self.ids, phi, side="left"))
+            if a == b:
+                continue
             m = ray.get(ref)
             if not len(m):
                 continue
-            pos = np.minimum(np.searchsorted(m, self.ids), len(m) - 1)
-            keep |= m[pos] == self.ids
+            sub = self.ids[a:b]
+            pos = np.minimum(np.searchsorted(m, sub), len(m) - 1)
+            keep[a:b] = m[pos] == sub
         c = self.codes[keep]
         c = c[c >= 0]
         if not len(c):
@@ -407,6 +418,10 @@ def subset_tree_from_index(
     dictionary-encode; every later call is membership + bincount. For
     corpus-scale trees over a source table use :func:`subset_tree`
     (streamed, hash(domain)-routed)."""
+    # num_match_tasks stays modest (8): wider fan-out measured SLOWER at
+    # 50M docs — each extra range task lands on a fresh worker process
+    # with a cold _task_engine, and that re-open dominates the extra
+    # parallelism (225 ms p50 at 8 tasks vs 977 ms at 32, 10-query mix)
     plan = matched_id_plan(index_dir, query, num_tasks=num_match_tasks)
     los = [e[0] for e in plan]
     his = [e[1] for e in plan]

@@ -10,7 +10,10 @@ mixed query mix, plus driver RSS before/after — the per-node state is
 |shard docs| x 12 B + the distinct-host dictionary, so RSS growth must
 be flat in query count and tree-sized in corpus.
 
-Usage: python scripts/soak_subset.py [n_docs] [n_per_stratum]
+Usage: python scripts/soak_subset.py [n_docs] [n_per_stratum] [index_dir]
+(index_dir defaults to the shared soak-tail index path and is built if
+missing; pass an existing index — e.g. the 50M decade-probe build — to
+measure serving at that scale without rebuilding.)
 Writes records/soak_subset_<n_docs>.json.
 """
 
@@ -62,9 +65,13 @@ def main():
     from oscar_ray.index.reader import IndexReader
     from oscar_ray.pipelines.subset import subset_tree_from_index
 
-    src = bench._pages_dir("", n_docs, n_files=64)
-    idx = f"/tmp/oscar_ray_bench/soak-tail-{n_docs}"  # shared with soak_tail
+    idx = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else f"/tmp/oscar_ray_bench/soak-tail-{n_docs}"  # shared with soak_tail
+    )
     if not os.path.isdir(os.path.join(idx, "postings")):
+        src = bench._pages_dir("", n_docs, n_files=64)
         cfg = IndexBuildConfig(
             num_partitions=64, block_span_bits=14, shard_fragments=1,
             dedup_urls=True,
