@@ -59,8 +59,11 @@ def _matched_ids(sf_dir: str, query: str, suffixes: bool = False) -> np.ndarray:
 # cache keeps the open dictionaries + decoded-block caches warm across
 # queries against the same index (the reference keeps its stores
 # energized between completions). Keyed on manifest mtime so an
-# in-place rebuild / maintenance cycle drops the stale engine.
+# in-place rebuild / maintenance cycle drops the stale engine; LRU-
+# capped so a worker that serves many distinct indexes (test sessions,
+# multi-tenant hosts) doesn't accumulate open engines without bound.
 _TASK_ENGINES: dict[str, tuple[float, object]] = {}
+_TASK_ENGINES_MAX = 4
 
 
 def _task_engine(index_dir: str):
@@ -68,9 +71,12 @@ def _task_engine(index_dir: str):
     from oscar_ray.query.engine import QueryEngine
 
     mt = os.path.getmtime(manifest_path(index_dir))
-    ent = _TASK_ENGINES.get(index_dir)
+    ent = _TASK_ENGINES.pop(index_dir, None)  # pop+reinsert = LRU touch
     if ent is not None and ent[0] == mt:
+        _TASK_ENGINES[index_dir] = ent
         return ent[1]
+    while len(_TASK_ENGINES) >= _TASK_ENGINES_MAX:
+        _TASK_ENGINES.pop(next(iter(_TASK_ENGINES)))
     eng = QueryEngine(index_dir)
     _TASK_ENGINES[index_dir] = (mt, eng)
     return eng
