@@ -219,11 +219,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # after mlock/mload warms the stores): the first call reads docmeta
     # once into the memory-resident host-code mapping — timed separately
     t0 = time.perf_counter()
-    subset_tree_from_index(out_dir, sub_queries[0], num_parts=8)
+    subset_tree_from_index(out_dir, sub_queries[0], num_match_tasks=8)
     subset_warmup_secs = time.perf_counter() - t0
     t0 = time.perf_counter()
     subset_rows = sum(
-        subset_tree_from_index(out_dir, q, num_parts=8).num_rows
+        subset_tree_from_index(out_dir, q, num_match_tasks=8).num_rows
         for q in sub_queries
     )
     subset_secs = time.perf_counter() - t0

@@ -150,11 +150,23 @@ def _respill_partition_task(index_dir: str, part: int, cfg: dict) -> int:
         tf_chunks.append(tfs.astype(np.int32))
         dl_chunks.append(dls.astype(np.int32))
         if has_pos:
-            tfs64 = tfs.astype(np.int64)
-            flat = decode_positions(t["poss"][i].as_py(), tfs64)
-            starts = np.zeros(len(tfs64), dtype=np.int64)
-            np.cumsum(tfs64[:-1], out=starts[1:])
-            pos_chunks.append(encode_positions_segmented(flat, starts))
+            raw = t["poss"][i].as_py()
+            if not raw:
+                # marker-namespace row (suffix / field terms): tf entries
+                # exist but positions are empty by design — re-emit one
+                # empty per-pair payload per posting, as stage A wrote them
+                pos_chunks.append(
+                    encode_positions_segmented(
+                        np.empty(0, dtype=np.int64),
+                        np.zeros(len(ids), dtype=np.int64),
+                    )
+                )
+            else:
+                tfs64 = tfs.astype(np.int64)
+                flat = decode_positions(raw, tfs64)
+                starts = np.zeros(len(tfs64), dtype=np.int64)
+                np.cumsum(tfs64[:-1], out=starts[1:])
+                pos_chunks.append(encode_positions_segmented(flat, starts))
     n = int(sum(len(x) for x in id_chunks))
     spill = pa.table(
         {

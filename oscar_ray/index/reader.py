@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -333,25 +334,36 @@ class _DecodedBlockCache:
         self.max_bytes = max_bytes
         self.bytes = 0
         self._d: dict[tuple, tuple] = {}
+        # engine parallel_fetch decodes blocks from a thread pool: the
+        # pop/reinsert recency touch races put()'s eviction without this
+        self._lock = threading.Lock()
 
     def get(self, key):
-        hit = self._d.pop(key, None)
-        if hit is not None:
-            self._d[key] = hit  # LRU recency touch
-        return hit
+        with self._lock:
+            hit = self._d.pop(key, None)
+            if hit is not None:
+                self._d[key] = hit  # LRU recency touch
+            return hit
 
     def put(self, key, val) -> None:
         nb = sum(a.nbytes for a in val)
         if nb > self.max_bytes:
             return
-        old = self._d.pop(key, None)
-        if old is not None:
-            self.bytes -= sum(a.nbytes for a in old)
-        while self.bytes + nb > self.max_bytes and self._d:
-            ev = self._d.pop(next(iter(self._d)))  # dicts iterate in insertion order
-            self.bytes -= sum(a.nbytes for a in ev)
-        self._d[key] = val
-        self.bytes += nb
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self.bytes -= sum(a.nbytes for a in old)
+            while self.bytes + nb > self.max_bytes and self._d:
+                # dicts iterate in insertion order
+                ev = self._d.pop(next(iter(self._d)))
+                self.bytes -= sum(a.nbytes for a in ev)
+            self._d[key] = val
+            self.bytes += nb
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+            self.bytes = 0
 
 
 class IndexReader:
@@ -812,6 +824,11 @@ class IndexReader:
                         _dls=sl["dls"].to_pylist(),
                         codec=self.docid_codec,
                         _poss=sl["poss"].to_pylist() if has_poss else None,
+                        # decoded-block LRU applies to preloaded postings
+                        # too: payload BYTES are pinned here, but recurring
+                        # head-term blocks should still decode once per
+                        # process, not once per query
+                        _decoded_cache=self._decoded_cache,
                     )
                     n += 1
                     start = i
@@ -838,6 +855,8 @@ class IndexReader:
         self._pos_groups.clear()
         self._pa_terms.clear()
         self._fuzzy_mats.clear()
+        self._qgram_csrs.clear()
+        self._decoded_cache.clear()  # cold must mean decode-cold too
         self._cache_pinned = False
         n = 0
         if page_cache and hasattr(os, "posix_fadvise"):

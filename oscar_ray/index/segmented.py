@@ -138,6 +138,33 @@ class SegmentedReader:
             [r.terms_with_regex(pattern) for r in self.readers], limit
         )
 
+    def complete(self, prefix: str, k: int | None = 10) -> list[tuple[str, int]]:
+        """Federated ranked completions: per-segment candidates merged by
+        SUMMED df (a term may live in several segments). Exact: segments
+        are asked unpruned — the candidate set is the prefix range, which
+        is small by construction — then ranked (df desc, term asc)."""
+        dfs: dict[str, int] = {}
+        for r in self.readers:
+            for term, df in r.complete(prefix, k=None):
+                dfs[term] = dfs.get(term, 0) + df
+        rows = sorted(dfs.items(), key=lambda t: (-t[1], t[0]))
+        return rows[:k] if k is not None else rows
+
+    def suggest(
+        self, term: str, max_dist: int = 2, k: int | None = 10
+    ) -> list[tuple[str, int, int]]:
+        """Federated did-you-mean: per-segment fuzzy candidates merged by
+        summed df (dist is a property of the term, identical across
+        segments), ranked dist asc, df desc, term asc."""
+        acc: dict[str, tuple[int, int]] = {}
+        for r in self.readers:
+            for t, dist, df in r.suggest(term, max_dist=max_dist, k=None):
+                prev = acc.get(t)
+                acc[t] = (dist, df + (prev[1] if prev else 0))
+        rows = [(t, d, df) for t, (d, df) in acc.items()]
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return rows[:k] if k is not None else rows
+
     def vocabulary_size(self) -> int:
         # upper bound: terms shared across segments count once per segment
         return sum(r.vocabulary_size() for r in self.readers)

@@ -403,7 +403,6 @@ def subset_tree_from_index(
     query: str,
     max_children: int | None = None,
     num_match_tasks: int = 8,
-    **_compat,
 ) -> pa.Table:
     """Drill-down tree straight from an index's own docmeta artifacts
     (docid + url live there for every built index) — the CLI/serving

@@ -57,6 +57,23 @@ def _did_you_mean(reader, qstr: str, max_terms: int = 3) -> list[str]:
     return hints
 
 
+def _print_tree(rows: list[dict]) -> None:
+    """Indented drill-down tree print (the LiveCompletion display):
+    children grouped under (level, parent), siblings by n desc, node asc."""
+    children: dict[tuple[int, str], list[dict]] = {}
+    for r in rows:
+        children.setdefault((r["level"], r["parent"]), []).append(r)
+    for lst in children.values():
+        lst.sort(key=lambda r: (-r["n"], r["node"]))
+
+    def walk(level: int, parent: str, indent: str) -> None:
+        for r in children.get((level, parent), []):
+            print(f"{indent}{r['node']}\t{r['n']}")
+            walk(level + 1, r["node"], indent + "  ")
+
+    walk(1, "", "")
+
+
 def main():
     ap = argparse.ArgumentParser(description="Query / inspect an index")
     ap.add_argument("--index", "-i", required=True)
@@ -407,20 +424,7 @@ def main():
         t = subset_tree_from_index(
             args.index, args.query, max_children=args.max_children
         )
-        # indented tree print (the LiveCompletion drill-down display)
-        rows = t.to_pylist()
-        children: dict[tuple[int, str], list[dict]] = {}
-        for r in rows:
-            children.setdefault((r["level"], r["parent"]), []).append(r)
-        for lst in children.values():
-            lst.sort(key=lambda r: (-r["n"], r["node"]))
-
-        def walk(level: int, parent: str, indent: str) -> None:
-            for r in children.get((level, parent), []):
-                print(f"{indent}{r['node']}\t{r['n']}")
-                walk(level + 1, r["node"], indent + "  ")
-
-        walk(1, "", "")
+        _print_tree(t.to_pylist())
         return
 
     if args.cmd == "hybrid":
@@ -640,21 +644,11 @@ def main():
 
                 _ensure_ray()
                 t0 = _time.perf_counter()
-                st = subset_tree_from_index(
-                    args.index, qstr, max_children=args.subset
-                ).to_pylist()
-                kids: dict[tuple[int, str], list] = {}
-                for r in st:
-                    kids.setdefault((r["level"], r["parent"]), []).append(r)
-                for lst in kids.values():
-                    lst.sort(key=lambda r: (-r["n"], r["node"]))
-
-                def _walk(level: int, parent: str, indent: str) -> None:
-                    for r in kids.get((level, parent), []):
-                        print(f"{indent}{r['node']}\t{r['n']}")
-                        _walk(level + 1, r["node"], indent + "  ")
-
-                _walk(1, "", "")
+                _print_tree(
+                    subset_tree_from_index(
+                        args.index, qstr, max_children=args.subset
+                    ).to_pylist()
+                )
                 print(
                     f"# ghsg= {(_time.perf_counter() - t0) * 1e6:.0f}us",
                     file=sys.stderr,

@@ -283,3 +283,49 @@ class TestChurnFederationWithPositions:
         merged2 = str(root / "imerged2")
         merge_indexes([upd2, seg2], merged2)
         compare([upd2, seg2], merged2, [base_t, d1, d2, seg2_rows])
+
+
+class TestPositionsPlusSuffixes:
+    """Maintenance on an index built with BOTH the positional sidecar and
+    the suffix marker namespace (the soak_differential.py combo): marker
+    rows carry empty position payloads with nonzero tfs, and the respill
+    must re-emit them as empty per-pair payloads instead of decoding."""
+
+    def test_update_equals_scratch(self, ray_session, tmp_path):
+        root = tmp_path
+        base_t, delta_t = _union_tables(root)
+        _write_rows(base_t, str(root / "segA" / "p.parquet"), 256)
+        _write_rows(delta_t, str(root / "segB" / "p.parquet"), 150)
+        _write_rows(base_t, str(root / "all" / "p0.parquet"), 256)
+        _write_rows(delta_t, str(root / "all" / "p1.parquet"), 150)
+        cfg = IndexBuildConfig(
+            num_partitions=4,
+            block_span_bits=SPAN_BITS,
+            shard_fragments=2,
+            index_positions=True,
+            index_suffixes=True,
+        )
+        base_idx = str(root / "ibase")
+        build_index(str(root / "segA"), base_idx, cfg)
+        updated = str(root / "iupd")
+        # regression: this raised ValueError("positions payload has 0
+        # values, ...") from the marker rows before the respill fix
+        update_index(base_idx, str(root / "segB"), updated)
+        check_index(updated)
+        scratch = str(root / "iscr")
+        build_index(str(root / "all"), scratch, cfg)
+        assert _dir_bytes(updated) == _dir_bytes(scratch)
+
+        e = QueryEngine(updated)
+        # positional sidecar still works after maintenance
+        toks = [
+            t
+            for t in (delta_t["text"][0].as_py() or "").split()
+            if len(t) > 2
+        ]
+        ids_p, _ = e.search(f'"{toks[0].lower()} {toks[1].lower()}"', k=100)
+        assert len(ids_p) >= 1
+        # suffix namespace still works (substring query on a delta token)
+        probe = next(t.lower() for t in toks if len(t) >= 4)
+        ids_s, _ = e.search(f"*{probe[1:-1]}*", k=500)
+        assert len(ids_s) >= 1

@@ -966,3 +966,42 @@ class TestQgramFilterParity:
             got = reader.terms_with_edit_distance(q, 2)
             want = sorted(t for t in terms if lev(t, q) <= 2)
             assert got == want, q
+
+
+class TestDecodedBlockCacheConcurrency:
+    """The decoded-block LRU is shared across the engine's parallel_fetch
+    thread pool: get()'s pop+reinsert recency touch must not race put()'s
+    eviction (next(iter)->pop KeyError) — regression for the lock."""
+
+    def test_threaded_get_put_under_eviction(self):
+        import threading
+
+        import numpy as np
+
+        from oscar_ray.index.reader import _DecodedBlockCache
+
+        val = (np.zeros(128, dtype=np.int64),)  # 1 KB per entry
+        cache = _DecodedBlockCache(max_bytes=16 << 10)  # 16 entries -> churn
+        errs: list[BaseException] = []
+
+        def worker(seed: int) -> None:
+            rng = np.random.default_rng(seed)
+            try:
+                for _ in range(4000):
+                    key = ("t", int(rng.integers(0, 64)))
+                    if cache.get(key) is None:
+                        cache.put(key, val)
+            except BaseException as e:  # noqa: BLE001 - recorded for assert
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        # byte accounting stayed consistent with the resident entries
+        assert cache.bytes == sum(
+            sum(a.nbytes for a in v) for v in cache._d.values()
+        )
+        assert cache.bytes <= cache.max_bytes

@@ -110,6 +110,22 @@ class TestSegmentedParity:
         )
         assert sr.terms_with_regex("jo.*") == mr.terms_with_regex("jo.*")
 
+    def test_complete_and_suggest_match_merge(self, seg_setup):
+        # federated completions / did-you-mean == the merged index's
+        # (dfs summed across segments; dist is term-intrinsic) — the
+        # CLI's zero-hit hint and bench --live paths in segmented mode
+        ia, ib, merged, _ = seg_setup
+        sr = SegmentedReader([ia, ib])
+        mr = QueryEngine(merged).reader
+        assert sr.complete("qu", k=10) == mr.complete("qu", k=10)
+        assert sr.complete("j", k=None) == mr.complete("j", k=None)
+        assert sr.suggest("stp", max_dist=2, k=10) == mr.suggest(
+            "stp", max_dist=2, k=10
+        )
+        assert sr.suggest("joim", max_dist=1, k=None) == mr.suggest(
+            "joim", max_dist=1, k=None
+        )
+
     def test_explicit_zero_offsets_preserve_global_ids(
         self, ray_session, seg_setup, tmp_path
     ):

@@ -52,7 +52,7 @@ def tree_and_oracle(ray_session, built_index_t1):
 
     index_dir, _ = built_index_t1
     query = _head_term(index_dir)
-    tree = subset_tree_from_index(index_dir, query, num_parts=5).to_pandas()
+    tree = subset_tree_from_index(index_dir, query, num_match_tasks=5).to_pandas()
 
     # oracle: full match set (union of plan refs) + pandas rollup
     import pyarrow.parquet as pq
@@ -107,10 +107,10 @@ def test_pruned_is_topk_subset(ray_session, built_index_t1):
 
     index_dir, _ = built_index_t1
     query = _head_term(index_dir)
-    full = subset_tree_from_index(index_dir, query, num_parts=5).to_pandas()
+    full = subset_tree_from_index(index_dir, query, num_match_tasks=5).to_pandas()
     k = 2
     pruned = subset_tree_from_index(
-        index_dir, query, max_children=k, num_parts=5
+        index_dir, query, max_children=k, num_match_tasks=5
     ).to_pandas()
     fkeys = set(map(tuple, full[["level", "parent", "node", "n"]].to_numpy()))
     pkeys = set(map(tuple, pruned[["level", "parent", "node", "n"]].to_numpy()))
@@ -135,7 +135,7 @@ def test_no_match_returns_empty(ray_session, built_index_t1):
     from oscar_ray.pipelines.subset import subset_tree_from_index
 
     index_dir, _ = built_index_t1
-    t = subset_tree_from_index(index_dir, "zzzznotaterm", num_parts=3)
+    t = subset_tree_from_index(index_dir, "zzzznotaterm", num_match_tasks=3)
     assert t.num_rows == 0
     assert t.column_names == ["level", "parent", "node", "n"]
 
