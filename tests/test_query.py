@@ -1005,3 +1005,30 @@ class TestDecodedBlockCacheConcurrency:
             sum(a.nbytes for a in v) for v in cache._d.values()
         )
         assert cache.bytes <= cache.max_bytes
+
+
+class TestDropCachesDecodeCold:
+    """mdrop must evict the decoded-block LRU and q-gram CSRs too — a
+    'cold' measurement that still serves decoded blocks from the LRU is
+    a warm-decode number (regression for drop_caches completeness)."""
+
+    def test_drop_then_identical_results(self, built_index_t1):
+        from oscar_ray.index.reader import IndexReader
+        from oscar_ray.query.engine import QueryEngine
+
+        idx, _ = built_index_t1
+        r = IndexReader(idx)
+        e = QueryEngine(idx, reader=r)
+        term = r.complete("w", k=1)[0][0]
+        warm_ids, warm_scores = e.search(term, k=50)
+        r.terms_with_edit_distance(term, 2)  # populate q-gram CSRs
+        assert r._decoded_cache.bytes > 0
+        assert r._qgram_csrs
+        r.drop_caches()
+        assert r._decoded_cache.bytes == 0 and not r._decoded_cache._d
+        assert not r._qgram_csrs
+        cold_ids, cold_scores = e.search(term, k=50)
+        assert warm_ids.tolist() == cold_ids.tolist()
+        import numpy as np
+
+        np.testing.assert_allclose(warm_scores, cold_scores, rtol=1e-12)
