@@ -56,6 +56,11 @@ def main():
     big = n_docs > 20_000_000
     n_files = int(os.environ.get("GRAFT_SOAK_FILES", "512" if big else "256"))
     n_parts = int(os.environ.get("GRAFT_SOAK_PARTS", "128" if big else "64"))
+    # url-dedup parallelism must scale with the corpus too: at 100M docs
+    # the default 16 docmeta partitions made dedup_stats a 36 s wall
+    # (16-way on 32 cpus, ~6M urls/task); 64 keeps that phase in the
+    # 10M-probe band the same way n_files/n_parts do
+    n_uparts = int(os.environ.get("GRAFT_SOAK_URLPARTS", "64" if big else "16"))
 
     t0 = time.perf_counter()
     src = bench._pages_dir("/root/testdata/sf0.1", n_docs, n_files=n_files)
@@ -70,6 +75,7 @@ def main():
         block_span_bits=16,
         shard_fragments=8,
         dedup_urls=True,
+        url_partitions=n_uparts,
         # the spill is build scaffolding; at the 50M decade it is ~11 GB
         # (3.5x the postings store) and must not ship with the artifact
         cleanup_spill=True,
@@ -100,6 +106,7 @@ def main():
         "total_docs": stats["total_docs"],
         "n_files": n_files,
         "num_partitions": n_parts,
+        "url_partitions": n_uparts,
         "gen_secs": round(gen_secs, 1),
         "build_secs": round(build_secs, 1),
         "docs_per_sec": round(stats["total_docs"] / build_secs, 1),
