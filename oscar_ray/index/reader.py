@@ -384,6 +384,7 @@ class IndexReader:
         index_dir: str,
         block_range: tuple[int, int] | None = None,
         shard: tuple[int, int] | None = None,
+        decoded_cache_mb: int | None = None,
     ):
         self.index_dir = index_dir
         with open(layout.manifest_path(index_dir)) as f:
@@ -422,7 +423,13 @@ class IndexReader:
         self._pa_terms: dict[int, "pa.Array"] = {}  # regex-scan term arrays
         self._fuzzy_mats: dict[int, tuple] = {}  # fuzzy-scan codepoint matrices
         self._qgram_csrs: dict[int, tuple] = {}  # fuzzy-scan q-gram filters
-        self._decoded_cache = _DecodedBlockCache()  # hot decoded blocks (LRU)
+        # hot decoded blocks (LRU). decoded_cache_mb overrides the 256 MB
+        # env default — a serving node sizes this to RAM/pool_width (the
+        # 50M/100M decades thrash the default: warm QPS ~= cold QPS
+        # because the queried terms' decoded working set exceeds it)
+        self._decoded_cache = _DecodedBlockCache(
+            max_bytes=None if decoded_cache_mb is None else decoded_cache_mb << 20
+        )
 
     # -- dictionary ---------------------------------------------------------
 

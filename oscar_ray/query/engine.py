@@ -520,6 +520,7 @@ class QueryServer:
         mode: str = "auto",
         preload: bool = False,
         shard: tuple[int, int] | None = None,
+        decoded_cache_mb: int | None = None,
     ):
         if "," in index_dir:
             # segmented serving: base,delta,... federated per actor
@@ -532,7 +533,10 @@ class QueryServer:
             # shard=(i, k): doc-sharded serving — this actor holds only
             # its docid-block slice of every posting list (sharded.py)
             self.engine = QueryEngine(
-                index_dir, reader=IndexReader(index_dir, shard=shard)
+                index_dir,
+                reader=IndexReader(
+                    index_dir, shard=shard, decoded_cache_mb=decoded_cache_mb
+                ),
             )
         if preload:  # mlock analog: resident postings per actor
             self.engine.reader.preload()

@@ -94,12 +94,15 @@ class ShardedPool:
         default_k: int = 10,
         mode: str = "auto",
         num_cpus: float = 1,
+        decoded_cache_mb: int | str | None = "auto",
     ):
         import ray
 
         from oscar_ray.query.engine import QueryServer
 
         self.default_k = default_k
+        if decoded_cache_mb == "auto":
+            decoded_cache_mb = self._auto_cache_mb(index_dir, n_shards)
         Actor = ray.remote(num_cpus=num_cpus)(QueryServer)
         self.actors = [
             Actor.remote(
@@ -108,9 +111,34 @@ class ShardedPool:
                 mode=mode,
                 preload=preload,
                 shard=(i, n_shards),
+                decoded_cache_mb=decoded_cache_mb,
             )
             for i in range(n_shards)
         ]
+
+    @staticmethod
+    def _auto_cache_mb(index_dir: str, n_shards: int) -> int | None:
+        """Per-shard decoded-block budget sized to the node, not the env
+        default: a shard's full decoded working set is ~24 B per posting
+        over 1/k of the block space, so cache min(that, a pool-wide 35%
+        RAM allowance) — the 256 MB default thrashes at the 50M/100M
+        decades (warm QPS collapses to cold) while the node has tens of
+        GB idle. Never returns less than the 256 MB default."""
+        import json
+        import os
+
+        from oscar_ray.index import layout
+
+        try:
+            with open(layout.manifest_path(index_dir)) as f:
+                manifest = json.load(f)
+            rows = sum(p["rows"] for p in manifest["partitions"] if p)
+            need_mb = (rows * 24 // max(n_shards, 1)) >> 20
+            ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            allow_mb = int(0.35 * ram / max(n_shards, 1)) >> 20
+            return max(256, min(need_mb + need_mb // 4, allow_mb))
+        except Exception:
+            return None  # fall back to the env/default budget
 
     def ready(self) -> None:
         import ray

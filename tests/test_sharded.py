@@ -303,3 +303,47 @@ class TestMergeFunction:
             }
         )
         assert merge_shard_results([e, e]).num_rows == 0
+
+
+class TestDecodedCacheBudget:
+    """Serving-node decoded-cache sizing: the per-reader budget override
+    and ShardedPool's auto sizing (the 50M/100M-decade fix — the 256 MB
+    default thrashes once the queried working set outgrows it)."""
+
+    def test_reader_budget_override(self, built_index_t1):
+        index_dir, _ = built_index_t1
+        r = IndexReader(index_dir, decoded_cache_mb=7)
+        assert r._decoded_cache.max_bytes == 7 << 20
+        # default path still honors the env/256MB default
+        assert IndexReader(index_dir)._decoded_cache.max_bytes >= 1 << 20
+
+    def test_auto_cache_mb_formula(self, built_index_t1):
+        import json
+
+        from oscar_ray.index import layout
+
+        index_dir, _ = built_index_t1
+        with open(layout.manifest_path(index_dir)) as f:
+            manifest = json.load(f)
+        rows = sum(p["rows"] for p in manifest["partitions"] if p)
+        for k in (1, 2, 8):
+            got = ShardedPool._auto_cache_mb(index_dir, k)
+            need_mb = (rows * 24 // k) >> 20
+            assert got >= 256  # never below the default
+            assert got >= min(need_mb, 256)
+
+    def test_auto_cache_mb_missing_index_falls_back(self, tmp_path):
+        assert ShardedPool._auto_cache_mb(str(tmp_path / "nope"), 4) is None
+
+    def test_sharded_identity_with_tiny_budget(
+        self, ray_session, built_index_t1, query_batch, unsharded_results
+    ):
+        """Rank/score identity is budget-independent: a 1 MB decoded
+        cache (constant eviction) answers bit-identically."""
+        index_dir, _ = built_index_t1
+        pool = ShardedPool(
+            index_dir, n_shards=2, num_cpus=0.25, decoded_cache_mb=1
+        )
+        got = _sorted(pool.search_batch(query_batch))
+        want = _sorted(unsharded_results)
+        assert got.equals(want)
